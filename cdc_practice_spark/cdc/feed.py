@@ -1,0 +1,89 @@
+"""Change-feed normalization — the capture-side operators S2–S6, P1–P3.
+
+The reference consumes a Kafka topic of flattened Debezium JSON events
+(simple_kafka_etl.py:48-57) where:
+  - tombstones (null values) are skipped       (simple_kafka_etl.py:68-70)
+  - ``__deleted`` is a string 'true'/'false'   (simple_kafka_etl.py:76,114)
+  - the idempotency key is (topic, partition, offset)
+                                               (simple_kafka_etl.py:81-84,119-122)
+
+Spark-first translation: parse with an explicit schema (``from_json`` ==
+the ExtractNewRecordState unwrap, mysql-connector-config-clean.json:21-22),
+filter nulls, and dedup by Kafka coordinates with ``dropDuplicates`` —
+a map-side-combinable shuffle instead of the reference's per-row
+``SELECT COUNT(*)`` probe (simple_kafka_etl.py:81-88).
+
+Scale notes (100 TB): the feed is already partitioned by Kafka partition;
+dedup shuffles once on the coordinate triple, and every downstream
+operator (history windows, snapshot windows, stats agg) keys on
+``original_id``/``user_id`` — so the plan repartitions once per key
+domain and reuses it.  No global ordering is ever required: the reference
+relied on a single consumer for total order (simple_kafka_etl.py:34), but
+all of its operators are per-key, so per-key ordering by offset is
+semantics-preserving (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.schemas import PROPS_SCHEMA
+
+# Kafka coordinate triple — the reference's idempotency key
+# (simple_kafka_etl.py:81-84).
+KAFKA_COORDS = ("kafka_topic", "kafka_partition", "kafka_offset")
+
+TOPIC = "dbserver1.bankdb.bank_accounts"  # mysql-connector-config-clean.json:25
+
+
+def change_feed(raw: DataFrame) -> DataFrame:
+    """Normalize an already-shaped change feed: tombstone filter (P1) +
+    coordinate dedup (P3).
+
+    ``raw`` must carry the Kafka coordinate columns plus an ``op_payload``
+    struct column (the after-image) that may be null for tombstones.
+    """
+    return (
+        raw.filter(F.col("op_payload").isNotNull())  # P1 tombstone skip
+        .dropDuplicates(list(KAFKA_COORDS))  # P3 idempotent dedup
+    )
+
+
+def change_feed_from_events(events: DataFrame) -> DataFrame:
+    """Derive the deterministic CDC change feed from the driver's ``events``
+    fixture table (FIXTURES.md §B mapping):
+
+      event_id → kafka_offset (monotonic replay ordinal)
+      user_id  → original_id (row key)
+      ts       → event-time stand-in for the reference's NOW() stamps
+                 (determinism shim — SURVEY.md §7.4.3)
+      value    → the mutable non-key column (the ``account`` analog)
+      event_type == 'error' → ``__deleted = 'true'`` (delete rewrite,
+                 mysql-connector-config-clean.json:24); all other types are
+                 live after-images (``'false'``)
+      props    → JSON payload parsed via from_json (S3/S5 unwrap)
+
+    The output is one flat row per change event, deduplicated by Kafka
+    coordinates — the exact shape the reference's consumer loop sees after
+    its own tombstone filter.
+    """
+    feed = events.select(
+        F.col("event_id").alias("kafka_offset"),
+        F.lit(0).alias("kafka_partition"),
+        F.lit(TOPIC).alias("kafka_topic"),
+        F.col("user_id").alias("original_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("ts").alias("registered_at"),
+        F.when(F.col("event_type") == "error", F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("__deleted"),
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("props_k"),
+    )
+    # P3: idempotent dedup on the coordinate triple.  On the fixture the
+    # triple is unique, so this is a no-op logically, but it stays in the
+    # plan to preserve replay-idempotency semantics (replay from
+    # `earliest` must be a warehouse no-op — simple_kafka_etl.py:52 +
+    # dedup probes at :81-88,119-126).
+    return feed.dropDuplicates(list(KAFKA_COORDS))

@@ -1,0 +1,276 @@
+"""CDC warehouse queries — the reference's core semantic surface.
+
+Covers SURVEY.md §2 inventory IDs: S3/S5 (from_json unwrap), P1 (tombstone
+filter), P2 (type dispatch), P3 (idempotent dedup), P4/P5 (existence /
+lookup joins → windows), P6 (projection/rename), P7 (change_type +
+derived timestamps), P8–P10 (delete/update/insert apply → snapshot),
+S8 (append history), Q6 (per-user stats), plus the reference's read-side
+queries Q1–Q5 (README.md:106-108, test-etl-pipeline.sh:244-259).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.cdc import (
+    build_current,
+    build_history,
+    build_user_stats,
+    change_feed_from_events,
+)
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return change_feed_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _us(col: str) -> F.Column:
+    """Event-time timestamp → epoch-µs BIGINT (timezone/type-proof vs oracle)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# Shared oracle CTE: the normalized change feed + change_type + carry-forward,
+# mirroring cdc/feed.py + cdc/history.py exactly.
+FEED_CTE = """
+feed AS (
+  SELECT event_id AS kafka_offset,
+         0 AS kafka_partition,
+         'dbserver1.bankdb.bank_accounts' AS kafka_topic,
+         user_id AS original_id,
+         event_type,
+         value,
+         ts AS registered_at,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
+  FROM events
+),
+typed AS (
+  SELECT *,
+         CASE WHEN __deleted = 'true' THEN 'DELETE'
+              WHEN lag(__deleted) OVER w IS NULL
+                OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
+              ELSE 'UPDATE' END AS change_type
+  FROM feed
+  WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN change_type = 'INSERT' THEN registered_at END
+                    IGNORE NULLS)
+           OVER (PARTITION BY original_id ORDER BY kafka_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS original_registered_at
+  FROM typed
+)
+"""
+
+
+@register(
+    "cdc_current_snapshot",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT original_id,
+       original_id AS user_id,
+       value,
+       event_type,
+       props_k,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       epoch_us(registered_at) AS last_updated_at_us
+FROM ranked
+WHERE rn = 1 AND __deleted = 'false'
+""",
+)
+def cdc_current_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bank_accounts_current analog (S9/P4/P8-P10) — latest live row per key
+    with first-INSERT carry-forward (simple_kafka_etl.py:108,133-138,159-163)."""
+    cur = build_current(_feed(spark, sf_dir))
+    return cur.select(
+        "original_id",
+        "user_id",
+        "value",
+        "event_type",
+        "props_k",
+        _us("original_registered_at").alias("original_registered_at_us"),
+        _us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+@register(
+    "cdc_history",
+    oracle=f"""
+WITH {FEED_CTE}
+SELECT original_id,
+       original_id AS user_id,
+       value,
+       event_type,
+       change_type,
+       epoch_us(registered_at) AS change_timestamp_us,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       kafka_offset, kafka_partition, kafka_topic
+FROM carried
+""",
+)
+def cdc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bank_accounts_history analog (S8/P5-P7) — one audit row per change
+    event with derived change_type (simple_kafka_etl.py:97-105,146-155,166-175)."""
+    hist = build_history(_feed(spark, sf_dir))
+    return hist.select(
+        "original_id",
+        "user_id",
+        "value",
+        "event_type",
+        "change_type",
+        _us("change_timestamp").alias("change_timestamp_us"),
+        _us("original_registered_at").alias("original_registered_at_us"),
+        "kafka_offset",
+        "kafka_partition",
+        "kafka_topic",
+    )
+
+
+@register(
+    "cdc_user_stats",
+    oracle=f"""
+WITH {FEED_CTE}
+SELECT original_id AS user_id,
+       count(*) AS n_changes,
+       CAST(sum(CASE WHEN change_type = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(sum(CASE WHEN change_type = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN change_type = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       epoch_us(min(registered_at)) AS first_change_at_us,
+       epoch_us(max(registered_at)) AS last_change_at_us
+FROM typed
+GROUP BY original_id
+""",
+)
+def cdc_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_account_stats analog (Q6) — per-user grouped aggregate
+    (README.md:38,108; schema inference documented in cdc/stats.py)."""
+    hist = build_history(_feed(spark, sf_dir))
+    stats = build_user_stats(hist)
+    return stats.select(
+        "user_id",
+        "n_changes",
+        "n_inserts",
+        "n_updates",
+        "n_deletes",
+        _us("first_change_at").alias("first_change_at_us"),
+        _us("last_change_at").alias("last_change_at_us"),
+    )
+
+
+@register(
+    "cdc_replay_idempotency",
+    oracle=f"""
+WITH {FEED_CTE}
+SELECT count(*) AS n_events,
+       count(DISTINCT original_id) AS n_keys,
+       count(DISTINCT kafka_offset) AS n_offsets
+FROM feed
+""",
+)
+def cdc_replay_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 effectively-once: replaying the feed (union with itself —
+    `auto_offset_reset='earliest'` re-consumption, simple_kafka_etl.py:52)
+    followed by coordinate dedup must be a no-op.  The oracle sees the
+    single feed; Spark sees the doubled one — counts must match."""
+    events = load_table(spark, sf_dir, "events")
+    doubled = change_feed_from_events(events.unionAll(events))
+    return doubled.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("original_id").alias("n_keys"),
+        F.countDistinct("kafka_offset").alias("n_offsets"),
+    )
+
+
+@register(
+    "q2_topk_changes",
+    oracle=f"""
+WITH {FEED_CTE}
+SELECT original_id, change_type, value,
+       epoch_us(registered_at) AS change_timestamp_us,
+       kafka_offset
+FROM carried
+ORDER BY registered_at DESC, kafka_offset DESC
+LIMIT 10
+""",
+)
+def q2_topk_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 top-k: `ORDER BY change_timestamp DESC LIMIT 10` (README.md:106,
+    test-etl-pipeline.sh:244).  Catalyst compiles this to
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    kafka_offset tiebreak keeps the result set deterministic."""
+    hist = build_history(_feed(spark, sf_dir))
+    return (
+        hist.select(
+            "original_id",
+            "change_type",
+            "value",
+            _us("change_timestamp").alias("change_timestamp_us"),
+            "kafka_offset",
+        )
+        .orderBy(F.col("change_timestamp_us").desc(), F.col("kafka_offset").desc())
+        .limit(10)
+    )
+
+
+@register(
+    "q4_scalar_counts",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT (SELECT count(*) FROM carried) AS history_count,
+       (SELECT count(*) FROM ranked WHERE rn = 1 AND __deleted = 'false')
+         AS current_count
+""",
+)
+def q4_scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 scalar counts of both warehouse tables
+    (test-etl-pipeline.sh:255,259)."""
+    feed = _feed(spark, sf_dir)
+    hist_n = build_history(feed).agg(F.count(F.lit(1)).alias("history_count"))
+    cur_n = build_current(feed).agg(F.count(F.lit(1)).alias("current_count"))
+    return hist_n.crossJoin(cur_n)
+
+
+@register(
+    "q5_filter_equality",
+    oracle=f"""
+WITH {FEED_CTE}
+SELECT original_id, event_type, value, __deleted,
+       epoch_us(registered_at) AS registered_at_us, kafka_offset
+FROM carried
+WHERE original_id = 7
+""",
+)
+def q5_filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 equality-predicate filter (`WHERE user_id = ...`, README.md:96-97,
+    simple_kafka_etl.py:91,108,128).  The predicate pushes down into the
+    parquet scan (PushedFilters in .explain)."""
+    hist = change_feed_from_events(
+        load_table(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    )
+    typed = build_history(hist.filter(F.col("original_id") == 7))
+    # re-derive on the filtered feed: per-key windows are unaffected by
+    # dropping other keys, so filter-before-window is semantics-preserving
+    # AND prunes the shuffle — the plan a 100 TB scan needs.
+    return typed.select(
+        "original_id",
+        "event_type",
+        F.col("value"),
+        F.when(F.col("change_type") == "DELETE", "true").otherwise("false").alias("__deleted"),
+        _us("change_timestamp").alias("registered_at_us"),
+        "kafka_offset",
+    )

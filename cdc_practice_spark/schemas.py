@@ -1,0 +1,60 @@
+"""Explicit StructTypes — the engine's schema system.
+
+The reference transports change events as schema-less JSON (Kafka Connect
+``schemas.enable=false``, mysql-connector-config-clean.json:28-29) and
+relies on fixed DDL at both ends.  Spark-side we make the schema explicit
+everywhere: ``from_json`` with these StructTypes is the schema-on-read
+step that replaces Debezium's ExtractNewRecordState unwrap
+(mysql-connector-config-clean.json:21-22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The reference OLTP source row (bank_accounts, reconstructed — FIXTURES.md A1;
+# evidence: simple_kafka_etl.py:77,115 / test-etl-pipeline.sh:168).
+BANK_ACCOUNT_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("account", StringType()),
+        StructField("registered_at", TimestampType()),
+    ]
+)
+
+# Flattened Debezium after-state message, post-SMT (FIXTURES.md A2).
+# ``__deleted`` is deliberately a STRING ('true'/'false'), not a boolean —
+# preserving the reference's wire format (simple_kafka_etl.py:76,114).
+CHANGE_EVENT_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("account", StringType()),
+        StructField("registered_at", StringType()),
+        StructField("__deleted", StringType()),
+    ]
+)
+
+# Driver fixture `events` table (TESTDATA.md) — plays the Kafka change feed.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# JSON payload carried in events.props — parsed via from_json (S3/S5).
+PROPS_SCHEMA = StructType([StructField("k", IntegerType())])
