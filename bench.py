@@ -1,0 +1,79 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (no driver-side
+collect — measures the distributed plan, not result transfer).  A small
+sf0.001 warmup run first amortizes JVM/codegen startup out of the
+measured numbers, mirroring steady-state cluster behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_practice_spark.queries import registry
+from cdc_practice_spark.session import get_spark
+
+HEADLINE = [
+    "cdc_current_snapshot",
+    "cdc_history",
+    "cdc_user_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "top_customers_by_spend",
+    "window_rank_orders",
+    "event_time_tumbling_agg",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    registry.load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup at the smallest sf: JVM + codegen + parquet footer caches
+    materialize(registry.QUERIES["cdc_current_snapshot"](spark, "/root/testdata/sf0.001"))
+    materialize(registry.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

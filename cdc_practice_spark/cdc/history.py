@@ -93,9 +93,14 @@ def build_history(feed: DataFrame) -> DataFrame:
     (simple_kafka_etl.py:97-99)."""
     typed = with_change_type(feed)
     carried = with_registered_at_carry(typed)
+    # NOTE: user_id is materialized via withColumn, not a second
+    # `original_id.alias(...)` in the select — two references to one
+    # attribute trip an optimizer INTERNAL_ERROR (attribute-not-found)
+    # when count() prunes columns above a union+window plan.
+    carried = carried.withColumn("user_id", F.col("original_id"))
     return carried.select(
         F.col("original_id"),
-        F.col("original_id").alias("user_id"),  # key doubles as the user in the fixture mapping
+        F.col("user_id"),  # key doubles as the user in the fixture mapping
         F.col("value"),
         F.col("event_type"),
         F.col("change_type"),

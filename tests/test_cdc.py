@@ -1,0 +1,141 @@
+"""Unit-level golden tests for the CDC semantics contract (SURVEY.md §2.5).
+
+The reference's only test is an eyeball-verified e2e shell script
+(test-etl-pipeline.sh); these tests encode its scenario — insert, update,
+delete, re-insert, replay — as asserted expectations on a hand-crafted
+change feed.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.cdc import (
+    build_current,
+    build_history,
+    build_user_stats,
+    change_feed_from_events,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    """Key 1: insert→update→delete→re-insert→update.  Key 2: single
+    insert.  Key 3: starts with a delete (partial capture).  Mirrors the
+    reference e2e workload (test-etl-pipeline.sh:166-184) plus the
+    re-insert edge the shell script never covers."""
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (0, ts("2024-01-01T00:00:00"), 1, "signup", 10.0, '{"k": 1}'),
+        (1, ts("2024-01-01T01:00:00"), 1, "purchase", 11.0, '{"k": 2}'),
+        (2, ts("2024-01-01T02:00:00"), 1, "error", 11.0, '{"k": 3}'),
+        (3, ts("2024-01-01T03:00:00"), 1, "click", 12.0, '{"k": 4}'),
+        (4, ts("2024-01-01T04:00:00"), 1, "view", 13.0, '{"k": 5}'),
+        (5, ts("2024-01-01T00:30:00"), 2, "signup", 20.0, '{"k": 6}'),
+        (6, ts("2024-01-01T00:45:00"), 3, "error", 30.0, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    return change_feed_from_events(df)
+
+
+def test_change_types(feed):
+    hist = build_history(feed)
+    got = {
+        (r.kafka_offset): r.change_type
+        for r in hist.select("kafka_offset", "change_type").collect()
+    }
+    assert got == {
+        0: "INSERT",   # first event for key 1
+        1: "UPDATE",
+        2: "DELETE",   # event_type 'error' → __deleted='true'
+        3: "INSERT",   # re-insert after delete
+        4: "UPDATE",
+        5: "INSERT",   # first event for key 2
+        6: "DELETE",   # delete-first key: still a DELETE row in history
+    }
+
+
+def test_registered_at_carry_forward(feed):
+    """original_registered_at = ts of the key's most recent INSERT
+    (immutable across UPDATEs, reset on re-insert —
+    simple_kafka_etl.py:133-138,173)."""
+    hist = build_history(feed)
+    got = {r.kafka_offset: r.original_registered_at for r in hist.collect()}
+    assert got[0] == ts("2024-01-01T00:00:00")
+    assert got[1] == ts("2024-01-01T00:00:00")  # UPDATE preserves
+    assert got[2] == ts("2024-01-01T00:00:00")  # DELETE history row keeps last known
+    assert got[3] == ts("2024-01-01T03:00:00")  # re-insert resets
+    assert got[4] == ts("2024-01-01T03:00:00")
+    assert got[6] is None  # delete with no prior insert → unknown
+
+
+def test_current_snapshot(feed):
+    cur = build_current(feed)
+    rows = {r.original_id: r for r in cur.collect()}
+    # key 1 live with the re-inserted lineage; key 2 live; key 3 deleted
+    assert set(rows) == {1, 2}
+    assert rows[1].value == 13.0
+    assert rows[1].original_registered_at == ts("2024-01-01T03:00:00")
+    assert rows[1].last_updated_at == ts("2024-01-01T04:00:00")
+    assert rows[2].value == 20.0
+
+
+def test_replay_idempotency(feed, spark):
+    """Replaying the feed (union with itself) must be a no-op after the
+    coordinate dedup (P3 — simple_kafka_etl.py:81-88,119-126)."""
+    hist_once = build_history(feed)
+    replayed = feed.unionAll(feed).dropDuplicates(
+        ["kafka_topic", "kafka_partition", "kafka_offset"]
+    )
+    hist_twice = build_history(replayed)
+    # collect-and-compare instead of exceptAll: the two frames share
+    # lineage (replayed = feed ∪ feed), and exceptAll over self-referent
+    # window plans hits a Spark attribute-resolution bug
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    once = sorted(map(tuple, hist_once.collect()))
+    twice = sorted(map(tuple, hist_twice.collect()))
+    assert once == twice
+
+
+def test_user_stats(feed):
+    stats = {r.user_id: r for r in build_user_stats(build_history(feed)).collect()}
+    assert stats[1].n_changes == 5
+    assert stats[1].n_inserts == 2
+    assert stats[1].n_updates == 2
+    assert stats[1].n_deletes == 1
+    assert stats[2].n_changes == 1
+    assert stats[3].n_deletes == 1
+
+
+def test_deleted_is_string(feed):
+    """__deleted must stay a STRING 'true'/'false' — reference wire
+    format (simple_kafka_etl.py:76,114), not boolean."""
+    field = dict((f.name, f.dataType.simpleString()) for f in feed.schema.fields)
+    assert field["__deleted"] == "string"
+
+
+def test_tombstone_filter(spark):
+    """Null payloads (Kafka tombstones) are dropped (P1 —
+    simple_kafka_etl.py:68-70)."""
+    from cdc_practice_spark.cdc.feed import change_feed
+
+    rows = [
+        Row(kafka_topic="t", kafka_partition=0, kafka_offset=0, op_payload=Row(id=1)),
+        Row(kafka_topic="t", kafka_partition=0, kafka_offset=1, op_payload=None),
+        Row(kafka_topic="t", kafka_partition=0, kafka_offset=2, op_payload=Row(id=1)),
+        Row(kafka_topic="t", kafka_partition=0, kafka_offset=2, op_payload=Row(id=1)),
+    ]
+    df = spark.createDataFrame(rows)
+    out = change_feed(df)
+    # tombstone (offset 1) dropped; redelivered offset 2 deduped → 0 and 2
+    assert sorted(r.kafka_offset for r in out.collect()) == [0, 2]
