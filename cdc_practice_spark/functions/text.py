@@ -1,0 +1,136 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure built-in ``pyspark.sql.functions`` compositions — JVM-side,
+whole-stage-codegen'd, no Python UDFs in the hot path.  Each helper
+returns a Column so callers compose them into a single projection pass
+over the corpus (one scan, no shuffles).
+
+Design constraint: every function here must be replicable in ANSI SQL
+(DuckDB) for the oracle harness, so hashes are md5-derived (md5 is
+bit-identical across engines) and arithmetic stays in int64/double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish word/punctuation tokenizer regex: runs of alphanumerics OR a
+# single non-space symbol.  Mirrors the common pre-tokenization split used
+# by BPE vocabularies.
+BPE_TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+# Small deterministic stopword list (quality scoring + language ID).
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+# Marker tokens per language for the n-gram/marker language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via the pre-tokenization regex (proxy for LLM
+    token budgeting at corpus scale)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    )
+    return F.round(hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    stripped = F.regexp_replace(text, "\\s", "")
+    nonpunct = F.regexp_replace(stripped, "[^A-Za-z0-9]", "")
+    n = F.length(stripped)
+    return F.round(
+        (n - F.length(nonpunct)).cast("double") / F.greatest(n, F.lit(1)), 6
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.round(total.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs and
+    stopword presence, penalizes punctuation soup.  The exact formula is
+    arbitrary but FIXED — it is part of the engine contract and the
+    DuckDB oracle replicates it digit for digit."""
+    length_term = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token language ID: count marker hits per language, take the
+    argmax (ties broken by the fixed language order), 'und' when no
+    marker fires.  A deliberately simple, deterministic heuristic — the
+    scale property that matters is that it's one codegen'd projection."""
+    toks = tokens(text)
+    scored = None
+    best_lang = None
+
+    def marker_filter(markers):
+        # closure factory, NOT a default-arg lambda: PySpark's lambda
+        # introspection would treat a defaulted param as a second lambda
+        # argument and pass it a Column.
+        return lambda t: t.isin(*markers)
+
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, marker_filter(markers)))
+        if scored is None:
+            scored, best_lang = hits, F.lit(lang)
+        else:
+            better = hits > scored
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            scored = F.when(better, hits).otherwise(scored)
+    return F.when(scored > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint_sorted_tokens(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set.  Catches shuffled/reordered duplicates that a
+    raw-text hash misses."""
+    toks = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.array_join(toks, " "))
+
+
+def fingerprint_rolling(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the token sequence (order-sensitive):
+    acc = (acc*31 + h(token)) mod 1e9+7, with h(token) an md5-derived
+    int.  Stays within int64 (no ANSI overflow) and is bit-identical in
+    the SQL oracle."""
+    tok_hash = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % mod
+    )
+    return F.aggregate(
+        F.transform(tokens(text), tok_hash),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * base + h) % mod,
+    )

@@ -1,0 +1,39 @@
+"""Vector math column functions (embedding similarity).
+
+Built-in higher-order functions (``zip_with``/``aggregate``) keep the dot
+product JVM-side with a DETERMINISTIC left-to-right summation order —
+required for bit-stable results vs the oracle (a parallel/tree reduction
+would reassociate floating-point adds).  Cast to double first: float32
+accumulation would both lose precision and diverge between engines.
+
+For wide batch scoring there is also a Pandas-UDF path (Arrow-vectorized
+numpy matmul) in operators/similarity.py — ~10-100× the throughput of
+row-at-a-time Python, used when the query scores against a broadcast
+matrix of query vectors rather than one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns."""
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, in increasing fuzziness:
+  1. exact           — hash-groupBy on a canonical fingerprint
+  2. MinHash + LSH   — shingle → minhash signature → band → bucket join,
+                       then true-Jaccard verification on candidates only
+  3. SimHash         — 16-bit sign-hash, near-dups via pigeonhole band join
+  4. n-gram Jaccard  — exact pairwise similarity (verification tier /
+                       small blocked subsets only)
+
+Scale design (the whole point):
+  - Pairwise similarity over N docs is O(N²) — never run it raw at 100 TB.
+    MinHash-LSH reduces it to O(N·bands) + per-bucket joins; SimHash to
+    O(N) + equality joins on bands.  The exact-Jaccard verify runs ONLY
+    on LSH candidates (tiny).
+  - All hashes are md5-derived and all arithmetic is int64 mod 1e9+7, so
+    every stage is (a) safe under Spark 4's ANSI overflow checking and
+    (b) bit-identical in the DuckDB oracle.
+  - Everything is built-in JVM expressions (split/transform/aggregate/
+    explode/groupBy) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_K = 3  # 3-word shingles
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    """Deterministic MinHash permutation params (a, b) for permutation i.
+    Fixed linear recurrences (Knuth multiplicative constants) — no RNG,
+    so the DuckDB oracle embeds the identical constants."""
+    a = (2654435761 * (i + 1) + 1) % MOD
+    b = (40503 * (i + 7) + 12345) % MOD
+    return a, b
+
+
+def token_hash(col: Column) -> Column:
+    """Shared engine/oracle string→int64 hash: first 15 hex digits of md5
+    (60 bits, always < 2^60) reduced mod 1e9+7 so products with
+    permutation multipliers stay < 1e18 (int64-safe)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % MOD
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles of lowercased whitespace-tokenized text.
+    Documents shorter than k tokens contribute their full token string as
+    a single shingle (so they still participate)."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        # try_element_at: out-of-bounds (docs shorter than k tokens) gives
+        # NULL, which concat_ws skips — same as the oracle's toks[i] —
+        # instead of an ANSI INVALID_ARRAY_INDEX error.
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(kgrams)
+
+
+def minhash_signature(shingle_hashes: Column) -> list[Column]:
+    """NUM_PERM minhash values: min over shingles of (a_i*h + b_i) mod P."""
+    def perm(a, b):
+        # closure factory (default-arg lambdas break PySpark lambda
+        # introspection — defaults get passed Columns)
+        return lambda h: (h * a + b) % MOD
+
+    sig = []
+    for i in range(NUM_PERM):
+        a, b = _perm_params(i)
+        sig.append(
+            F.array_min(F.transform(shingle_hashes, perm(a, b))).alias(f"mh{i}")
+        )
+    return sig
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard verify.
+
+    Pipeline: shingle → hash → 16-perm signature → 4 bands of 4 →
+    explode to (band_idx, band_key) → self-join per bucket (doc_a <
+    doc_b) → distinct candidates → verify true shingle-Jaccard ≥
+    threshold.  The self-join shuffles on the band key whose cardinality
+    grows with N, keeping buckets small; the O(N²) explosion never
+    happens.  Returns (doc_a, doc_b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")
+    ).withColumn("hs", F.transform("sh", token_hash))
+
+    sig = sh.select("doc_id", "sh", *minhash_signature(F.col("hs")))
+
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "sh", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        "band_idx",
+        "band_key",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        "band_idx",
+        "band_key",
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens: bit j of the result is 1
+    iff Σ_tokens (±1 by bit j of md5-hash) > 0.  One projection pass —
+    no explode/groupBy — so it runs at scan speed."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    hashes = F.transform(toks, token_hash)
+    def bit_sum(j):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(16):
+        contrib = F.aggregate(hashes, F.lit(0), bit_sum(j))
+        bits.append(F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: with 2 bands of 8 bits, any pair at distance ≤ 2
+    could still differ in both halves, so for distance ≤ max_hamming
+    candidates we self-join on EITHER half matching (union of two
+    equality joins) — equality joins scale; no O(N²).  For ≤1 this is
+    exact; for =2 it misses only pairs with one flipped bit in each half
+    (documented recall tradeoff, standard for SimHash sharding)."""
+    s = docs.select(
+        F.col(id_col).alias("doc_id"), simhash16(F.col(text_col)).alias("simhash")
+    )
+    lo = (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("band")
+    hi = (F.shiftright(F.col("simhash"), 8)).alias("band")
+    cands = None
+    for band in (lo, hi):
+        b = s.select("doc_id", "simhash", band)
+        l = b.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band"
+        )
+        r = b.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band"
+        )
+        c = l.join(r, "band").filter(F.col("doc_a") < F.col("doc_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b")).cast("bigint")
+    )
+    return (
+        cands.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def exact_dedup_clusters(
+    docs: DataFrame, id_col: str = "doc_id", fingerprint: Column | None = None
+) -> DataFrame:
+    """Exact dedup: group by fingerprint, keep the min-id representative.
+    Plain hash aggregation — map-side combine, one shuffle on the
+    fingerprint, linear at any scale."""
+    from cdc_practice_spark.functions.text import fingerprint_sorted_tokens
+
+    fp = fingerprint if fingerprint is not None else fingerprint_sorted_tokens(F.col("text"))
+    return (
+        docs.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("representative_id"),
+        )
+    )

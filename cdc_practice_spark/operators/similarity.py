@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+  1. brute-force cosine top-k — the exact baseline.  Scales linearly:
+     the query vector broadcasts, scoring is one codegen'd projection,
+     top-k is TakeOrderedAndProject (per-partition heaps, no global sort).
+  2. IVF (inverted-file) — the 100 TB path: partition vectors into
+     coarse cells (here: the precomputed ``label`` clustering, i.e. the
+     output of a k-means run, which is how IVF lists are built), keep a
+     centroid table (tiny, broadcast), probe only the nprobe nearest
+     cells.  Search cost drops from O(N) to O(N · nprobe / ncells).
+
+A Pandas-UDF batch scorer (Arrow → numpy matmul) covers the
+many-queries×many-vectors case where per-row JVM expressions would
+re-walk the query matrix per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.functions.vectors import cosine, to_double
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.  The query vector is
+    a literal array (broadcast into codegen); result is (vec_id, cosine)
+    with deterministic id tiebreak."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(to_double(F.col(vec_col)), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF approximate top-k: rank cells by centroid cosine, scan only
+    the nprobe best cells.  Centroids are a groupBy over the (assumed
+    precomputed) cell assignment — at index-build time this is k-means;
+    here the fixture's ``label`` column IS the cell id.
+
+    The centroid table is tiny (ncells rows) and evaluated driver-side
+    into a literal IN-list, so the cell filter pushes into the parquet
+    scan (partition pruning when the table is partitioned by cell —
+    exactly how you'd lay out 100 TB of embeddings)."""
+    dvec = to_double(F.col(vec_col))
+    dim = len(query_vec)
+    centroids = (
+        embeddings.select(F.col(cell_col).alias("cell"), dvec.alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.array(
+                *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+            ).alias("centroid"),
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    best_cells = [
+        r.cell
+        for r in centroids.select(
+            "cell", cosine(F.col("centroid"), q).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    probed = embeddings.filter(F.col(cell_col).isin(best_cells))
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col)
+
+
+def topk_similar_pairs(
+    embeddings: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    block: bool = True,
+) -> DataFrame:
+    """Top-k most-similar pairs.  With block=True, pairs are only scored
+    within the same IVF cell (the standard blocked near-dup pattern —
+    linear-ish instead of O(N²); recall limited to intra-cell pairs,
+    which is what embedding-cosine near-dup detection wants since true
+    dups land in the same cell)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        to_double(F.col(vec_col)).alias("va"),
+        F.col(cell_col).alias("cell"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        to_double(F.col(vec_col)).alias("vb"),
+        F.col(cell_col).alias("cell"),
+    )
+    joined = (
+        a.join(b, "cell") if block else a.crossJoin(b.drop("cell"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(k)
+    )
+
+
+def pandas_batch_scorer(query_matrix):
+    """Arrow-vectorized batch scorer: returns a mapInPandas function that
+    appends, per input row batch, the max cosine against ``query_matrix``
+    (numpy [nq, dim]) and the argmax query index.  This is the fast path
+    when scoring against MANY query vectors at once — numpy does one
+    matmul per Arrow batch instead of nq aggregates per row."""
+    import numpy as np
+
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            M = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ qn.T  # [batch, nq]
+            out = pdf[["vec_id"]].copy()
+            out["best_query"] = S.argmax(axis=1).astype("int32")
+            out["best_cosine"] = S.max(axis=1)
+            yield out
+
+    return score
+
+
+def batch_topk_mapinpandas(
+    embeddings: DataFrame, query_matrix
+) -> DataFrame:
+    """mapInPandas wrapper around pandas_batch_scorer (schema:
+    vec_id long, best_query int, best_cosine double)."""
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        pandas_batch_scorer(query_matrix),
+        schema="vec_id long, best_query int, best_cosine double",
+    )

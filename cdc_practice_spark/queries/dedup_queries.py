@@ -1,1 +1,218 @@
-"""Filled in by a later milestone."""
+"""Deduplication queries over ``documents`` — exact, MinHash-LSH,
+SimHash, and n-gram Jaccard — each with a digit-exact DuckDB oracle
+(shared md5-derived hashes, identical permutation constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators import dedup as D
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+_HASH = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT) % 1000000007"
+
+# Oracle fragment: doc_id + distinct 3-word shingles + their hashes.
+_SHINGLES_CTE = f"""
+tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM tk
+),
+hs AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {_HASH.format(x='s')}) AS hs
+  FROM sh
+)
+"""
+
+
+def _minhash_cols_sql() -> str:
+    cols = []
+    for i in range(D.NUM_PERM):
+        a, b = D._perm_params(i)
+        cols.append(
+            f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {D.MOD}),"
+            f" 'min') AS mh{i}"
+        )
+    return ",\n         ".join(cols)
+
+
+def _band_list_sql() -> str:
+    bands = []
+    for b in range(D.BANDS):
+        ms = ", ".join(f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND))
+        bands.append(f"concat_ws('-', {ms})")
+    return "[" + ", ".join(bands) + "]"
+
+
+@register(
+    "dedup_exact_clusters",
+    oracle="""
+SELECT md5(array_to_string(list_sort(list_distinct(
+         string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS representative_id
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the sorted-token fingerprint.
+    One map-side-combinable shuffle; linear at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_clusters(docs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, sh,
+         {{minhash_cols}}
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, sh,
+         unnest({{band_list}}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx
+  FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+               6) AS jaccard
+  FROM cands
+  JOIN sh sa ON sa.doc_id = cands.doc_a
+  JOIN sh sb ON sb.doc_id = cands.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
+""".format(
+        minhash_cols="__MINHASH__", band_list="__BANDS__"
+    )
+    .replace("__MINHASH__", _minhash_cols_sql())
+    .replace("__BANDS__", _band_list_sql()),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle → 16-perm signature → 4
+    bands → bucket join → exact-Jaccard verify ≥ 0.8).  The scale path:
+    candidate generation is equality joins on band keys, never O(N²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.8)
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1"
+    f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+toks_h AS (
+  SELECT t.doc_id,
+         list_transform(t.toks, s -> {_HASH.format(x='s')}) AS hs
+  FROM tk t
+)
+SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS INTEGER) AS simhash
+FROM toks_h
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash — one codegen'd projection pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash16(F.col("text")).cast("int").alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+toks_h AS (
+  SELECT t.doc_id,
+         list_transform(t.toks, s -> {_HASH.format(x='s')}) AS hs
+  FROM tk t
+),
+sims AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+  FROM toks_h
+),
+b AS (
+  SELECT doc_id, simhash, simhash & 255 AS lo, simhash >> 8 AS hi FROM sims
+),
+cands AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.simhash AS sim_a, b2.simhash AS sim_b
+  FROM b a JOIN b b2 ON a.lo = b2.lo AND a.doc_id < b2.doc_id
+  UNION
+  SELECT a.doc_id, b2.doc_id, a.simhash, b2.simhash
+  FROM b a JOIN b b2 ON a.hi = b2.hi AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= 2
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 2) via pigeonhole half-band
+    equality joins — no O(N²) pair explosion."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=2).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_topk",
+    oracle=f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 100 AND b.doc_id < 100
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+""",
+)
+def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard — the verification tier.  Explicitly
+    BLOCKED to a bounded id range: pairwise similarity is O(N²) and must
+    never run unblocked at scale (that's what minhash_lsh is for)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = docs.select(F.col("doc_id"), D.shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -1,1 +1,101 @@
-"""Filled in by a later milestone."""
+"""Similarity-search queries over ``embeddings`` (array<float> column).
+
+ann_cosine_topk / embedding_topk_pairs have digit-exact DuckDB oracles
+(double math, deterministic summation, round-6 before compare).
+ann_ivf_topk and ann_batch_scorer are rows-only checked by the driver
+(IVF centroid averaging is float-order-sensitive; the mapInPandas scorer
+returns numpy doubles) — their consistency with the exact baseline is
+asserted in tests/test_similarity.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators import similarity as S
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+_COS_SQL = """
+round(
+  CAST(list_sum(list_transform(generate_series(1, 64),
+       i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) AS DOUBLE)
+  / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)) AS DOUBLE))
+     * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)) AS DOUBLE))), 6)
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The query vector: embedding of vec_id=0 (one-row driver-side
+    lookup — the pattern a real ANN service uses for the probe vector)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return list(row.embedding)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       {_COS_SQL.format(a='embedding', b='qv')} AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 vs vec_id 0.  Linear scan, one
+    codegen'd projection, TakeOrderedAndProject top-k — the baseline
+    every ANN variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register("ann_ivf_topk")  # rows-only: centroid float averaging is order-sensitive
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (probe the 3 best cells by centroid
+    cosine).  The 100 TB path — see operators/similarity.py:ivf_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=3)
+
+
+@register(
+    "embedding_topk_pairs",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, id_a, id_b
+LIMIT 20
+""",
+)
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: top-20 most-similar pairs,
+    BLOCKED within IVF cells (label) — the linear-ish blocked pattern,
+    never the raw O(N²) cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_similar_pairs(emb, k=20, block=True)
+
+
+@register("ann_batch_scorer")  # rows-only: numpy matmul result, no SQL twin
+def ann_batch_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized mapInPandas batch scorer: every vector scored
+    against a 4-vector query matrix in one numpy matmul per batch —
+    the many-query fast path (~10-100× row-at-a-time Python)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qm = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return S.batch_topk_mapinpandas(emb, qm).withColumn(
+        "best_cosine", F.round("best_cosine", 6)
+    )

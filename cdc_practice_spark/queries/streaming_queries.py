@@ -1,1 +1,1 @@
-"""Filled in by a later milestone."""
+"""Filled in by the streaming milestone."""

@@ -1,1 +1,145 @@
-"""Filled in by a later milestone."""
+"""Text-analysis queries over the ``documents`` corpus — language ID,
+quality scoring, token counting, fingerprinting (the training-data
+pipeline surface).  Every query is one projection pass over the corpus:
+no shuffles, no UDFs — scan-speed at any scale.
+
+The DuckDB oracles replicate each formula digit-for-digit (shared
+md5-derived hashing, identical regexes, identical fold order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.functions import text as T
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
+# shared oracle fragment: whitespace tokens of lowercased text
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       n_chars,
+       length(text) AS n_chars_actual,
+       len({_TOKS}) AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+             / greatest(len({_TOKS}), 1), 6) AS mean_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (LLM token budgeting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.length(c).alias("n_chars_actual"),
+        T.token_count_ws(c).alias("n_tokens_ws"),
+        T.token_count_bpe(c).alias("n_tokens_bpe"),
+        T.mean_token_len(c).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(CAST(len(list_filter({_TOKS}, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+               / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+         round(CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                    - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                                            '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1), 6) AS punct_ratio,
+         least(length(text) / 500.0, 1.0) AS length_term
+  FROM documents
+)
+SELECT doc_id, stopword_ratio, punct_ratio,
+       round((length_term + least(stopword_ratio * 4, 1.0)
+              + 1.0 - least(punct_ratio * 4, 1.0)) / 3, 6) AS quality_score
+FROM scored
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword ratios folded
+    into a fixed composite heuristic (functions/text.py:quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.stopword_ratio(c).alias("stopword_ratio"),
+        T.punct_ratio(c).alias("punct_ratio"),
+        T.quality_score(c).alias("quality_score"),
+    )
+
+
+def _lang_oracle() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter({_TOKS}, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + f"], t))) AS h_{lang}"
+        for lang, markers in T.LANG_MARKERS.items()
+    )
+    langs = list(T.LANG_MARKERS)
+    # argmax with earliest-language tiebreak — replicates the Spark fold
+    conds = []
+    for i, lang in enumerate(langs):
+        later = [f"h_{lang} >= h_{l2}" for l2 in langs[i + 1 :]]
+        cond = " AND ".join(later) if later else "TRUE"
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    case = "\n            ".join(conds)
+    return f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {hits}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+            {case}
+       END AS lang_pred
+FROM hits
+"""
+
+
+@register("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID vs the table's claimed lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp_sorted,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_TOKS},
+             t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+         (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_rolling
+FROM documents
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive sorted-token md5 +
+    order-sensitive polynomial rolling hash (functions/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_sorted_tokens(c).alias("fp_sorted"),
+        T.fingerprint_rolling(c).alias("fp_rolling"),
+    )

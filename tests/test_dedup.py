@@ -1,0 +1,76 @@
+"""Dedup operator semantics on hand-crafted corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "dog lazy the over jumps fox brown quick the"),  # shuffled 1
+        (5, "completely different text about spark engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_catches_shuffled(docs):
+    clusters = D.exact_dedup_clusters(docs).collect()
+    by_rep = {r.representative_id: r.n_docs for r in clusters}
+    # 1, 2 and 4 share a token set → one cluster of 3
+    assert by_rep[1] == 3
+    assert by_rep[3] == 1
+    assert by_rep[5] == 1
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingles
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(5 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_jaccard_exact_value(docs):
+    # doc1 vs doc3: 7 shingles each, 6 shared (only the final
+    # 'the lazy dog/cat' shingle differs) → J = 6/8
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 3)] == 0.75
+
+
+def test_simhash_identical_docs_equal(docs):
+    s = {
+        r.doc_id: r.simhash
+        for r in docs.select(
+            "doc_id", D.simhash16(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    assert s[1] == s[2]
+    assert 0 <= s[1] < (1 << 16)
+
+
+def test_simhash_pairs_hamming(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_shingles_shorter_than_k(spark):
+    """Docs with < k tokens fall back to one whole-text shingle instead
+    of erroring (ANSI out-of-bounds)."""
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    sh = df.select(D.shingles(F.col("text")).alias("sh")).head().sh
+    assert sh == ["only two"]

@@ -1,0 +1,64 @@
+"""Similarity-search operator semantics + IVF/batch consistency with the
+exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators import similarity as S
+from cdc_practice_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).head().embedding)
+
+
+def test_brute_force_self_is_top1(emb, qvec):
+    top = S.brute_force_topk(emb, qvec, k=5).collect()
+    assert top[0].vec_id == 0
+    assert top[0].cosine == 1.0
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
+
+
+def test_ivf_matches_brute_force_top1(emb, qvec):
+    """With nprobe covering the query's own cell, IVF recalls the exact
+    top result (and usually most of the top-k)."""
+    exact = [r.vec_id for r in S.brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [r.vec_id for r in S.ivf_topk(emb, qvec, k=10, nprobe=3).collect()]
+    assert approx[0] == exact[0] == 0
+    # IVF scans a subset, so it returns a subset-ranking: every id it
+    # returns must appear in the exact full ranking order-consistently
+    assert set(approx) <= set(
+        r.vec_id for r in S.brute_force_topk(emb, qvec, k=500).collect()
+    )
+
+
+def test_blocked_pairs_symmetric_and_bounded(emb):
+    pairs = S.topk_similar_pairs(emb, k=10).collect()
+    assert len(pairs) == 10
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_batch_scorer_matches_exact(emb, spark):
+    """mapInPandas numpy scorer agrees with the JVM-expression cosine to
+    float tolerance."""
+    qm = [list(r.embedding) for r in emb.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()]
+    batch = {r.vec_id: r for r in S.batch_topk_mapinpandas(emb, qm).collect()}
+    # vec 0 and 1 must best-match themselves with cosine 1
+    assert batch[0].best_query == 0 and abs(batch[0].best_cosine - 1.0) < 1e-9
+    assert batch[1].best_query == 1 and abs(batch[1].best_cosine - 1.0) < 1e-9
+    exact0 = {
+        r.vec_id: r.cosine for r in S.brute_force_topk(emb, qm[0], k=500).collect()
+    }
+    for vid, r in list(batch.items())[:50]:
+        if r.best_query == 0:
+            assert abs(exact0[vid] - r.best_cosine) < 1e-5

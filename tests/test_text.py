@@ -1,0 +1,53 @@
+"""Text-analysis function semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.functions import text as T
+
+
+def one(spark, text, col):
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(col(F.col("text")).alias("v"))
+        .head()
+        .v
+    )
+
+
+def test_token_counts(spark):
+    assert one(spark, "  The quick  brown fox ", T.token_count_ws) == 4
+    # BPE-ish: words + punctuation symbols count separately
+    assert one(spark, "don't stop, now!", T.token_count_bpe) == 7
+
+
+def test_stopword_and_punct_ratio(spark):
+    assert one(spark, "the cat and the dog", T.stopword_ratio) == 0.6
+    assert one(spark, "ab..", T.punct_ratio) == 0.5
+    assert one(spark, "clean text", T.punct_ratio) == 0.0
+
+
+def test_lang_id(spark):
+    assert one(spark, "the cat sat on a mat", T.lang_id) == "en"
+    assert one(spark, "der hund und die katze ist", T.lang_id) == "de"
+    assert one(spark, "xyzzy plugh", T.lang_id) == "und"
+    # tie between en and de marker hits → earliest language in fold order
+    assert one(spark, "the der", T.lang_id) == "en"
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = one(spark, "alpha beta gamma", T.fingerprint_sorted_tokens)
+    b = one(spark, "gamma alpha beta", T.fingerprint_sorted_tokens)
+    assert a == b
+    ra = one(spark, "alpha beta gamma", T.fingerprint_rolling)
+    rb = one(spark, "gamma alpha beta", T.fingerprint_rolling)
+    assert ra != rb  # rolling hash is order-sensitive
+    assert 0 <= ra < 1_000_000_007
+
+
+def test_quality_score_bounds(spark):
+    for text in ("", "x", "the " * 200, "!!!! ???? ....", "a decent sentence"):
+        v = one(spark, text, T.quality_score)
+        assert 0.0 <= v <= 1.0
