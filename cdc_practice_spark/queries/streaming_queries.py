@@ -1,1 +1,102 @@
-"""Filled in by the streaming milestone."""
+"""Streaming queries — the reference's actual runtime mode (Kafka →
+consumer → warehouse), exercised through Structured Streaming with an
+availableNow file source standing in for the topic.
+
+``streaming_replay_current`` replays the events fixture through the
+foreachBatch MERGE upsert in N micro-batches and must land on EXACTLY
+the state the batch window pipeline computes — checked against the same
+DuckDB oracle as ``cdc_current_snapshot``.  This is the batch/stream
+unification proof.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.queries.cdc_queries import cdc_current_snapshot
+from cdc_practice_spark.queries.registry import ORACLES, register
+from cdc_practice_spark.session import load_table
+from cdc_practice_spark.streaming.pipeline import (
+    load_current_state,
+    read_events_stream,
+    stream_current_upsert,
+)
+
+TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".tmp")
+
+
+def split_events_into_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Split the events fixture into n single-file parquet chunks by
+    event_id range, written in replay order (monotone mtimes so the file
+    source's batch order matches offset order)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep ts as raw nanos
+    n = raw.count()
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = raw.filter(
+            (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+        ).coalesce(1)
+        part_dir = os.path.join(out_dir, f"_part{i}")
+        chunk.write.mode("overwrite").parquet(part_dir)
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(part_dir, src), os.path.join(out_dir, f"chunk-{i:03d}.parquet")
+        )
+        shutil.rmtree(part_dir)
+        time.sleep(0.05)  # distinct mtimes → deterministic batch order
+
+
+def replay_current_via_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Run the full streaming replay and return the final snapshot state."""
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="stream_replay_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files)
+
+    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    q = stream_current_upsert(
+        spark,
+        stream,
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return load_current_state(spark, os.path.join(work, "state"))
+
+
+@register("streaming_replay_current", oracle=None)
+def streaming_replay_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot via incremental streaming MERGE (4 micro-batches).
+    Oracle: identical to cdc_current_snapshot (registered below once the
+    registry is loaded)."""
+    state = replay_current_via_stream(spark, sf_dir, n_files=4)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "event_type",
+        "props_k",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+# the streaming replay must land on the exact batch-snapshot state →
+# same oracle as cdc_current_snapshot
+ORACLES["streaming_replay_current"] = ORACLES["cdc_current_snapshot"]

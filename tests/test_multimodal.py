@@ -1,0 +1,74 @@
+"""Multimodal plumbing: schemas, Arrow batching, determinism, stub
+gating.  The codec kernels are deterministic fakes (no media libs in the
+container) — these tests pin the DISTRIBUTED contract: schema stability,
+per-batch shapes, payload-derived determinism, column pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators import multimodal as M
+from cdc_practice_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def assets(spark, sf_dir):
+    return M.synth_assets(load_table(spark, sf_dir, "documents")).cache()
+
+
+def test_asset_schema(assets):
+    assert {f.name for f in assets.schema.fields} == {
+        f.name for f in M.ASSET_SCHEMA.fields
+    }
+    mods = {r.modality for r in assets.select("modality").distinct().collect()}
+    assert mods == {"image", "audio", "video"}
+
+
+def test_decode_deterministic(assets):
+    d1 = {r.asset_id: r.content_sha256 for r in M.decode_assets(assets).collect()}
+    d2 = {r.asset_id: r.content_sha256 for r in M.decode_assets(assets).collect()}
+    assert d1 == d2
+    assert len(d1) == assets.count()
+
+
+def test_decode_strict_raises(assets):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        M.decode_assets(assets, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value)
+
+
+def test_features_shape_and_determinism(assets):
+    f1 = {r.asset_id: r.feature for r in M.extract_features(assets).collect()}
+    assert all(len(v) == M.FEATURE_DIM for v in f1.values())
+    f2 = {r.asset_id: r.feature for r in M.extract_features(assets).collect()}
+    assert f1 == f2  # same payload bytes → same features, any partitioning
+
+
+def test_resize_plan_bounds(assets):
+    plan = M.resize_plan(assets, max_side=256)
+    rows = plan.collect()
+    assert rows  # images + videos present
+    import math
+
+    for r in rows:
+        assert max(r.target_width, r.target_height) <= 256
+        assert r.target_width >= 1 and r.target_height >= 1
+        scale = min(1.0, 256 / max(r.width, r.height))
+        assert r.target_width == math.ceil(r.width * scale)
+        assert r.target_height == math.ceil(r.height * scale)
+
+
+def test_frame_sampling(assets):
+    frames = M.sample_frames(assets, every_n=30)
+    per_asset = (
+        frames.groupBy("asset_id")
+        .agg(F.count("*").alias("n"), F.max("n_frames").alias("nf"))
+        .collect()
+    )
+    assert per_asset
+    for r in per_asset:
+        assert r.n == (max(r.nf - 1, 0)) // 30 + 1  # sequence(0, nf-1, 30)

@@ -1,0 +1,131 @@
+"""Structured Streaming shells: batch/stream equivalence, append+dedup
+history sink, Debezium parse round-trip."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.cdc import build_current, change_feed_from_events
+from cdc_practice_spark.queries.streaming_queries import (
+    TMP_ROOT,
+    replay_current_via_stream,
+    split_events_into_files,
+)
+from cdc_practice_spark.session import load_table
+from cdc_practice_spark.sources.kafka import (
+    kafka_source_options,
+    parse_debezium,
+    to_debezium_json,
+)
+from cdc_practice_spark.streaming.pipeline import (
+    read_events_stream,
+    stream_history_append,
+)
+
+
+def test_stream_upsert_equals_batch_snapshot(spark, sf_dir):
+    """The headline unification property: N micro-batch MERGE == one
+    batch window pipeline."""
+    streamed = replay_current_via_stream(spark, sf_dir, n_files=3)
+    batch = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    s = {
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in streamed.collect()
+    }
+    b = {
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_stream_history_append_dedup(spark, sf_dir):
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="hist_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=2)
+    q = stream_history_append(
+        read_events_stream(spark, src),
+        out_dir=os.path.join(work, "hist"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    hist = spark.read.parquet(os.path.join(work, "hist"))
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert hist.count() == n_events
+    assert hist.select("kafka_offset").distinct().count() == n_events
+
+
+def test_stream_windowed_stats_equals_batch(spark, sf_dir):
+    """Streaming event-time tumbling agg (complete mode, memory sink)
+    equals the batch F.window aggregate — same transform, two runtimes."""
+    from cdc_practice_spark.queries.analytics import event_time_tumbling_agg
+    from cdc_practice_spark.streaming.pipeline import stream_windowed_stats
+
+    work = tempfile.mkdtemp(prefix="wstats_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=2)
+    q = (
+        stream_windowed_stats(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("wstats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("wstats").collect()
+    }
+    batch = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in event_time_tumbling_agg(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_kafka_source_options_mirror_reference():
+    opts = kafka_source_options("broker:9092")
+    assert opts["subscribe"] == "dbserver1.bankdb.bank_accounts"
+    assert opts["startingOffsets"] == "earliest"  # simple_kafka_etl.py:52
+
+
+def test_debezium_parse_roundtrip(spark):
+    """feed → wire JSON → parse → feed preserves id/__deleted semantics
+    including the string 'true'/'false' flag and tombstone skipping."""
+    feed = change_feed_from_events(
+        spark.createDataFrame(
+            [
+                (0, None, 1, "signup", 10.0, "{}"),
+                (1, None, 1, "error", 10.0, "{}"),
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string",
+        )
+    )
+    wire = to_debezium_json(feed)
+    kafka_like = wire.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    # add a tombstone record (null value)
+    tomb = spark.createDataFrame(
+        [("dbserver1.bankdb.bank_accounts", 0, 999, None)],
+        "topic string, partition int, offset long, value binary",
+    )
+    parsed = parse_debezium(kafka_like.unionByName(tomb))
+    rows = {r.kafka_offset: r for r in parsed.collect()}
+    assert 999 not in rows  # tombstone skipped
+    assert sorted(r["__deleted"] for r in rows.values()) == ["false", "true"]
+    assert all(r.id == 1 for r in rows.values())
