@@ -25,7 +25,7 @@ semantics-preserving (SURVEY.md §4.1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_practice_spark.schemas import PROPS_SCHEMA
@@ -81,9 +81,37 @@ def change_feed_from_events(events: DataFrame) -> DataFrame:
         .alias("__deleted"),
         F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("props_k"),
     )
-    # P3: idempotent dedup on the coordinate triple.  On the fixture the
-    # triple is unique, so this is a no-op logically, but it stays in the
-    # plan to preserve replay-idempotency semantics (replay from
+    # P3: idempotent dedup on the coordinate triple (replay from
     # `earliest` must be a warehouse no-op — simple_kafka_etl.py:52 +
-    # dedup probes at :81-88,119-126).
-    return feed.dropDuplicates(list(KAFKA_COORDS))
+    # dedup probes at :81-88,119-126).  Physical strategy differs by
+    # runtime, same semantics:
+    #   - streaming: stateful dropDuplicates (state-store keyed dedup —
+    #     lag() windows are unsupported on streams)
+    #   - batch: per-key adjacent-repeat removal that rides the same
+    #     shuffle+sort the downstream windows need (a global
+    #     dropDuplicates would add two extra exchanges; measured, its
+    #     first()-aggregate dominated the flagship plan).
+    if feed.isStreaming:
+        return feed.dropDuplicates(list(KAFKA_COORDS))
+    return dedup_coords_within_key(feed)
+
+
+def dedup_coords_within_key(feed: DataFrame, key: str = "original_id") -> DataFrame:
+    """Coordinate dedup that rides the per-key shuffle: sort events of a
+    key by (offset, topic, partition) and drop adjacent coordinate
+    repeats.  Requires only that duplicate coordinates carry the same
+    key — true by construction (a Kafka redelivery is byte-identical).
+    The shuffle/sort introduced here is EXACTLY the one the change_type
+    and carry-forward windows need, so Catalyst reuses it — the whole
+    CDC pipeline runs on one exchange."""
+    w = Window.partitionBy(key).orderBy(
+        "kafka_offset", "kafka_topic", "kafka_partition"
+    )
+    dup = (
+        (F.lag("kafka_offset").over(w) == F.col("kafka_offset"))
+        & (F.lag("kafka_topic").over(w) == F.col("kafka_topic"))
+        & (F.lag("kafka_partition").over(w) == F.col("kafka_partition"))
+    )
+    return feed.withColumn("_is_dup", F.coalesce(dup, F.lit(False))).filter(
+        ~F.col("_is_dup")
+    ).drop("_is_dup")

@@ -44,10 +44,18 @@ def build_current(feed: DataFrame) -> DataFrame:
     key (simple_kafka_etl.py:108,134-138,159-163)."""
     typed = with_change_type(feed)
     carried = with_registered_at_carry(typed)
-    w = Window.partitionBy("original_id").orderBy(F.col("kafka_offset").desc())
+    # latest-per-key via an ORDERLESS max-offset window: its required
+    # ordering (just the partition key) is already satisfied by the
+    # change_type/carry windows' (key, offset) sort, so Catalyst elides
+    # the descending re-sort a row_number().desc() would force — the
+    # whole snapshot runs on ONE exchange + ONE sort.
+    w = Window.partitionBy("original_id")
     return (
-        carried.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("__deleted") == "false"))  # P8 delete apply
+        carried.withColumn("_max_offset", F.max("kafka_offset").over(w))
+        .filter(
+            (F.col("kafka_offset") == F.col("_max_offset"))
+            & (F.col("__deleted") == "false")  # P8 delete apply
+        )
         .select(
             F.col("original_id"),
             F.col("original_id").alias("user_id"),

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests — the 100 TB properties.
+
+Correctness tests prove the right answer; these prove the right PLAN:
+filters pushed into scans, column pruning, one-exchange CDC pipelines,
+broadcast dims, TakeOrderedAndProject for top-k.  A regression here
+means a query got slower at scale even if sf0.01 still passes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cdc_practice_spark.queries import registry
+
+registry.load_all()
+
+
+def plan_of(spark, sf_dir, name: str, mode: str = "extended") -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column fact scan reads only the 7 needed
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and "l_orderkey" not in m.group(1) and "l_partkey" not in m.group(1)
+    assert "HashAggregate" in plan and "partial_sum" in plan  # map-side combine
+
+
+def test_snapshot_single_exchange(spark, sf_dir):
+    """The whole CDC snapshot pipeline (dedup + change_type + carry +
+    latest-per-key) must run on ONE exchange and ONE sort."""
+    plan = plan_of(spark, sf_dir, "cdc_current_snapshot", "formatted")
+    body = plan.split("\n\n")[0]  # tree section
+    assert body.count("Exchange") == 1
+    assert body.count("Sort") == 1
+
+
+def test_history_single_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "cdc_history", "formatted")
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global Sort."""
+    for q in ("q2_topk_changes", "tpch_q3_shipping_priority", "top_customers_by_spend"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan  # supplier×nation×region dim side
+    # the ASIA region filter must prune before the join, not after
+    assert re.search(r"r_name.*ASIA|ASIA.*r_name", plan)
+
+
+def test_equality_filter_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_filter_equality")
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan
+
+
+def test_semi_anti_joins_in_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_semi_anti_part_usage")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_no_cartesian_in_lsh(spark, sf_dir):
+    """The minhash candidate join must be an equality join on band keys —
+    an O(N²) cartesian product here would be a scale catastrophe."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
