@@ -142,24 +142,38 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens: bit j of the result is 1
-    iff Σ_tokens (±1 by bit j of md5-hash) > 0.  One projection pass —
-    no explode/groupBy — so it runs at scan speed."""
+SIMHASH_BITS = 60  # md5's first 15 hex chars = 60 independent bits
+SIM_BANDS = 4
+SIM_BAND_WIDTH = SIMHASH_BITS // SIM_BANDS  # 15-bit bands
+
+
+def token_hash60(col: Column) -> Column:
+    """Full 60-bit md5-derived hash (no modulus — SimHash needs every
+    bit position independent)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash60(text: Column) -> Column:
+    """60-bit SimHash over whitespace tokens: bit j of the result is 1
+    iff the sum over tokens of (+1/-1 by bit j of the token's md5 hash)
+    is > 0.  One projection pass — no explode/groupBy — runs at scan
+    speed; 60 bits gives the selectivity the classic 64-bit SimHash has
+    (vs the noisy small-width variants)."""
     toks = F.split(F.lower(F.trim(text)), "\\s+")
-    hashes = F.transform(toks, token_hash)
+    hashes = F.transform(toks, token_hash60)
+
     def bit_sum(j):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bits = []
-    for j in range(16):
+    out = None
+    for j in range(SIMHASH_BITS):
         contrib = F.aggregate(hashes, F.lit(0), bit_sum(j))
-        bits.append(F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        bit = F.when(contrib > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        out = bit if out is None else out + bit
     return out
 
 
@@ -167,35 +181,36 @@ def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 2,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Pigeonhole banding: with 2 bands of 8 bits, any pair at distance ≤ 2
-    could still differ in both halves, so for distance ≤ max_hamming
-    candidates we self-join on EITHER half matching (union of two
-    equality joins) — equality joins scale; no O(N²).  For ≤1 this is
-    exact; for =2 it misses only pairs with one flipped bit in each half
-    (documented recall tradeoff, standard for SimHash sharding)."""
+    Pigeonhole banding over 4 bands of 15 bits: any pair within hamming
+    distance 3 has at least one band with zero differing bits, so the
+    union of 4 equality self-joins on band values is EXACT for
+    max_hamming <= 3 (and a recall-documented approximation above).
+    Equality joins scale — no O(N^2) pair explosion."""
     s = docs.select(
-        F.col(id_col).alias("doc_id"), simhash16(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("doc_id"), simhash60(F.col(text_col)).alias("simhash")
     )
-    lo = (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("band")
-    hi = (F.shiftright(F.col("simhash"), 8)).alias("band")
+    mask = (1 << SIM_BAND_WIDTH) - 1
     cands = None
-    for band in (lo, hi):
-        b = s.select("doc_id", "simhash", band)
-        l = b.select(
+    for b in range(SIM_BANDS):
+        band = (
+            F.shiftright(F.col("simhash"), b * SIM_BAND_WIDTH)
+            .bitwiseAND(F.lit(mask))
+            .alias("band")
+        )
+        bd = s.select("doc_id", "simhash", band)
+        l = bd.select(
             F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band"
         )
-        r = b.select(
+        r = bd.select(
             F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band"
         )
-        c = l.join(r, "band").filter(F.col("doc_a") < F.col("doc_b"))
+        c = l.join(r, "band").filter(F.col("doc_a") < F.col("doc_b")).drop("band")
         cands = c if cands is None else cands.unionByName(c)
-    hamming = F.bit_count(
-        F.col("sim_a").bitwiseXOR(F.col("sim_b")).cast("bigint")
-    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cands.dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", hamming)

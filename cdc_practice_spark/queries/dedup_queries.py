@@ -118,69 +118,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.8)
 
 
+_HASH60 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
+
 _SIMHASH_BITS_SQL = " + ".join(
     f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1"
-    f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(16)
+    f" THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+    for j in range(D.SIMHASH_BITS)
 )
+
+_SIMHASH_CTE = f"""
+tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+toks_h AS (
+  SELECT doc_id, list_transform(toks, s -> {_HASH60.format(x='s')}) AS hs
+  FROM tk
+),
+sims AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+  FROM toks_h
+)
+"""
 
 
 @register(
     "dedup_simhash",
     oracle=f"""
-WITH {_SHINGLES_CTE},
-toks_h AS (
-  SELECT t.doc_id,
-         list_transform(t.toks, s -> {_HASH.format(x='s')}) AS hs
-  FROM tk t
-)
-SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS INTEGER) AS simhash
-FROM toks_h
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sims
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash — one codegen'd projection pass."""
+    """Per-document 60-bit SimHash — one codegen'd projection pass."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.simhash16(F.col("text")).cast("int").alias("simhash")
-    )
+    return docs.select("doc_id", D.simhash60(F.col("text")).alias("simhash"))
+
+
+_BAND_JOINS = "\nUNION\n".join(
+    f"""SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       a.simhash AS sim_a, b2.simhash AS sim_b
+FROM sims a JOIN sims b2
+  ON (a.simhash >> {b * D.SIM_BAND_WIDTH}) & {(1 << D.SIM_BAND_WIDTH) - 1}
+   = (b2.simhash >> {b * D.SIM_BAND_WIDTH}) & {(1 << D.SIM_BAND_WIDTH) - 1}
+ AND a.doc_id < b2.doc_id"""
+    for b in range(D.SIM_BANDS)
+)
 
 
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
-WITH {_SHINGLES_CTE},
-toks_h AS (
-  SELECT t.doc_id,
-         list_transform(t.toks, s -> {_HASH.format(x='s')}) AS hs
-  FROM tk t
-),
-sims AS (
-  SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
-  FROM toks_h
-),
-b AS (
-  SELECT doc_id, simhash, simhash & 255 AS lo, simhash >> 8 AS hi FROM sims
-),
+WITH {_SIMHASH_CTE},
 cands AS (
-  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         a.simhash AS sim_a, b2.simhash AS sim_b
-  FROM b a JOIN b b2 ON a.lo = b2.lo AND a.doc_id < b2.doc_id
-  UNION
-  SELECT a.doc_id, b2.doc_id, a.simhash, b2.simhash
-  FROM b a JOIN b b2 ON a.hi = b2.hi AND a.doc_id < b2.doc_id
+{_BAND_JOINS}
 )
 SELECT doc_a, doc_b,
        CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
 FROM cands
-WHERE bit_count(xor(sim_a, sim_b)) <= 2
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 2) via pigeonhole half-band
-    equality joins — no O(N²) pair explosion."""
+    """SimHash near-dup pairs (hamming ≤ 3 of 60 bits) via 4-band
+    pigeonhole equality joins — EXACT for this radius (some band must be
+    untouched), and no O(N²) pair explosion."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=2).withColumn(
+    return D.simhash_pairs(docs, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
 

@@ -53,17 +53,21 @@ def test_simhash_identical_docs_equal(docs):
     s = {
         r.doc_id: r.simhash
         for r in docs.select(
-            "doc_id", D.simhash16(F.col("text")).alias("simhash")
+            "doc_id", D.simhash60(F.col("text")).alias("simhash")
         ).collect()
     }
     assert s[1] == s[2]
-    assert 0 <= s[1] < (1 << 16)
+    assert 0 <= s[1] < (1 << 60)
+    # near-dup docs land close in hamming space, unrelated docs far
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(s[1], s[3]) < ham(s[1], s[5])
 
 
 def test_simhash_pairs_hamming(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
-        for r in D.simhash_pairs(docs, max_hamming=16).collect()
+        for r in D.simhash_pairs(docs, max_hamming=60).collect()
     }
     assert pairs[(1, 2)] == 0
 
