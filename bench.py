@@ -23,15 +23,26 @@ from cdc_practice_spark.queries import registry
 from cdc_practice_spark.session import get_spark
 
 HEADLINE = [
+    # CDC core (the reference's semantic surface)
     "cdc_current_snapshot",
     "cdc_history",
     "cdc_user_stats",
+    # relational analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "top_customers_by_spend",
     "window_rank_orders",
     "event_time_tumbling_agg",
+    # event-sequence operators
+    "event_sessionization",
+    "asof_purchase_attribution",
+    # training-data pipeline operators
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_quality",
+    "ann_cosine_topk",
+    "embedding_topk_pairs",
 ]
 
 

@@ -1,0 +1,54 @@
+"""Statistical aggregates: exact percentiles (oracle — Spark
+``percentile`` and DuckDB ``quantile_cont`` share the linear-interpolation
+definition) and sketch-based approximate distinct (HLL — rows-only with a
+tolerance test, since a sketch has no SQL twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+
+@register(
+    "percentile_price_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(avg(l_quantity), 6) AS mean_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def percentile_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles + stddev.  percentile() is a sort-based
+    aggregate per group — at 100 TB prefer approx_percentile (t-digest)
+    unless exactness is required; both surfaces exist here (see
+    approx_distinct_parts for the sketch tier)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+    )
+
+
+@register("approx_distinct_parts")  # rows-only: HLL sketches have no SQL twin
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per order status — the
+    constant-memory cardinality tier for 100 TB (exact distinct shuffles
+    every key; HLL merges fixed-size sketches map-side).  Accuracy vs
+    exact is asserted in tests/test_aggregates.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+    )

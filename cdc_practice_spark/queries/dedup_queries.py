@@ -150,9 +150,10 @@ SELECT doc_id, simhash FROM sims
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 60-bit SimHash — one codegen'd projection pass."""
+    """Per-document 60-bit SimHash — two-stage projection (hash array
+    materialized, then the bit fold) so md5 runs once per token."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash60(F.col("text")).alias("simhash"))
+    return D.with_simhash60(docs)
 
 
 _BAND_JOINS = "\nUNION\n".join(
@@ -208,7 +209,7 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BLOCKED to a bounded id range: pairwise similarity is O(N²) and must
     never run unblocked at scale (that's what minhash_lsh is for)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sh = docs.select(F.col("doc_id"), D.shingles(F.col("text")).alias("sh"))
+    sh = D.with_shingle_hashes(docs).select("doc_id", "sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

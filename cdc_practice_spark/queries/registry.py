@@ -41,6 +41,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 def load_all() -> None:
     """Import every query module so their registrations run."""
     import cdc_practice_spark.queries.analytics  # noqa: F401
+    import cdc_practice_spark.queries.aggregates_queries  # noqa: F401
     import cdc_practice_spark.queries.analytics_ext  # noqa: F401
     import cdc_practice_spark.queries.cdc_queries  # noqa: F401
     import cdc_practice_spark.queries.dedup_queries  # noqa: F401
