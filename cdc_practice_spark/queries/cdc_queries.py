@@ -168,6 +168,42 @@ def cdc_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_user_stats_current",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+),
+cur AS (
+  SELECT * FROM ranked WHERE rn = 1 AND __deleted = 'false'
+)
+SELECT original_id AS user_id,
+       count(*) AS account_count,
+       epoch_us(min(original_registered_at)) AS first_registered_at_us,
+       epoch_us(max(registered_at)) AS last_updated_at_us
+FROM cur
+GROUP BY original_id
+""",
+)
+def cdc_user_stats_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README's literal inference for user_account_stats — GROUP BY
+    user over CURRENT accounts (README.md:38,108; FIXTURES.md A5) —
+    complementing cdc_user_stats which aggregates the history log."""
+    cur = build_current(_feed(spark, sf_dir))
+    return cur.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("account_count"),
+        _us_agg(F.min("original_registered_at")).alias("first_registered_at_us"),
+        _us_agg(F.max("last_updated_at")).alias("last_updated_at_us"),
+    )
+
+
+def _us_agg(c: F.Column) -> F.Column:
+    return F.unix_micros(c.cast("timestamp"))
+
+
+@register(
     "cdc_replay_idempotency",
     oracle=f"""
 WITH {FEED_CTE}

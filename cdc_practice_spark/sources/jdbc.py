@@ -1,0 +1,79 @@
+"""JDBC source/sink builders — the engine's path to the reference's
+actual endpoints (MySQL OLTP source for snapshot loads, Postgres DW sink,
+docker-compose.yml:9-73,163-213).
+
+No database exists in the test container, so these builders are
+exercised for option-correctness only (tests/test_sources.py); the
+parquet sinks used by the harness are drop-in replacements (same
+DataFrame in, same semantics).
+
+Scale notes baked into the defaults:
+  - reads partition on a numeric column (``partitionColumn`` +
+    lower/upperBound + numPartitions) — a single-connection JDBC scan is
+    the classic accidental bottleneck;
+  - writes batch (``batchsize``) and bound parallelism (coalesce before
+    write) so the warehouse isn't hit by one connection per shuffle
+    partition;
+  - isolation level pinned to READ_COMMITTED to match the per-event
+    transaction the reference commits (simple_kafka_etl.py:182).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_read_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "fetchsize": str(fetch_size),
+    }
+    if partition_column is not None:
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions),
+            }
+        )
+    return opts
+
+
+def read_jdbc_table(
+    spark: SparkSession, url: str, table: str, **kwargs
+) -> DataFrame:
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_read_options(url, table, **kwargs).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_write_options(
+    url: str, table: str, batch_size: int = 10_000
+) -> dict[str, str]:
+    return {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": "READ_COMMITTED",
+    }
+
+
+def write_jdbc_append(
+    df: DataFrame, url: str, table: str, max_connections: int = 8, **kwargs
+) -> None:
+    """Append with bounded write parallelism (history-sink pattern, S8)."""
+    writer = df.coalesce(max_connections).write.format("jdbc").mode("append")
+    for k, v in jdbc_write_options(url, table, **kwargs).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -93,6 +93,55 @@ def test_stream_windowed_stats_equals_batch(spark, sf_dir):
     assert streamed == batch
 
 
+def test_checkpoint_resume_no_reprocessing(spark, sf_dir):
+    """P11/exactly-once: restarting a stream from its checkpoint after
+    new files arrive processes ONLY the new data — replayed history
+    doesn't double-apply (the engine's answer to the reference's
+    at-least-once + dedup-probe scheme, simple_kafka_etl.py:52,81-88)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_current_state,
+        stream_current_upsert,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="resume_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    staged = os.path.join(work, "staged")
+    os.makedirs(src)
+    os.makedirs(staged)
+    split_events_into_files(spark, sf_dir, staged, n_files=4)
+    chunks = sorted(os.listdir(staged))
+
+    state_root = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    def run_once():
+        q = stream_current_upsert(
+            spark, read_events_stream(spark, src), state_root, ckpt
+        )
+        q.awaitTermination()
+
+    # first run sees chunks 0-1
+    for c in chunks[:2]:
+        os.rename(os.path.join(staged, c), os.path.join(src, c))
+    run_once()
+    mid_keys = load_current_state(spark, state_root).count()
+
+    # second run resumes from the checkpoint with chunks 2-3 added
+    for c in chunks[2:]:
+        os.rename(os.path.join(staged, c), os.path.join(src, c))
+    run_once()
+
+    final = load_current_state(spark, state_root)
+    batch = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    s = {r.original_id: (r.value, r.last_updated_at) for r in final.collect()}
+    b = {r.original_id: (r.value, r.last_updated_at) for r in batch.collect()}
+    assert s == b
+    assert mid_keys > 0
+
+
 def test_kafka_source_options_mirror_reference():
     opts = kafka_source_options("broker:9092")
     assert opts["subscribe"] == "dbserver1.bankdb.bank_accounts"
