@@ -119,13 +119,21 @@ def minhash_lsh_pairs(
     threshold.  The self-join shuffles on the band key whose cardinality
     grows with N, keeping buckets small; the O(N²) explosion never
     happens.  Returns (doc_a, doc_b, jaccard)."""
-    # persist the shingle sets + signatures: the banding self-join and
-    # the Jaccard verify would otherwise RE-DERIVE the whole
-    # md5/shingle subtree on every branch (Spark duplicates self-join
-    # subtrees) — measured 10× on the bench before persisting.
-    sh = with_shingle_hashes(docs, id_col, text_col).persist()
+    # persist the hashed shingle sets: the banding self-join and the
+    # Jaccard verify would otherwise RE-DERIVE the whole md5/shingle
+    # subtree on every branch (Spark duplicates self-join subtrees) —
+    # measured 10× on the bench before persisting.  Only the int64 hash
+    # arrays are carried (not the shingle strings): smaller state, and
+    # array_intersect on longs beats string comparison; Jaccard over
+    # 60-bit hashes equals string Jaccard up to negligible collisions
+    # (and the oracle intersects the same hash lists, so parity is exact).
+    hs = (
+        with_shingle_hashes(docs, id_col, text_col)
+        .select("doc_id", "hs")
+        .persist()
+    )
 
-    sig = sh.select("doc_id", "sh", *minhash_signature(F.col("hs")))
+    sig = hs.select("doc_id", *minhash_signature(F.col("hs")))
 
     band_keys = F.array(
         *[
@@ -136,33 +144,33 @@ def minhash_lsh_pairs(
             for b in range(BANDS)
         ]
     )
+    # bands carry ONLY (doc_id, band) — candidate pairs join back to the
+    # persisted hash sets for the verify, so the ×BANDS explode never
+    # replicates the arrays.
     banded = sig.select(
-        "doc_id", "sh", F.posexplode(band_keys).alias("band_idx", "band_key")
-    ).persist()
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    ).persist()  # id+key rows only — cheap, and spares the self-join a
+    # second full signature computation
 
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        "band_idx",
-        "band_key",
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        "band_idx",
-        "band_key",
-    )
     candidates = (
-        left.join(right, ["band_idx", "band_key"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_key"])
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    paired = candidates.join(
+        hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a"
+    ).join(
+        hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b"
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
     return (
-        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

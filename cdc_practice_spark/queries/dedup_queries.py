@@ -95,13 +95,15 @@ cands AS (
    AND a.doc_id < b.doc_id
 ),
 verified AS (
+  -- Jaccard over the 60-bit hash sets, mirroring the engine (identical
+  -- up to negligible hash collisions, and bit-identical to Spark)
   SELECT doc_a, doc_b,
-         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+         round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+               / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))),
                6) AS jaccard
   FROM cands
-  JOIN sh sa ON sa.doc_id = cands.doc_a
-  JOIN sh sb ON sb.doc_id = cands.doc_b
+  JOIN hs sa ON sa.doc_id = cands.doc_a
+  JOIN hs sb ON sb.doc_id = cands.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
 """.format(

@@ -124,6 +124,33 @@ def test_deleted_is_string(feed):
     assert field["__deleted"] == "string"
 
 
+def test_malformed_payload_isolated(spark):
+    """P11 error isolation: a malformed JSON payload must not abort the
+    pipeline (the reference catches per-message errors and continues,
+    simple_kafka_etl.py:185-188).  from_json yields NULL for the broken
+    field; every other column of the row survives."""
+    rows = [
+        (0, ts("2024-01-01T00:00:00"), 1, "signup", 1.0, '{"k": 5}'),
+        (1, ts("2024-01-01T01:00:00"), 1, "click", 2.0, "{not json!!"),
+        (2, ts("2024-01-01T02:00:00"), 1, "view", 3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    got = {r.kafka_offset: r.props_k for r in feed.collect()}
+    assert got == {0: 5, 1: None, 2: None}
+    # and the CDC pipeline still derives correct change types
+    hist = build_history(feed)
+    assert [r.change_type for r in hist.orderBy("kafka_offset").collect()] == [
+        "INSERT",
+        "UPDATE",
+        "UPDATE",
+    ]
+
+
 def test_tombstone_filter(spark):
     """Null payloads (Kafka tombstones) are dropped (P1 —
     simple_kafka_etl.py:68-70)."""
