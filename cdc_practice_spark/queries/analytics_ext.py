@@ -208,6 +208,69 @@ def union_all_account_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_notspec,
+       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (crosstab): priorities become columns.  The explicit value
+    list keeps it a single pass (no distinct-values pre-query) — the
+    form that scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec",
+        "5-LOW": "n_low",
+    }
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+@register(
+    "fuzzy_brand_match",
+    oracle="""
+SELECT p_partkey, p_brand,
+       CAST(levenshtein(p_brand, 'Brand#33') AS INTEGER) AS edit_dist
+FROM part
+WHERE levenshtein(p_brand, 'Brand#33') <= 2
+""",
+)
+def fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance — the scalar-function tier
+    of near-dup detection (both engines implement the same classic
+    Wagner-Fischer levenshtein)."""
+    part = load_table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_brand"), F.lit("Brand#33"))
+    return (
+        part.select("p_partkey", "p_brand", dist.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+@register(
     "window_lag_lead_order_gaps",
     oracle="""
 SELECT o_custkey, o_orderkey,
