@@ -66,6 +66,30 @@ def test_session_stats(ev):
     assert stats[(2, 1)].duration_s == 0.0
 
 
+def test_sessionization_properties_on_fixture(spark, sf_dir):
+    """Invariants over the real fixture: sessions partition the events;
+    intra-session gaps ≤ 30 min; inter-session boundaries > 30 min."""
+    from cdc_practice_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev)
+    assert s.count() == ev.count()  # partition of the event set
+    rows = sorted(
+        s.select("user_id", "session_seq", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    prev = None
+    for r in rows:
+        if prev is not None and prev.user_id == r.user_id:
+            gap = (r.ts - prev.ts).total_seconds()
+            if r.session_seq == prev.session_seq:
+                assert gap <= 30 * 60
+            else:
+                assert gap > 30 * 60
+                assert r.session_seq == prev.session_seq + 1
+        prev = r
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, ts("2024-01-01T10:00:00"), "p1"), (1, ts("2024-01-01T12:00:00"), "p2"),

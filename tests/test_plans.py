@@ -12,16 +12,14 @@ import re
 
 import pytest
 
+from cdc_practice_spark.plans.explain import plan_string
 from cdc_practice_spark.queries import registry
 
 registry.load_all()
 
 
 def plan_of(spark, sf_dir, name: str, mode: str = "extended") -> str:
-    df = registry.QUERIES[name](spark, sf_dir)
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+    return plan_string(registry.QUERIES[name](spark, sf_dir), mode)
 
 
 def test_q1_pushdown_and_pruning(spark, sf_dir):
