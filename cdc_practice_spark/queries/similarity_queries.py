@@ -83,7 +83,7 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BLOCKED within IVF cells (label) — the linear-ish blocked pattern,
     never the raw O(N²) cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.topk_similar_pairs(emb, k=20, block=True)
+    return S.topk_similar_pairs(emb, k=20)
 
 
 @register("ann_batch_scorer")  # rows-only: numpy matmul result, no SQL twin

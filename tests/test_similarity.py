@@ -48,6 +48,17 @@ def test_blocked_pairs_symmetric_and_bounded(emb):
         assert -1.0 <= r.cosine <= 1.0
 
 
+def test_pandas_pairs_match_expression_variant(emb):
+    """The GEMM applyInPandas implementation and the pure-JVM expression
+    variant must agree exactly (round-6 + identical tiebreaks)."""
+    fast = [(r.id_a, r.id_b, r.cosine) for r in S.topk_similar_pairs(emb, k=15).collect()]
+    ref = [
+        (r.id_a, r.id_b, r.cosine)
+        for r in S.topk_similar_pairs_expr(emb, k=15).collect()
+    ]
+    assert fast == ref
+
+
 def test_batch_scorer_matches_exact(emb, spark):
     """mapInPandas numpy scorer agrees with the JVM-expression cosine to
     float tolerance."""
