@@ -1,0 +1,96 @@
+"""Connected components over near-duplicate pairs → dedup clusters.
+
+Pair detection (MinHash/SimHash) yields edges; corpus dedup needs the
+transitive closure — if A≈B and B≈C, one representative for {A,B,C}.
+
+Implementation: iterative min-label propagation (the standard
+large-graph connected-components algorithm on a relational engine):
+
+    label(v) ← v
+    repeat: label(v) ← min(label(v), min over neighbors u of label(u))
+
+Each round is one join + one aggregate (all key-partitioned, no driver
+state); the diameter of near-dup clusters is tiny in practice (dup
+chains, not long paths), so convergence takes a handful of rounds —
+``max_iter`` bounds it and convergence is detected with a cheap count.
+At 100 TB this is exactly GraphX/GraphFrames' CC algorithm shape,
+without the dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component id is the minimum node id reachable."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Cluster assignment for the WHOLE corpus: docs in no pair are their
+    own singleton cluster.  Output: (doc_id, cluster_rep, is_kept) —
+    filtering is_kept gives the deduplicated corpus."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    return assigned.withColumn("is_kept", F.col("doc_id") == F.col("cluster_rep"))

@@ -193,6 +193,66 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, hs,
+         {{minhash_cols}}
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, unnest({{band_list}}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx
+  FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN hs sa ON sa.doc_id = cands.doc_a
+  JOIN hs sb ON sb.doc_id = cands.doc_b
+  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+),
+bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       coalesce(least(d.doc_id, m.min_reach), d.doc_id) AS cluster_rep,
+       d.doc_id = coalesce(least(d.doc_id, m.min_reach), d.doc_id) AS is_kept
+FROM documents d
+LEFT JOIN (SELECT src, min(dst) AS min_reach FROM reach GROUP BY src) m
+       ON m.src = d.doc_id
+""".format(minhash_cols="__MINHASH__", band_list="__BANDS__")
+    .replace("__MINHASH__", _minhash_cols_sql())
+    .replace("__BANDS__", _band_list_sql()),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH pairs → connected components
+    (iterative min-label propagation, operators/cluster.py) → cluster
+    representative per doc.  The oracle computes the same components via
+    a recursive CTE — an independent algorithm agreeing on the closure."""
+    from cdc_practice_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup_clusters(docs, pairs)
+
+
+@register(
     "dedup_ngram_jaccard_topk",
     oracle=f"""
 WITH {_SHINGLES_CTE}

@@ -1,0 +1,32 @@
+"""Connected-components dedup clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators.cluster import connected_components, dedup_clusters
+
+
+def test_chain_merges_into_one_component(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 10)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    # 10-11 connects to 20-21-22 through (22,10)
+    assert comp[10] == comp[11] == comp[20] == comp[21] == comp[22] == 10
+
+
+def test_dedup_clusters_keeps_representatives(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.cluster_rep, r.is_kept) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[5] == (1, False)
+    for singleton in (0, 3, 4, 6, 7):
+        assert out[singleton] == (singleton, True)
+    kept = sum(1 for _, (rep, keep) in out.items() if keep)
+    assert kept == 6  # 8 docs - 2 merged away
