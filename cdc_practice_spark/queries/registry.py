@@ -48,6 +48,7 @@ def load_all() -> None:
     import cdc_practice_spark.queries.events_queries  # noqa: F401
     import cdc_practice_spark.queries.multimodal_queries  # noqa: F401
     import cdc_practice_spark.queries.similarity_queries  # noqa: F401
+    import cdc_practice_spark.queries.sql_surface  # noqa: F401
     import cdc_practice_spark.queries.text_queries  # noqa: F401
     import cdc_practice_spark.queries.udf_queries  # noqa: F401
     import cdc_practice_spark.queries.streaming_queries  # noqa: F401

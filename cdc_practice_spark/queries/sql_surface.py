@@ -1,0 +1,185 @@
+"""SQL surface: the reference's read path is analysts running SQL against
+the warehouse (psql — README.md:102-108, SURVEY.md §3.3).  This module
+registers the engine's derived tables as session views so the same
+queries run verbatim via spark.sql, plus TPC-H-shaped SQL-first queries
+(correlated EXISTS, filter-aggregate, conditional-ratio aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.cdc import (
+    build_current,
+    build_history,
+    build_user_stats,
+    change_feed_from_events,
+)
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import TABLES, load_table
+
+
+def create_warehouse_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the base fixtures AND the CDC warehouse tables as views:
+    after this, spark.sql('SELECT * FROM bank_accounts_current ...') runs
+    the reference's analyst queries verbatim."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    feed = change_feed_from_events(spark.table("events"))
+    build_history(feed).createOrReplaceTempView("bank_accounts_history")
+    build_current(feed).createOrReplaceTempView("bank_accounts_current")
+    build_user_stats(spark.table("bank_accounts_history")).createOrReplaceTempView(
+        "user_account_stats"
+    )
+
+
+@register(
+    "sql_surface_recent_changes",
+    oracle="""
+WITH feed AS (
+  SELECT event_id AS kafka_offset, user_id AS original_id, value,
+         ts AS registered_at,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+  FROM events
+),
+typed AS (
+  SELECT *, CASE WHEN __deleted = 'true' THEN 'DELETE'
+                 WHEN lag(__deleted) OVER w IS NULL
+                   OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
+                 ELSE 'UPDATE' END AS change_type
+  FROM feed WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
+)
+SELECT original_id, change_type, value,
+       epoch_us(registered_at) AS change_timestamp_us
+FROM typed
+ORDER BY registered_at DESC, kafka_offset DESC
+LIMIT 10
+""",
+)
+def sql_surface_recent_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README's first analyst query (README.md:106) run VERBATIM as
+    SQL against the registered warehouse views — proving the read path
+    is a real SQL surface, not only a DataFrame API."""
+    create_warehouse_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT original_id, change_type, value,
+               unix_micros(CAST(change_timestamp AS TIMESTAMP)) AS change_timestamp_us
+        FROM bank_accounts_history
+        ORDER BY change_timestamp DESC, kafka_offset DESC
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-aggregate — every predicate pushes to
+    the scan, no shuffle at all beyond the final scalar agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q4_late_shipments",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi hash join (the
+    set-oriented form of the reference's per-row existence probes)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM _q4_orders
+        WHERE EXISTS (
+          SELECT 1 FROM _q4_lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+SELECT round(
+         100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-ratio aggregate over a broadcast dim
+    join (part is the dimension; at 100 TB it may need the shuffle path —
+    AQE decides, the logical plan doesn't pin it)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
