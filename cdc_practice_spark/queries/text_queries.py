@@ -121,6 +121,42 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_train_val_split",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)
+                   AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs
+FROM tagged
+GROUP BY split, lang
+""",
+)
+def dataset_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split (90/10) — the standard
+    leakage-safe dataset partitioning: membership is a pure function of
+    the id (stable across runs, machines, and engine versions — no
+    rand()), so resumed/incremental pipelines never shuffle examples
+    between splits.  Output: per-split-per-lang counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    tagged = docs.withColumn(
+        "split", F.when(bucket < 90, "train").otherwise("val")
+    )
+    return tagged.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
     "text_fingerprints",
     oracle=f"""
 SELECT doc_id,
