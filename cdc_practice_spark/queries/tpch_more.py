@@ -1,0 +1,315 @@
+"""Deeper TPC-H relational breadth: Q7/Q10/Q13/Q18/Q19/Q22 shapes
+adapted to the fixture schemas (TESTDATA.md — trimmed TPC-H: no
+l_shipmode/l_commitdate, no c_phone/o_comment, synthetic NATION_n
+names).  Each keeps the defining plan shape of its TPC-H original:
+
+  Q7  — double-dimension join (supplier-nation x customer-nation) with a
+        disjunctive nation-pair predicate and year rollup.
+  Q10 — returned-item revenue top-k: fact-fact join narrowed by a date
+        window + returnflag before the customer rollup.
+  Q13 — distribution-of-distributions: LEFT OUTER join, count per
+        customer, then count per count.
+  Q18 — large-volume orders: HAVING-filtered fact aggregate semi-joined
+        back to its parents.
+  Q19 — OR-of-ANDs pushdown: three brand/size/quantity conjuncts that
+        must all reach the scans as one disjunctive filter.
+  Q22 — anti-join + uncorrelated scalar subquery (customers with money
+        but no orders), grouped by nation key in lieu of phone prefix.
+
+Scale notes: facts shuffle once on their join key; nation (25 rows) is
+always broadcast; customer joins stay shuffle joins (broadcastable at
+test SF, not at 100 TB — AQE decides).  All money aggregates are
+decimal-exact then rounded to double (registry.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _dbl(c: Column, scale: int = 2) -> Column:
+    return F.round(c, scale).cast("double")
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _revenue() -> Column:
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         {_REVENUE_SQL} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same 25-row nation dim joins TWICE under
+    different roles (supplier side, customer side) — both broadcast, so
+    the disjunctive nation-pair predicate evaluates map-side and prunes
+    the fact rows before the orderkey shuffle."""
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    pair |= (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(
+            F.broadcast(
+                supplier.join(F.broadcast(ns), supplier["s_nationkey"] == ns["s_nk"])
+            ),
+            li["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            customer.join(F.broadcast(nc), customer["c_nationkey"] == nc["c_nk"]),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_dbl(F.sum(_revenue())).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: both scan filters (date window on orders,
+    returnflag on lineitem) push into parquet BEFORE the orderkey
+    shuffle; top-k compiles to TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dbl(F.sum(_revenue())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (o_comment filter dropped — column absent from
+    the fixture): LEFT OUTER join preserving order-less customers, then
+    a distribution-of-the-distribution.  Two shuffles by necessity
+    (custkey, then c_count); the second input is one row per customer,
+    already tiny."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q18_large_volume_orders",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS totalprice,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING subquery aggregates lineitem by
+    orderkey, and the surviving (few) keys semi-join back — Spark plans
+    the IN as a left-semi join whose build side is the filtered
+    aggregate, small enough for AQE to broadcast at runtime."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dbl(F.sum(_dec("l_quantity"))).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dbl(_dec("o_totalprice")).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (l_shipmode/p_container terms dropped — columns
+    absent): an OR-of-ANDs spanning both join sides.  Catalyst derives
+    the single-side implications (p_brand IN (...), l_quantity BETWEEN
+    1 AND 50) and pushes them into each scan; the full disjunction
+    evaluates after the join."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    def term(brand: str, lo_sz: int, hi_sz: int, lo_q: int, hi_q: int) -> Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(lo_sz, hi_sz)
+            & F.col("l_quantity").between(lo_q, hi_q)
+        )
+
+    cond = (
+        term("Brand#12", 1, 15, 1, 20)
+        | term("Brand#23", 10, 30, 10, 30)
+        | term("Brand#34", 20, 50, 20, 50)
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(_dbl(F.sum(_revenue())).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation key stands in for the absent phone
+    prefix; 'no orders at all' relaxed to 'no orders since 2000' so the
+    fixture — where every customer has orders — still exercises the
+    path): uncorrelated scalar subquery (global avg balance, broadcast
+    and folded into the scan filter) + anti join against recent orders
+    (NOT EXISTS), then a small rollup."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dbl(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )

@@ -77,3 +77,38 @@ def test_no_cartesian_in_lsh(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_filters_pushed_and_topk(spark, sf_dir):
+    """Q10: both the orders date window and the lineitem returnflag
+    filter must reach their parquet scans; the final top-20 must be a
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_dir, "tpch_q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_derives_single_side_filters(spark, sf_dir):
+    """Q19's OR-of-ANDs spans both join sides; Catalyst must still derive
+    the per-side implications and push them into the scans (a scan
+    reading every part row here would read 25x too much at 100 TB)."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    # part scan: brand/size disjunction pushed
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan
+    # lineitem scan: quantity-range disjunction pushed
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_q18_semi_join_shape(spark, sf_dir):
+    """Q18's IN-subquery must plan as a semi join against the
+    HAVING-filtered aggregate — never a full join that duplicates
+    lineitem rows before re-aggregating."""
+    plan = plan_of(spark, sf_dir, "tpch_q18_large_volume_orders")
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # recent-orders filter pushed
