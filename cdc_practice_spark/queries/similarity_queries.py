@@ -99,3 +99,51 @@ def ann_batch_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.batch_topk_mapinpandas(emb, qm).withColumn(
         "best_cosine", F.round("best_cosine", 6)
     )
+
+
+@register(
+    "array_function_suite",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(round(sqrt(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)), 4)
+            AS DOUBLE) AS l2_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       CAST(round(CAST(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 4) AS DOUBLE) AS max_val,
+       array_to_string(list_transform(embedding,
+                 x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(8,3)) AS VARCHAR))[1:3], ',')
+         AS head3
+FROM embeddings
+WHERE vec_id < 100
+""",
+)
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map scalar-function library over the array<float> embedding
+    column (§2.4 checklist): size, higher-order transform / filter /
+    aggregate (fold), array_max, slice — all JVM-side built-ins, no
+    Python in the loop.  Each HOF result is computed exactly once per
+    output column (Spark does NOT common-subexpression-eliminate
+    lambda-bearing expressions — repeating one doubles the work)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + xd(x) * xd(x))),
+            4,
+        ).cast("double").alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 4).cast("double").alias(
+            "max_val"
+        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(xd(x), 3).cast("decimal(8,3)").cast("string"),
+            ),
+        ).alias("head3"),
+    )

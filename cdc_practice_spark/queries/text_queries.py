@@ -179,3 +179,97 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint_sorted_tokens(c).alias("fp_sorted"),
         T.fingerprint_rolling(c).alias("fp_rolling"),
     )
+
+
+@register(
+    "vocab_df_idf_topk",
+    oracle=f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+df AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM terms WHERE term <> '' GROUP BY term
+)
+SELECT term, n_occurrences, n_docs,
+       CAST(round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / n_docs), 6)
+            AS DOUBLE) AS idf
+FROM df
+ORDER BY n_docs DESC, term
+LIMIT 50
+""",
+)
+def vocab_df_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building — the first step of any tokenizer /
+    TF-IDF training pipeline: explode whitespace tokens, count term and
+    document frequency, derive IDF against the corpus size (a one-row
+    broadcast scalar), keep the top-50 head of the distribution.  One
+    shuffle on term; the explode happens map-side, so at 100 TB this is
+    scan + one word-count-shaped aggregation (the canonical map-side
+    combine workload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_total"))
+    terms = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "idf",
+            F.round(F.log(F.col("_n_total") / F.col("n_docs")), 6).cast("double"),
+        )
+        .drop("_n_total")
+        .orderBy(F.col("n_docs").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round((least(length(text) / 500.0, 1.0)
+                + least(round(CAST(len(list_filter({_TOKS}, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+                              / greatest(len({_TOKS}), 1), 6) * 4, 1.0)
+                + 1.0 - least(round(CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                           - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                                                   '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1), 6) * 4, 1.0)) / 3,
+               6) AS quality_score
+  FROM documents
+),
+thr AS (SELECT round(quantile_cont(quality_score, 0.25), 6) AS q25 FROM scored)
+SELECT doc_id, lang, quality_score,
+       CAST(q25 AS DOUBLE) AS threshold
+FROM scored, thr
+WHERE quality_score >= q25
+""",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-percentile corpus curation — the standard 'drop the worst
+    quartile' pre-training filter: score every document (one codegen'd
+    projection), compute the corpus-wide exact P25 as a one-row
+    aggregate, broadcast it back, and keep documents at or above it.
+    Two passes over the scores but only ONE over the raw text (scores
+    are 1 double/doc); at 100 TB swap the exact percentile for
+    approx_percentile and nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality_score")
+    )
+    thr = scored.agg(
+        F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("threshold"))
+        .select("doc_id", "lang", "quality_score", F.col("threshold").cast("double").alias("threshold"))
+    )
