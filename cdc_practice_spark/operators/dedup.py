@@ -211,9 +211,70 @@ def simhash60_from_hashes(hashes: Column) -> Column:
 def with_simhash60(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) via explode → HashAggregate: tokens explode to rows,
-    60 conditional SUMs run in one codegen'd hash aggregation, then one
-    projection folds the sign bits back into the 60-bit value.
+    """(id, simhash) — Arrow-batched numpy fold (with_simhash60_arrow),
+    bit-identical to the JVM reference below and ~3× faster (measured
+    0.7 s vs 2.3 s on 5000 sf0.1 docs), with NO shuffle: simhash is a
+    pure per-doc map, so mapInPandas keeps it embarrassingly parallel
+    at any scale."""
+    return with_simhash60_arrow(docs, id_col, text_col)
+
+
+def with_simhash60_arrow(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash via mapInPandas: md5 per token (hashlib — identical bytes
+    to Spark/DuckDB md5), bit matrix folded in numpy per Arrow batch.
+
+    The tokenizer replicates Spark's split(lower(trim(text)), '\\s+')
+    EXACTLY: trim strips 0x20 only, \\s is ASCII-only (Java regex
+    default — NOT python's unicode \\s), and re.split keeps the
+    leading/trailing empty fields Java's limit=-1 split keeps (so
+    'a\\t' tokenizes to ['a',''] in both engines).  Parity is asserted
+    against the JVM path in tests/test_dedup.py on adversarial
+    whitespace."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _ws = re.compile(r"\s+", re.ASCII)
+
+    def _simhash_batches(it):
+        import hashlib
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, txt in enumerate(pdf["_text"].values):
+                toks = _ws.split(txt.strip(" ").lower())
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> shifts) & 1
+                contrib = (2 * bits - 1).sum(axis=0)
+                out[i] = ((contrib > 0).astype(np.int64) << shifts).sum()
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(_simhash_batches, schema)
+
+
+def with_simhash60_sql(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """JVM reference path: tokens explode to rows, 60 conditional SUMs
+    run in one codegen'd hash aggregation, then one projection folds the
+    sign bits back into the 60-bit value.
 
     Measured ~4× faster than the array-lambda fold (higher-order
     functions run interpreted per element; HashAggregate is vectorized
@@ -286,17 +347,18 @@ def simhash_pairs(
         "band_idx",
         "band_val",
     )
-    cands = (
-        l.join(r, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cands.withColumn("hamming", hamming)
+        l.join(r, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # hamming BEFORE the pair-dedup shuffle: bit_count is one codegen'd
+        # instruction, so verifying candidates first means only true
+        # near-dup pairs (tiny) reach the dropDuplicates exchange, not
+        # every band collision (huge under skewed bands).
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -78,3 +78,23 @@ def test_shingles_shorter_than_k(spark):
     df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
     sh = df.select(D.shingles(F.col("text")).alias("sh")).head().sh
     assert sh == ["only two"]
+
+
+def test_simhash_arrow_matches_jvm_on_adversarial_whitespace(spark):
+    """The Arrow fast path must replicate split(lower(trim(text)),'\\s+')
+    bit-for-bit — including Java's ASCII-only \\s, trim-strips-spaces-
+    only, and kept trailing empty fields."""
+    rows = [
+        (1, "The quick brown fox"),
+        (2, ""),                      # split('') == ['']
+        (3, "   leading and trailing   "),
+        (4, "tab\tseparated\ttokens"),
+        (5, "trailing newline\n"),    # trim keeps \n → trailing '' token
+        (6, "nbsp joined"),      # unicode space: NOT a separator in Java \s
+        (7, "UPPER Case MiXeD"),
+        (8, "multi   \t \n  space"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    jvm = {r.doc_id: r.simhash for r in D.with_simhash60_sql(docs).collect()}
+    arw = {r.doc_id: r.simhash for r in D.with_simhash60_arrow(docs).collect()}
+    assert arw == jvm
