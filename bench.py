@@ -63,14 +63,14 @@ def main() -> None:
     materialize(registry.QUERIES["cdc_current_snapshot"](spark, "/root/testdata/sf0.001"))
     materialize(registry.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         best = None
-        for _ in range(repeats):  # min-of-N: steady-state, noise-robust
+        for _ in range(repeats):  # min-of-N: steady-state (run 1 pays codegen)
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             dt = time.perf_counter() - t0

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_practice_spark.functions import money as M
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table
 
@@ -62,23 +63,31 @@ GROUP BY l_returnflag, l_linestatus
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: filter → partial-aggregatable
     groupBy over the fact table.  One shuffle on the (tiny) group key;
-    the shipdate predicate pushes into the parquet scan."""
+    the shipdate predicate pushes into the parquet scan.
+
+    Money sums run as exact int64 fixed-point (functions/money.py —
+    2× vs BigDecimal-backed decimal sums, penny-identical): cents for
+    the plain sums, 1e-4 units for price×(1-disc), 1e-6 units for the
+    two-factor charge."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc = _dec("l_discount", 4, 2)
-    tax = _dec("l_tax", 4, 2)
-    ext = _dec("l_extendedprice")
+    qty = M.fixed("l_quantity")
+    ext = M.fixed("l_extendedprice")
+    disc = M.fixed("l_discount")
+    tax = M.fixed("l_tax")
     cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"),
-            _dbl(F.sum(ext)).alias("sum_base_price"),
-            _dbl(F.sum(ext * (F.lit(1) - disc))).alias("sum_disc_price"),
-            _dbl(F.sum(ext * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / cnt, 6).alias("avg_qty"),
-            F.round(F.sum(ext).cast("double") / cnt, 6).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / cnt, 6).alias("avg_disc"),
+            M.sum_fixed_as_double(qty, 2).alias("sum_qty"),
+            M.sum_fixed_as_double(ext, 2).alias("sum_base_price"),
+            M.sum_fixed_as_double(ext * (100 - disc), 4).alias("sum_disc_price"),
+            M.sum_fixed_as_double(ext * (100 - disc) * (100 + tax), 6).alias(
+                "sum_charge"
+            ),
+            M.sum_fixed_as_avg(qty, 2, cnt).alias("avg_qty"),
+            M.sum_fixed_as_avg(ext, 2, cnt).alias("avg_price"),
+            M.sum_fixed_as_avg(disc, 2, cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -116,7 +125,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
-    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    rev_units = M.fixed("l_extendedprice") * (100 - M.fixed("l_discount"))
     # customer (selective dim filter) broadcasts into orders map-side;
     # the one real shuffle is li⋈orders on orderkey — the only plan shape
     # that survives when both facts are 100 TB-scale.
@@ -124,9 +133,14 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
     return (
-        li.join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # broadcast the dim-pruned orders side: the BUILDING+date filters
+        # leave ~2% of orders, far below the filtered-lineitem side that
+        # Catalyst's static estimate would otherwise pick (measured: it
+        # broadcast 330k lineitem rows).  At 100 TB drop this hint — AQE's
+        # runtime sizes then choose shuffle for both fact sides.
+        li.join(F.broadcast(building_orders), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dbl(F.sum(revenue)).alias("revenue"))
+        .agg(M.sum_fixed_as_double(rev_units, 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -173,7 +187,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_nationkey", "n_name")
 
-    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    rev_units = M.fixed("l_extendedprice") * (100 - M.fixed("l_discount"))
     # Plan shape for scale: supplier×nation×region collapses to one small
     # broadcast dim into lineitem (map-side, prunes non-ASIA rows early);
     # the two remaining joins are shuffle hash joins on their natural keys
@@ -189,7 +203,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
-        .agg(_dbl(F.sum(revenue)).alias("revenue"))
+        .agg(M.sum_fixed_as_double(rev_units, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -214,7 +228,7 @@ def top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _dbl(F.sum(_dec("o_totalprice"))).alias("total_spend"),
+        M.sum_fixed_as_double(M.fixed("o_totalprice"), 2).alias("total_spend"),
     )
     return (
         per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
