@@ -1,0 +1,177 @@
+"""Second relational-depth tier: window frame variants (ntile /
+percent_rank / cume_dist / RANGE frames), ordered string aggregation,
+deterministic stratified sampling, and a time-range join.
+
+Scale notes per query in the docstrings; shared conventions follow
+registry.py (identical aliases both engines, decimal-exact money,
+epoch-µs timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_practice_spark.functions import money as M
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+
+@register(
+    "window_frames_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER w AS spend_quartile,
+       CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
+       CAST(round(CAST(avg(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS DOUBLE)
+         AS trailing3_avg_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function frame variants beyond ranking/lag (§2.4 depth):
+    ntile quartiles, percent_rank, cume_dist, and a trailing-3 ROWS
+    frame average — all four share ONE (key, order) sort, so the plan
+    is a single exchange + sort regardless of how many analytics
+    stack on it."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w3 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.round(
+            F.avg(F.col("o_totalprice").cast("decimal(12,2)")).over(w3).cast("double"),
+            2,
+        ).cast("double").alias("trailing3_avg_price"),
+    )
+
+
+@register(
+    "string_agg_accounts",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       string_agg(c_name, ',' ORDER BY c_custkey) AS sample_names
+FROM customer
+WHERE c_custkey <= 200
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def string_agg_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect_list under an
+    explicit sort spec, then array_join.  The deterministic ORDER BY
+    inside the aggregate is what makes the output hashable — unordered
+    listagg is nondeterministic under shuffle.  Scale: list size is
+    bounded by the group's row count — cap the id range (as here) or
+    slice the sorted array when groups can be huge."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("c_custkey", "c_name"))
+                ).getField("c_name"),
+                ",",
+            ).alias("sample_names"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_stats",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sampled_spend
+FROM orders
+WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':sample'), 1, 15)
+           AS BIGINT) % 100 < 10
+GROUP BY o_orderpriority
+""",
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample with per-stratum stats — the
+    reproducible alternative to TABLESAMPLE/rand() sampling: membership
+    is a pure function of the key, so samples are stable across runs,
+    engines, and retries (the property audit pipelines need).  Pure
+    map-side filter + one small aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":sample"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        orders.filter(bucket < 10)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            M.sum_fixed_as_double(M.fixed("o_totalprice"), 2).alias("sampled_spend"),
+        )
+    )
+
+
+@register(
+    "range_join_post_purchase",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       CAST(count(*) AS BIGINT) AS n_follow,
+       CAST(sum(CASE WHEN f.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM events p JOIN events f
+  ON f.user_id = p.user_id
+ AND f.ts >  p.ts
+ AND f.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+)
+def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (interval containment): all same-user events in
+    the hour after each purchase, with a post-purchase error count.
+    The equality key (user_id) makes this a hash join with a range
+    residual — NEVER a nested-loop: the equi-part shuffles as usual and
+    the time predicate evaluates post-probe.  At 100 TB add a time
+    bucket to the equi-key ((user, hour-bucket), probe ±1 bucket) so a
+    single hot user can't blow up one task; here user cardinality
+    already bounds each probe."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        events.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") > F.col("p_ts"))
+            & (F.col("ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+    )

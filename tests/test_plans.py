@@ -112,3 +112,12 @@ def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q22_idle_rich_customers")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # recent-orders filter pushed
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The interval-containment join must hash/sort-merge on the user_id
+    equality key with the time range as residual — a nested-loop here is
+    O(N²) at scale."""
+    plan = plan_of(spark, sf_dir, "range_join_post_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
