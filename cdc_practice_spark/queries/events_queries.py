@@ -89,3 +89,52 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id"),
         us("asof_time").alias("asof_ts_us"),
     )
+
+
+@register(
+    "session_window_native",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts_us) AS window_start_us,
+       max(ts_us) + 30 * 60 * 1000000 AS window_end_us,
+       count(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_seq
+""",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the Structured
+    Streaming session primitive, run in batch): rows within a 30-min gap
+    merge into one [first_ts, last_ts + gap) window per user.  Unlike
+    the lag/cumsum composition (event_sessionization), this is one
+    `groupBy(session_window(...))` — Spark plans a specialized
+    UpdatingSessionsExec that merges sessions inside the same
+    (key-partitioned) sort, and the identical operator carries over to
+    `readStream` unchanged.  The oracle reconstructs the same windows
+    via the lag/cumsum closure — two independent algorithms, one
+    answer."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(F.col("user_id"), sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("window_end_us"),
+            "n_events",
+        )
+    )

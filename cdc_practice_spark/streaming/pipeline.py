@@ -144,3 +144,27 @@ def stream_windowed_stats(
             "sum_value",
         )
     )
+
+
+def stream_session_windows(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows — the same session_window operator the
+    batch query (queries/events_queries.py:session_window_native) uses,
+    unchanged: rows within `gap` of each other merge into one
+    [first_ts, last_ts + gap) window per user.  The watermark both
+    bounds state AND closes sessions (a session emits only once the
+    watermark passes its end — append-mode semantics), which is exactly
+    the late-data story the reference lacks (SURVEY.md §2.4)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("window_end_us"),
+            "n_events",
+        )
+    )

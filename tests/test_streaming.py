@@ -178,3 +178,34 @@ def test_debezium_parse_roundtrip(spark):
     assert 999 not in rows  # tombstone skipped
     assert sorted(r["__deleted"] for r in rows.values()) == ["false", "true"]
     assert all(r.id == 1 for r in rows.values())
+
+
+def test_stream_session_windows_equal_batch(spark, sf_dir):
+    """Streaming session_window (complete mode over an availableNow file
+    replay) produces the identical session set as the batch
+    session_window_native query — one operator, two runtimes."""
+    from cdc_practice_spark.queries.events_queries import session_window_native
+    from cdc_practice_spark.streaming.pipeline import stream_session_windows
+
+    work = tempfile.mkdtemp(prefix="sess_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=2)
+    q = (
+        stream_session_windows(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("sessw")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.window_start_us, r.window_end_us): r.n_events
+        for r in spark.table("sessw").collect()
+    }
+    batch = {
+        (r.user_id, r.window_start_us, r.window_end_us): r.n_events
+        for r in session_window_native(spark, sf_dir).collect()
+    }
+    assert streamed == batch
