@@ -15,6 +15,11 @@ names).  Each keeps the defining plan shape of its TPC-H original:
         must all reach the scans as one disjunctive filter.
   Q22 — anti-join + uncorrelated scalar subquery (customers with money
         but no orders), grouped by nation key in lieu of phone prefix.
+  Q2  — correlated MIN subquery decorrelated to a window over the join.
+  Q11 — per-key aggregate filtered by a fraction of its own global total.
+  Q15 — argmax over an aggregate view (max broadcast back as filter).
+  Q17 — correlated per-group AVG threshold, decorrelated via semi join
+        + pre-aggregate.
 
 Scale notes: facts shuffle once on their join key; nation (25 rows) is
 always broadcast; customer joins stay shuffle joins (broadcastable at
@@ -27,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_practice_spark.functions import money as M
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table
 
@@ -311,5 +317,198 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             _dbl(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH costs AS (
+  SELECT p_partkey, p_brand, p_type, s_suppkey, s_name, s_acctbal,
+         min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+  FROM part
+  JOIN lineitem ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_size = 15
+)
+SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+       CAST(round(CAST(s_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS acctbal
+FROM costs
+WHERE s_acctbal = min_bal
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table — lineitem links parts to
+    suppliers; acctbal stands in for supplycost): for each size-15 part,
+    the supplier(s) with the minimum balance.  The correlated MIN
+    subquery decorrelates to a window over the join — one shuffle on
+    partkey, no re-join of the aggregate."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    from pyspark.sql.window import Window
+
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal").cast("decimal(12,2)"), 2)
+            .cast("double")
+            .alias("acctbal"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(round(part_value, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE part_value > (SELECT sum(part_value) * 0.0005 FROM per_part)
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key aggregate filtered by a FRACTION OF THE
+    GLOBAL TOTAL — the aggregate feeds both branches, so the engine
+    computes it once, derives the tiny global sum, and broadcasts the
+    threshold back (no second scan of lineitem).
+
+    Fixed-point: price×quantity is exact at 1e-4 units in int64; the
+    global total of e4 units could overflow int64 at extreme scale, so
+    the (already aggregated, one-row-per-part) values convert to decimal
+    BEFORE the global sum — the slow decimal path touches N_parts rows,
+    not N_lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    units = M.fixed("l_extendedprice") * M.fixed("l_quantity")  # 1e-4 units
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(units).alias("_u"))
+        .withColumn(
+            "part_value_dec",
+            F.col("_u").cast("decimal(38,0)") / F.lit(10_000).cast("decimal(9,0)"),
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value_dec") * F.lit(0.0005)).alias("_thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value_dec") > F.col("_thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value_dec"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' is computed once; its MAX is
+    a one-row broadcast joined back as the filter (the classic
+    argmax-over-aggregate — never a self-join of two full aggregations)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev_units = M.fixed("l_extendedprice") * (100 - M.fixed("l_discount"))
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_units).alias("_u"))
+        .withColumn(
+            "rev_dec",
+            F.col("_u").cast("decimal(38,0)") / F.lit(10_000).cast("decimal(9,0)"),
+        )
+    )
+    mx = revenue.agg(F.max("rev_dec").alias("_mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(round(sum(CAST(l1.l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l1.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (p_container term dropped — column absent): the
+    correlated per-part AVG subquery decorrelates into a pre-aggregate
+    joined back on partkey.  The per-part averages for the FILTERED
+    brand come from re-scanning only matching parts' lineitems (semi
+    join first), so the aggregate side is small enough for AQE to
+    broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi"
+    )
+    per_part_avg = brand_li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_thr")
+    )
+    return (
+        brand_li.join(per_part_avg, brand_li["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
         )
     )
