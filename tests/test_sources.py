@@ -31,3 +31,57 @@ def test_jdbc_write_isolation_matches_reference():
     # READ_COMMITTED batches here
     assert opts["isolationLevel"] == "READ_COMMITTED"
     assert int(opts["batchsize"]) >= 1000
+
+
+def test_jsonl_csv_orc_roundtrip(spark, tmp_path):
+    """Events written as JSONL / CSV / ORC read back identically through
+    the explicit-schema readers (no inference pass)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cdc_practice_spark.sources import files as FS
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    src = spark.createDataFrame(
+        [(1, 10, "click", 1.5), (2, 11, "purchase", 99.25), (3, 10, "error", 0.0)],
+        schema,
+    )
+    expect = {tuple(r) for r in src.collect()}
+
+    jdir, cdir, odir = (str(tmp_path / d) for d in ("j", "c", "o"))
+    src.coalesce(1).write.json(jdir)
+    src.coalesce(1).write.option("header", "true").csv(cdir)  # header dropped by reader
+    src.coalesce(1).write.orc(odir)
+
+    got_j = FS.good_rows(FS.read_jsonl(spark, jdir, schema)).select(*schema.fieldNames())
+    got_c = FS.good_rows(FS.read_csv(spark, cdir, schema, header=True)).select(*schema.fieldNames())
+    got_o = FS.read_orc(spark, odir).select(*schema.fieldNames())
+    for got in (got_j, got_c, got_o):
+        assert {tuple(r) for r in got.collect()} == expect
+
+
+def test_jsonl_malformed_line_isolated(spark, tmp_path):
+    """One garbage line in a JSONL file becomes a quarantined corrupt
+    row, not a failed scan (per-message error isolation, engine-shaped)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_practice_spark.sources import files as FS
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"event_id": 1, "event_type": "click"}\nNOT JSON AT ALL\n'
+                 '{"event_id": 2, "event_type": "view"}\n')
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ])
+    df = FS.read_jsonl(spark, str(p), schema)
+    assert FS.good_rows(df).count() == 2
+    bad = FS.corrupt_rows(df).collect()
+    assert len(bad) == 1 and "NOT JSON" in bad[0][0]
