@@ -273,3 +273,50 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= F.col("threshold"))
         .select("doc_id", "lang", "quality_score", F.col("threshold").cast("double").alias("threshold"))
     )
+
+
+_FP_SORTED_SQL = f"md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+WITH fps AS (
+  SELECT doc_id, lang, {_FP_SORTED_SQL} AS fp FROM documents
+),
+blocklist AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0
+)
+SELECT lang,
+       CAST(count(*) FILTER (fp NOT IN (SELECT fp FROM blocklist)) AS BIGINT)
+         AS n_kept,
+       CAST(count(*) FILTER (fp IN (SELECT fp FROM blocklist)) AS BIGINT)
+         AS n_removed
+FROM fps
+GROUP BY lang
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene step that
+    removes every document whose content fingerprint collides with an
+    eval/benchmark set (here: doc_id % 97 == 0 plays the benchmark):
+    fingerprint both sides with the order-insensitive sorted-token md5,
+    LEFT ANTI join corpus → blocklist.  Content-based (not id-based), so
+    near-exact copies of benchmark docs are swept too.  Scale: the
+    blocklist is typically thousands of fingerprints → broadcast anti
+    join, zero corpus shuffle; per-lang rollup after."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", "lang", T.fingerprint_sorted_tokens(F.col("text")).alias("fp")
+    )
+    blocklist = fps.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("fp").alias("_bfp")
+    ).distinct()
+    flagged = fps.join(
+        F.broadcast(blocklist), fps["fp"] == F.col("_bfp"), "left"
+    )
+    contaminated = F.col("_bfp").isNotNull()
+    return flagged.groupBy("lang").agg(
+        F.sum(F.when(~contaminated, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(contaminated, 1).otherwise(0)).cast("bigint").alias("n_removed"),
+    )
