@@ -80,6 +80,13 @@ def change_feed_from_events(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("false"))
         .alias("__deleted"),
         F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("props_k"),
+        # raw payload passthrough: consumers that only need the parsed
+        # field AFTER heavy reduction (e.g. the latest-per-key snapshot)
+        # parse post-filter from this column; Catalyst then prunes the
+        # eager props_k above out of their plans entirely, so the 600k-row
+        # from_json shrinks to a 120-row one.  History (which emits every
+        # row) keeps using the eager column — same cost as before.
+        F.col("props"),
     )
     # P3: idempotent dedup on the coordinate triple (replay from
     # `earliest` must be a warehouse no-op — simple_kafka_etl.py:52 +

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_practice_spark.cdc.history import with_change_type, with_registered_at_carry
+from cdc_practice_spark.schemas import PROPS_SCHEMA
 
 CURRENT_COLUMNS = [
     "original_id",
@@ -61,7 +62,9 @@ def build_current(feed: DataFrame) -> DataFrame:
             F.col("original_id").alias("user_id"),
             F.col("value"),
             F.col("event_type"),
-            F.col("props_k"),
+            # parse post-filter: only the surviving latest-per-key rows
+            # pay from_json (see feed.py — eager props_k is pruned away)
+            F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("props_k"),
             F.col("original_registered_at"),
             F.col("registered_at").alias("last_updated_at"),
         )
