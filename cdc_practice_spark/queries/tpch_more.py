@@ -20,6 +20,8 @@ names).  Each keeps the defining plan shape of its TPC-H original:
   Q15 — argmax over an aggregate view (max broadcast back as filter).
   Q17 — correlated per-group AVG threshold, decorrelated via semi join
         + pre-aggregate.
+  Q9  — 5-way join profit rollup (LIKE-pruned part dim, supplier-nation
+        broadcast, year extract), mixed-scale int64 fixed-point.
 
 Scale notes: facts shuffle once on their join key; nation (25 rows) is
 always broadcast; customer joins stay shuffle joins (broadcastable at
@@ -511,4 +513,63 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             .cast("double")
             .alias("avg_yearly")
         )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+           - CAST(p_retailprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(3,2))
+           AS amount
+  FROM part
+  JOIN lineitem ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp — supply cost modeled as 10% of
+    p_retailprice per unit): 5-way join, LIKE-filtered part dim,
+    supplier-nation rollup by order year.  part (LIKE-pruned) and
+    supplier⋈nation broadcast; the only big shuffle is
+    lineitem⋈orders on orderkey.  Profit units: revenue at 1e-4 minus
+    cost at 1e-5 (retail·qty·0.1) — both exact int64, combined at the
+    common 1e-5 scale so one long SUM carries the whole expression."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    # revenue: ext_e2 * (100-disc_e2) * 10  → 1e-5 units
+    # cost:    retail_e2 * qty_e2 = retail·qty·1e4 = (retail·qty·0.1)·1e5
+    #          → already 1e-5 units of the 10%-of-retail cost
+    rev_e5 = M.fixed("l_extendedprice") * (100 - M.fixed("l_discount")) * 10
+    cost_e5 = M.fixed("p_retailprice") * M.fixed("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(supp.join(F.broadcast(nation),
+                                  supp["s_nationkey"] == F.col("n_nationkey"))),
+            li["l_suppkey"] == supp["s_suppkey"],
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(M.sum_fixed_as_double(rev_e5 - cost_e5, 5).alias("sum_profit"))
     )

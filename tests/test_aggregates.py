@@ -60,3 +60,77 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_fixed_point_money_equals_decimal_sums(spark):
+    """functions/money.py contract: int64 fixed-point sums + post-agg
+    decimal rounding are penny-identical to decimal(12,2) sums for
+    2-decimal-valued doubles, including half-cent product rounding."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.functions import money as M
+
+    # adversarial values: .005 products, max-ish magnitudes, zero
+    vals = [(1, 0.01, 0.05), (2, 104999.99, 0.10), (3, 0.0, 0.00),
+            (4, 12345.67, 0.07), (5, 99999.99, 0.03), (6, 0.05, 0.10)]
+    df = spark.createDataFrame(vals, "id long, price double, disc double")
+    got = df.agg(
+        M.sum_fixed_as_double(M.fixed("price"), 2).alias("s2"),
+        M.sum_fixed_as_double(
+            M.fixed("price") * (100 - M.fixed("disc")), 4
+        ).alias("s4"),
+    ).head()
+    want = df.agg(
+        F.round(F.sum(F.col("price").cast("decimal(12,2)")), 2)
+        .cast("double").alias("s2"),
+        F.round(
+            F.sum(
+                F.col("price").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("disc").cast("decimal(4,2)"))
+            ),
+            2,
+        ).cast("double").alias("s4"),
+    ).head()
+    assert got.s2 == want.s2
+    assert got.s4 == want.s4
+
+
+def test_fixed_point_property_random_feeds(spark):
+    """Property: for random 2-decimal prices/discounts the fixed-point
+    path equals the decimal path on every grouped sum."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.functions import money as M
+
+    rng = random.Random(42)
+    rows = [
+        (i % 7, round(rng.uniform(0, 150000), 2), round(rng.uniform(0, 0.10), 2))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g int, price double, disc double")
+    units = M.fixed("price") * (100 - M.fixed("disc"))
+    got = {
+        r.g: r.rev
+        for r in df.groupBy("g")
+        .agg(M.sum_fixed_as_double(units, 4).alias("rev"))
+        .collect()
+    }
+    want = {
+        r.g: r.rev
+        for r in df.groupBy("g")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("price").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("disc").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("rev")
+        )
+        .collect()
+    }
+    assert got == want
