@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "text_quality",
+    "corpus_quality_filter",
     "ann_cosine_topk",
     "embedding_topk_pairs",
 ]
