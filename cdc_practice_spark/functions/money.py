@@ -50,6 +50,15 @@ def sum_fixed_as_double(
     return F.round(q, out_round).cast("double")
 
 
+def sum_fixed_exact_double(units: Column, in_scale: int) -> Column:
+    """SUM int64 units → the UNROUNDED value as double, via exact decimal
+    division (bit-identical to ``CAST(sum(DECIMAL ...) AS DOUBLE)`` —
+    casting the long sum straight to double would lose exactness past
+    2^53 units)."""
+    s = F.sum(units).cast("decimal(38,0)")
+    return (s / F.lit(10**in_scale).cast("decimal(19,0)")).cast("double")
+
+
 def sum_fixed_as_avg(units: Column, in_scale: int, n: Column, out_round: int = 6) -> Column:
     """round(CAST(sum AS DOUBLE) / n, out_round) over fixed-point units:
     the exact-sum-then-double-average shape the oracles use."""

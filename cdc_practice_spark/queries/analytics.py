@@ -285,7 +285,7 @@ def rollup_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _dbl(F.sum(_dec("o_totalprice"))).alias("total_price"),
+        M.sum_fixed_as_double(M.fixed("o_totalprice"), 2).alias("total_price"),
     )
 
 
@@ -368,7 +368,7 @@ def event_time_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _dbl(F.sum(_dec("value"))).alias("sum_value"),
+            M.sum_fixed_as_double(M.fixed("value"), 2).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_practice_spark.functions import money as M
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table
 
@@ -45,9 +46,9 @@ def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            _dbl(F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))).alias(
-                "total_spend"
-            ),
+            F.coalesce(
+                M.sum_fixed_as_double(M.fixed("o_totalprice"), 2), F.lit(0.0)
+            ).alias("total_spend"),
         )
     )
 
@@ -95,7 +96,7 @@ def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_custkey")
         .agg(
-            _dbl(F.sum(_dec("o_totalprice"))).alias("spend"),
+            M.sum_fixed_as_double(M.fixed("o_totalprice"), 2).alias("spend"),
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
@@ -123,7 +124,7 @@ def cube_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            _dbl(F.sum(_dec("c_acctbal"))).alias("total_balance"),
+            M.sum_fixed_as_double(M.fixed("c_acctbal"), 2).alias("total_balance"),
         )
     )
 
@@ -302,5 +303,9 @@ def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast(
             "bigint"
         ).alias("days_since_prev"),
-        _dbl(F.sum(_dec("o_totalprice")).over(w_run)).alias("running_spend"),
+        F.round(
+            F.sum(M.fixed("o_totalprice")).over(w_run).cast("decimal(38,0)")
+            / F.lit(100).cast("decimal(3,0)"),
+            2,
+        ).cast("double").alias("running_spend"),
     )

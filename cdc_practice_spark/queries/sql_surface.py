@@ -16,6 +16,7 @@ from cdc_practice_spark.cdc import (
     build_user_stats,
     change_feed_from_events,
 )
+from cdc_practice_spark.functions import money as M
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import TABLES, load_table
 
@@ -169,16 +170,17 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    rev_units = M.fixed("l_extendedprice") * (100 - M.fixed("l_discount"))
+    promo_units = F.when(F.col("p_type").like("PROMO%"), rev_units).otherwise(
+        F.lit(0).cast("bigint")
     )
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                F.lit(100.0) * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
+                F.lit(100.0)
+                * M.sum_fixed_exact_double(promo_units, 4)
+                / M.sum_fixed_exact_double(rev_units, 4),
                 6,
             ).alias("promo_revenue_pct")
         )

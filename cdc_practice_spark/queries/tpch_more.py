@@ -56,6 +56,11 @@ def _revenue() -> Column:
     return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
 
 
+def _rev_units() -> Column:
+    """revenue in exact 1e-4 int64 units (functions/money.py fast path)."""
+    return M.fixed("l_extendedprice") * (100 - M.fixed("l_discount"))
+
+
 @register(
     "tpch_q7_nation_volume",
     oracle=f"""
@@ -115,7 +120,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(_dbl(F.sum(_revenue())).alias("revenue"))
+        .agg(M.sum_fixed_as_double(_rev_units(), 4).alias("revenue"))
     )
 
 
@@ -153,7 +158,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_dbl(F.sum(_revenue())).alias("revenue"))
+        .agg(M.sum_fixed_as_double(_rev_units(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -225,7 +230,7 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(li, orders["o_orderkey"] == li["l_orderkey"])
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dbl(F.sum(_dec("l_quantity"))).alias("total_qty"))
+        .agg(M.sum_fixed_as_double(M.fixed("l_quantity"), 2).alias("total_qty"))
         .select(
             "c_custkey",
             "c_name",
@@ -275,7 +280,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .filter(cond)
-        .agg(_dbl(F.sum(_revenue())).alias("revenue"))
+        .agg(M.sum_fixed_as_double(_rev_units(), 4).alias("revenue"))
     )
 
 
@@ -318,7 +323,7 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _dbl(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+            M.sum_fixed_as_double(M.fixed("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
