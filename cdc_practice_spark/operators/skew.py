@@ -48,3 +48,44 @@ def salted_join(
     )
     out = f.join(d, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def salted_agg_sum_count(
+    df: DataFrame,
+    key: str,
+    value_units: "F.Column",
+    salt: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-level skew-proof aggregation: SUM + COUNT of ``value_units``
+    (int64 fixed-point) per ``key``, spread over ``salt`` sub-keys.
+
+    Level 1 groups by (key, salt) — the hot key's rows split across
+    `salt` reducers, each emitting one partial.  Level 2 combines the
+    ≤`salt` partials per key — a shuffle of key-cardinality×salt tiny
+    rows.  Long sums stay exact; this is also the overflow escape hatch
+    documented in functions/money.py (partials convert to decimal before
+    the final combine if per-group int64 headroom is in question).
+
+    The salt derives from a row-unique column (md5, not rand()) so
+    recomputed partitions salt identically — retry-safe."""
+    src = F.col(salt_source) if salt_source else F.concat_ws("\x00", *df.columns)
+    salt_col = (
+        F.conv(F.substring(F.md5(src.cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % salt
+    )
+    partials = (
+        df.withColumn("_salt", salt_col)
+        .groupBy(key, "_salt")
+        .agg(
+            F.sum(value_units).alias("_psum"),
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
+    )
+    return (
+        partials.groupBy(key)
+        .agg(
+            F.sum("_psum").alias("units_sum"),
+            F.sum("_pcnt").alias("n_rows"),
+        )
+    )

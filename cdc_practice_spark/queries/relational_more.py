@@ -1,6 +1,7 @@
 """Second relational-depth tier: window frame variants (ntile /
 percent_rank / cume_dist / RANGE frames), ordered string aggregation,
-deterministic stratified sampling, and a time-range join.
+deterministic stratified sampling, a time-range join, and the
+salted two-level skew-proof aggregate.
 
 Scale notes per query in the docstrings; shared conventions follow
 registry.py (identical aliases both engines, decimal-exact money,
@@ -174,4 +175,49 @@ def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("event_type") == "error", 1).otherwise(0)
             ).alias("n_errors"),
         )
+    )
+
+
+@register(
+    "skew_salted_user_value",
+    oracle="""
+SELECT skew_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM (
+  SELECT CASE WHEN user_id < 75 THEN -1 ELSE user_id END AS skew_key, value
+  FROM events
+) t
+GROUP BY skew_key
+""",
+)
+def skew_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation under the oracle gate: half the users
+    collapse onto one pathological hot key (-1), then the two-level
+    salted aggregate (operators/skew.py::salted_agg_sum_count) spreads
+    it over 32 sub-keys — level 1 shuffles (key, salt), level 2 combines
+    ≤32 tiny partials per key.  Same answer as a plain GROUP BY (the
+    oracle), but no single reducer ever sees the hot key whole — the
+    difference between finishing and straggling at 100 TB."""
+    from cdc_practice_spark.operators.skew import salted_agg_sum_count
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") < 75, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+        "event_id",
+    )
+    agg = salted_agg_sum_count(
+        ev, "skew_key", M.fixed("value"), salt=32, salt_source="event_id"
+    )
+    return agg.select(
+        "skew_key",
+        "n_rows",
+        (
+            F.round(
+                F.col("units_sum").cast("decimal(38,0)") / F.lit(100).cast("decimal(3,0)"),
+                2,
+            ).cast("double")
+        ).alias("sum_value"),
     )
