@@ -262,9 +262,13 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1 double/doc); at 100 TB swap the exact percentile for
     approx_percentile and nothing else changes."""
     docs = load_table(spark, sf_dir, "documents")
+    # persist: the scored projection feeds BOTH the threshold aggregate
+    # and the filter — without it Spark evaluates the whole text-scoring
+    # subtree twice (plans don't CSE across join branches; measured 2×).
+    # The cached footprint is 3 narrow columns, not the raw text.
     scored = docs.select(
         "doc_id", "lang", T.quality_score(F.col("text")).alias("quality_score")
-    )
+    ).persist()
     thr = scored.agg(
         F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("threshold")
     )
