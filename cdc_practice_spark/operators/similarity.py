@@ -71,10 +71,13 @@ def ivf_topk(
         )
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # round-6 before ranking: centroid averages are float-order-sensitive
+    # across engines/partitionings; at 1e-6 granularity the probe order is
+    # deterministic (ties broken by cell id), so the query is oracle-able
     best_cells = [
         r.cell
         for r in centroids.select(
-            "cell", cosine(F.col("centroid"), q).alias("sim")
+            "cell", F.round(cosine(F.col("centroid"), q), 6).alias("sim")
         )
         .orderBy(F.col("sim").desc(), F.col("cell"))
         .limit(nprobe)

@@ -24,8 +24,10 @@ def resample_forward_fill(
     """Per key: an even ``step_minutes`` grid from its first to its last
     event, each grid point carrying the latest value at-or-before it.
 
-    Output: (key, slot_us, value, is_observed) — is_observed marks grid
-    points that coincide with a real event (same epoch-µs slot)."""
+    Output: (key, slot_us, value). Keys whose ceil-aligned first slot
+    falls after their last event (e.g. a single event at a non-aligned
+    timestamp) produce an empty grid and are dropped — the same contract
+    as SQL ``generate_series(start, stop)`` with start > stop."""
     step_us = step_minutes * 60 * 1_000_000
     ts_us = F.unix_micros(F.col(time_col).cast("timestamp"))
 
@@ -42,11 +44,16 @@ def resample_forward_fill(
         F.min("t_us").alias("t0"), F.max("t_us").alias("t1")
     )
     first_slot = (F.ceil(F.col("t0") / step_us) * step_us).cast("long")
+    # F.sequence raises on start > stop; generate_series returns empty.
+    # Guard with an empty array (explode drops the key) so a key whose
+    # only event sits between two grid lines doesn't crash the job.
+    safe_seq = F.when(
+        first_slot <= F.col("t1"),
+        F.sequence(first_slot, F.col("t1"), F.lit(step_us)),
+    ).otherwise(F.array().cast("array<long>"))
     grid = bounds.select(
         "k",
-        F.explode(
-            F.sequence(first_slot, F.col("t1"), F.lit(step_us))
-        ).alias("t_us"),
+        F.explode(safe_seq).alias("t_us"),
     ).select(
         "k", "t_us", F.lit(None).cast("double").alias("v"), F.lit(0).alias("is_event")
     )

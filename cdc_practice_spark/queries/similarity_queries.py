@@ -1,11 +1,12 @@
 """Similarity-search queries over ``embeddings`` (array<float> column).
 
-ann_cosine_topk / embedding_topk_pairs have digit-exact DuckDB oracles
-(double math, deterministic summation, round-6 before compare).
-ann_ivf_topk and ann_batch_scorer are rows-only checked by the driver
-(IVF centroid averaging is float-order-sensitive; the mapInPandas scorer
-returns numpy doubles) — their consistency with the exact baseline is
-asserted in tests/test_similarity.py instead.
+All four ANN queries carry full DuckDB oracles (double math, round-6
+before compare).  The two float-order-sensitive ones are made
+deterministic at oracle granularity: ann_ivf_topk ranks its centroid
+probe on round-6 cosine with a cell-id tiebreak on both engines, and
+ann_batch_scorer's argmax tie-breaks on query id (numpy argmax picks the
+first index on exact ties).  Consistency with the exact brute-force
+baseline is additionally asserted in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -17,15 +18,20 @@ from cdc_practice_spark.operators import similarity as S
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table
 
-_COS_SQL = """
-round(
-  CAST(list_sum(list_transform(generate_series(1, 64),
+_COS_RAW = """
+(CAST(list_sum(list_transform(generate_series(1, 64),
        i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) AS DOUBLE)
   / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
           i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)) AS DOUBLE))
      * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
-            i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)) AS DOUBLE))), 6)
+            i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)) AS DOUBLE))))
 """
+_COS_SQL = f"round({_COS_RAW}, 6)"
+
+# per-dimension centroid of a cell, as a DOUBLE list (IVF index build)
+_CENTROID_SQL = (
+    "[" + ", ".join(f"avg(embedding[{i}]::DOUBLE)" for i in range(1, 65)) + "]"
+)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -59,10 +65,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@register("ann_ivf_topk")  # rows-only: centroid float averaging is order-sensitive
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT label AS cell, {_CENTROID_SQL} AS centroid
+  FROM embeddings GROUP BY label
+),
+best AS (
+  SELECT cell
+  FROM cent, q
+  ORDER BY {_COS_SQL.format(a='centroid', b='qv')} DESC, cell
+  LIMIT 3
+)
+SELECT e.vec_id,
+       {_COS_SQL.format(a='e.embedding', b='qv')} AS cosine
+FROM embeddings e, q
+WHERE e.label IN (SELECT cell FROM best)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (probe the 3 best cells by centroid
-    cosine).  The 100 TB path — see operators/similarity.py:ivf_topk."""
+    cosine).  The 100 TB path — see operators/similarity.py:ivf_topk.
+    Deterministic given fixed nprobe: the centroid probe ranks on
+    round-6 cosine (cell-id tiebreak) on BOTH engines, so the oracle
+    hash-matches despite float-order-sensitive centroid averaging."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=3)
 
@@ -86,11 +116,35 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_similar_pairs(emb, k=20)
 
 
-@register("ann_batch_scorer")  # rows-only: numpy matmul result, no SQL twin
+@register(
+    "ann_batch_scorer",
+    oracle=f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT e.vec_id, q.qid,
+         {_COS_RAW.format(a='e.embedding', b='q.qv')} AS c
+  FROM embeddings e, qs q
+),
+ranked AS (
+  SELECT vec_id, qid, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, qid) AS rn
+  FROM scored
+)
+SELECT vec_id,
+       CAST(qid AS INTEGER) AS best_query,
+       CAST(round(c, 6) AS DOUBLE) AS best_cosine
+FROM ranked WHERE rn = 1
+""",
+)
 def ann_batch_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized mapInPandas batch scorer: every vector scored
     against a 4-vector query matrix in one numpy matmul per batch —
-    the many-query fast path (~10-100× row-at-a-time Python)."""
+    the many-query fast path (~10-100× row-at-a-time Python).
+    Deterministic max-cosine vs a fixed query matrix, so it carries a
+    full DuckDB oracle (argmax = full-precision rank, qid tiebreak —
+    numpy argmax picks the first index on exact ties, same contract)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qm = [
         list(r.embedding)

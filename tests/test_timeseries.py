@@ -56,3 +56,39 @@ def test_slot_on_event_takes_event_value(spark):
     t2 = int(ts("2024-01-01T02:00:00").timestamp() * 1e6)
     assert out[t1] == 5.0  # event exactly on the slot is visible to it
     assert out[t2] == 7.0
+
+
+def test_single_event_key_off_grid_drops_not_crashes(spark):
+    # one key whose only event sits between grid lines (ceil-aligned first
+    # slot > last event ts) must yield no rows, not IllegalArgumentException;
+    # a healthy key in the same frame must still resample normally
+    rows = [
+        (0, ts("2024-01-01T00:30:00"), 1, "a", 10.0, "{}"),  # lone, off-grid
+        (1, ts("2024-01-01T00:10:00"), 2, "a", 1.0, "{}"),
+        (2, ts("2024-01-01T02:20:00"), 2, "a", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = resample_forward_fill(df, step_minutes=60).collect()
+    assert {r.user_id for r in out} == {2}  # key 1 dropped like generate_series
+    vals = {r.slot_us: r.value for r in out}
+    hour = 3600 * 1_000_000
+    base = int(ts("2024-01-01T01:00:00").timestamp() * 1e6)
+    assert set(vals) == {base, base + hour}
+    assert vals[base] == 1.0 and vals[base + hour] == 1.0
+
+
+def test_aligned_single_event_key_kept(spark):
+    # a lone event exactly on a grid line is its own (only) slot
+    rows = [(0, ts("2024-01-01T03:00:00"), 7, "a", 9.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = resample_forward_fill(df, step_minutes=60).collect()
+    assert len(out) == 1
+    assert out[0].value == 9.0
