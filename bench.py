@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from cdc_practice_spark.plans.cache import release_tracked
 from cdc_practice_spark.queries import registry
 from cdc_practice_spark.session import get_spark
 
@@ -76,6 +77,7 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            release_tracked()  # drop operator-internal caches between runs
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)

@@ -50,7 +50,9 @@ def change_feed(raw: DataFrame) -> DataFrame:
     )
 
 
-def change_feed_from_events(events: DataFrame) -> DataFrame:
+def change_feed_from_events(
+    events: DataFrame, dedup_watermark: str | None = "1 day"
+) -> DataFrame:
     """Derive the deterministic CDC change feed from the driver's ``events``
     fixture table (FIXTURES.md §B mapping):
 
@@ -92,14 +94,31 @@ def change_feed_from_events(events: DataFrame) -> DataFrame:
     # `earliest` must be a warehouse no-op — simple_kafka_etl.py:52 +
     # dedup probes at :81-88,119-126).  Physical strategy differs by
     # runtime, same semantics:
-    #   - streaming: stateful dropDuplicates (state-store keyed dedup —
-    #     lag() windows are unsupported on streams)
+    #   - streaming: state-store keyed dedup, WATERMARK-BOUNDED by
+    #     default (dropDuplicatesWithinWatermark on event time) — a
+    #     plain dropDuplicates keeps every coordinate triple forever,
+    #     which leaks state in a long-running stream.  A Kafka
+    #     redelivery arrives within broker retention of the original,
+    #     so `dedup_watermark` (default 1 day) bounds state without
+    #     losing dedup coverage; pass None for the unbounded store
+    #     (short replays / tests that predate event-time columns).
     #   - batch: per-key adjacent-repeat removal that rides the same
     #     shuffle+sort the downstream windows need (a global
     #     dropDuplicates would add two extra exchanges; measured, its
     #     first()-aggregate dominated the flagship plan).
     if feed.isStreaming:
-        return feed.dropDuplicates(list(KAFKA_COORDS))
+        if dedup_watermark is None:
+            return feed.dropDuplicates(list(KAFKA_COORDS))
+        # watermark needs TIMESTAMP_LTZ; session tz is pinned UTC so the
+        # NTZ→LTZ cast is deterministic.  Dropped again before return.
+        return (
+            feed.withColumn(
+                "_event_time", F.col("registered_at").cast("timestamp")
+            )
+            .withWatermark("_event_time", dedup_watermark)
+            .dropDuplicatesWithinWatermark(list(KAFKA_COORDS))
+            .drop("_event_time")
+        )
     return dedup_coords_within_key(feed)
 
 

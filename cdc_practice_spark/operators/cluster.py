@@ -22,15 +22,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdc_practice_spark.plans.cache import tracked_persist
+
 
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 10,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
-    component id is the minimum node id reachable."""
+    component id is the minimum node id reachable.
+
+    Min-label propagation advances one hop per round, so a cluster whose
+    diameter exceeds ``max_iter`` would exit the loop with WRONG
+    (unconverged) labels.  That is never silent: ``strict=True`` (default)
+    raises when the final round still changed labels; ``strict=False``
+    downgrades to a warning for callers that accept approximate
+    components on pathological chain graphs."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -45,6 +55,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -59,8 +70,8 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
         )
+        new_labels = tracked_persist(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -72,6 +83,18 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components: max_iter={max_iter} exhausted with "
+            f"{changed} labels still changing — component ids are NOT "
+            f"converged (cluster diameter > max_iter); raise max_iter"
+        )
+        if strict:
+            labels.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_practice_spark.plans.cache import tracked_persist
+
 MOD = 1_000_000_007
 NUM_PERM = 16
 BANDS = 4
@@ -127,10 +129,8 @@ def minhash_lsh_pairs(
     # array_intersect on longs beats string comparison; Jaccard over
     # 60-bit hashes equals string Jaccard up to negligible collisions
     # (and the oracle intersects the same hash lists, so parity is exact).
-    hs = (
-        with_shingle_hashes(docs, id_col, text_col)
-        .select("doc_id", "hs")
-        .persist()
+    hs = tracked_persist(
+        with_shingle_hashes(docs, id_col, text_col).select("doc_id", "hs")
     )
 
     sig = hs.select("doc_id", *minhash_signature(F.col("hs")))
@@ -147,10 +147,12 @@ def minhash_lsh_pairs(
     # bands carry ONLY (doc_id, band) — candidate pairs join back to the
     # persisted hash sets for the verify, so the ×BANDS explode never
     # replicates the arrays.
-    banded = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
-    ).persist()  # id+key rows only — cheap, and spares the self-join a
-    # second full signature computation
+    banded = tracked_persist(
+        sig.select(
+            "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+        )
+    )  # id+key rows only — cheap, and spares the self-join a second
+    # full signature computation
 
     candidates = (
         banded.alias("a")
@@ -324,7 +326,7 @@ def simhash_pairs(
     for max_hamming <= 3 (recall documented above that radius).
     Equality joins scale — no O(N^2) pair explosion.  Signatures are
     persisted so the self-join doesn't re-derive the md5 fold per side."""
-    s = with_simhash60(docs, id_col, text_col).persist()
+    s = tracked_persist(with_simhash60(docs, id_col, text_col))
     mask = (1 << SIM_BAND_WIDTH) - 1
     bands = F.array(
         *[

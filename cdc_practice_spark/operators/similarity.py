@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_practice_spark.functions.vectors import cosine, to_double
+from cdc_practice_spark.plans.cache import tracked_persist
 
 
 def brute_force_topk(
@@ -158,7 +159,8 @@ def topk_similar_pairs_expr(
         F.col(id_col).alias("vid"),
         to_double(F.col(vec_col)).alias("v"),
         F.col(cell_col).alias("cell"),
-    ).withColumn("nrm", norm(F.col("v"))).persist()
+    ).withColumn("nrm", norm(F.col("v")))
+    base = tracked_persist(base)
     a = base.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "cell",

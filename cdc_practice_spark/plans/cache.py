@@ -1,0 +1,41 @@
+"""Tracked persist — bounded cache lifetime for operator-internal caches.
+
+Several operators persist an intermediate on purpose (self-join subtrees
+don't common-subexpression-eliminate in Spark — measured 10× on the LSH
+path), but a building block that returns a *lazy* DataFrame can't
+unpersist before its caller materializes.  Left alone, repeated
+invocations (bench.py's min-of-3 loop, a long-lived service session)
+accumulate cached blocks until eviction pressure.
+
+Contract: operators register every internal ``persist()`` here via
+``tracked_persist``; whoever MATERIALIZES the result calls
+``release_tracked()`` afterwards.  bench.py, tools/check_oracle.py and
+the test session fixture do.  ``unpersist`` on an already-released
+DataFrame is a no-op, so double-release is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist(df) and remember it for the next release_tracked()."""
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked(blocking: bool = False) -> int:
+    """Unpersist every tracked DataFrame; returns how many were released."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

@@ -112,10 +112,19 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
 )
-def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpch_q3_shipping_priority(
+    spark: SparkSession, sf_dir: str, broadcast_max_rows: int | None = None
+) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter (customer, broadcast) →
     fact-fact join → group → top-k.  Customer is broadcast so the only
     shuffle is orders⋈lineitem on orderkey + the final aggregation."""
+    from cdc_practice_spark.plans.hints import (
+        DEFAULT_BROADCAST_MAX_ROWS,
+        broadcast_if_small,
+    )
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = DEFAULT_BROADCAST_MAX_ROWS
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -133,12 +142,16 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
     return (
-        # broadcast the dim-pruned orders side: the BUILDING+date filters
-        # leave ~2% of orders, far below the filtered-lineitem side that
-        # Catalyst's static estimate would otherwise pick (measured: it
-        # broadcast 330k lineitem rows).  At 100 TB drop this hint — AQE's
-        # runtime sizes then choose shuffle for both fact sides.
-        li.join(F.broadcast(building_orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        # The BUILDING+date filters leave ~2% of orders — far below the
+        # filtered-lineitem side Catalyst's static estimate would pick
+        # (measured: it broadcast 330k lineitem rows).  But a hard-coded
+        # hint is a scale trap, so broadcast_if_small gates it on a
+        # runtime count: small → broadcast (the measured local win);
+        # large (100 TB) → unhinted shuffle join that AQE re-plans.
+        li.join(
+            broadcast_if_small(building_orders, broadcast_max_rows),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(M.sum_fixed_as_double(rev_units, 4).alias("revenue"))
         .select(

@@ -266,9 +266,13 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the filter — without it Spark evaluates the whole text-scoring
     # subtree twice (plans don't CSE across join branches; measured 2×).
     # The cached footprint is 3 narrow columns, not the raw text.
-    scored = docs.select(
-        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality_score")
-    ).persist()
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    scored = tracked_persist(
+        docs.select(
+            "doc_id", "lang", T.quality_score(F.col("text")).alias("quality_score")
+        )
+    )
     thr = scored.agg(
         F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("threshold")
     )

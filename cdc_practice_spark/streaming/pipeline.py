@@ -54,21 +54,14 @@ def stream_history_append(
     events_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:
     """S8 append-only history sink: normalized feed rows appended as
-    parquet, watermark-bounded coordinate dedup replacing the
-    reference's unbounded SELECT-COUNT probe (simple_kafka_etl.py:81-88)."""
+    parquet.  The watermark-bounded coordinate dedup (replacing the
+    reference's unbounded SELECT-COUNT probe, simple_kafka_etl.py:81-88)
+    lives INSIDE change_feed_from_events — one state store, shared with
+    the upsert path, instead of the double-dedup this sink used to
+    layer on top."""
     feed = change_feed_from_events(events_stream)
-    # watermark requires TIMESTAMP_LTZ (session tz is pinned UTC, so the
-    # NTZ→LTZ cast is deterministic); dropped again before the sink.
-    deduped = (
-        feed.withColumn("event_time", F.col("registered_at").cast("timestamp"))
-        .withWatermark("event_time", "1 day")
-        .dropDuplicatesWithinWatermark(
-            ["kafka_topic", "kafka_partition", "kafka_offset"]
-        )
-        .drop("event_time")
-    )
     return (
-        deduped.writeStream.format("parquet")
+        feed.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

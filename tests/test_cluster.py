@@ -30,3 +30,23 @@ def test_dedup_clusters_keeps_representatives(spark):
         assert out[singleton] == (singleton, True)
     kept = sum(1 for _, (rep, keep) in out.items() if keep)
     assert kept == 6  # 8 docs - 2 merged away
+
+
+def test_unconverged_raises_not_silent(spark):
+    # a 6-node chain has diameter 5; min-label propagation moves one hop
+    # per round, so max_iter=2 CANNOT converge — that must surface, never
+    # silently return wrong component ids
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="NOT converged"):
+        connected_components(chain, max_iter=2)
+    # strict=False downgrades to a warning and returns the partial labels
+    with pytest.warns(RuntimeWarning, match="NOT converged"):
+        connected_components(chain, max_iter=2, strict=False).collect()
+    # and with enough rounds the same chain converges cleanly
+    comp = {
+        r.node: r.component
+        for r in connected_components(chain, max_iter=6).collect()
+    }
+    assert set(comp.values()) == {0}

@@ -114,6 +114,35 @@ def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan  # recent-orders filter pushed
 
 
+def test_q3_broadcast_is_size_gated(spark, sf_dir):
+    """q3's fact-side broadcast must be decided by a runtime row count,
+    not a hard-coded hint: above the threshold the li⋈orders join must
+    fall back to a shuffle join (AQE's domain), below it the measured
+    broadcast win is kept.  A hint that must be hand-removed at 100 TB
+    is a latent scale-killer."""
+    from cdc_practice_spark.queries.analytics import tpch_q3_shipping_priority
+    from cdc_practice_spark.plans.explain import plan_string
+
+    # threshold 0: building_orders "too big" → the code must inject NO
+    # broadcast hint for it; the only ResolvedHint left in the logical
+    # plan is the genuinely-dim customer side.  (At test scale Catalyst
+    # may still pick broadcast from its own size estimates — that's its
+    # call to make, and AQE's to revise; what we assert is that WE no
+    # longer force it.)
+    def analyzed_hints(plan: str) -> int:
+        section = plan.split("== Analyzed Logical Plan ==")[1].split("==")[0]
+        return section.count("ResolvedHint (strategy=broadcast)")
+
+    gated = plan_string(tpch_q3_shipping_priority(spark, sf_dir, 0))
+    assert analyzed_hints(gated) == 1
+
+    # default threshold at test scale: runtime count passes → hint kept
+    # (the measured win) and the physical join is a broadcast
+    hinted = plan_string(tpch_q3_shipping_priority(spark, sf_dir))
+    assert analyzed_hints(hinted) == 2
+    assert "BroadcastHashJoin" in hinted
+
+
 def test_range_join_is_equi_join(spark, sf_dir):
     """The interval-containment join must hash/sort-merge on the user_id
     equality key with the time range as residual — a nested-loop here is

@@ -40,6 +40,8 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = e.oracle_sql()
 
+    from cdc_practice_spark.plans.cache import release_tracked
+
     def best_of(fn) -> float:
         best = None
         for _ in range(repeats):
@@ -47,6 +49,7 @@ def main() -> None:
             fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            release_tracked()  # cold-per-run: no warm operator caches
         return best
 
     rows, s_tot, d_tot = [], 0.0, 0.0

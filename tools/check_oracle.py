@@ -68,6 +68,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
             continue
+        finally:
+            from cdc_practice_spark.plans.cache import release_tracked
+
+            release_tracked()
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows")
             continue
