@@ -2,10 +2,12 @@
 actual endpoints (MySQL OLTP source for snapshot loads, Postgres DW sink,
 docker-compose.yml:9-73,163-213).
 
-No database exists in the test container, so these builders are
-exercised for option-correctness only (tests/test_sources.py); the
-parquet sinks used by the harness are drop-in replacements (same
-DataFrame in, same semantics).
+No Postgres/MySQL exists in the test container, but the write and
+partitioned-read paths ARE executed end-to-end against embedded Derby
+(Spark bundles the driver) in tests/test_sources.py — same
+DataFrameWriter/Reader JDBC code path, different dialect.  The parquet
+sinks used by the harness are drop-in replacements (same DataFrame in,
+same semantics).
 
 Scale notes baked into the defaults:
   - reads partition on a numeric column (``partitionColumn`` +

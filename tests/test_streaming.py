@@ -142,6 +142,72 @@ def test_checkpoint_resume_no_reprocessing(spark, sf_dir):
     assert mid_keys > 0
 
 
+def test_kill_mid_replay_then_resume_exactly_once(spark, sf_dir):
+    """Durability depth (SURVEY §2.5.4): STOP the upsert stream in the
+    middle of a multi-batch replay — after ≥1 committed micro-batch,
+    before the rest — then resume from the checkpoint.  The final state
+    must equal the batch snapshot exactly: no lost batch, no
+    double-applied batch.  This is the delivery contract the reference
+    approximates with auto-commit offsets + a dedup probe
+    (simple_kafka_etl.py:52-55,81-88)."""
+    import time
+
+    from cdc_practice_spark.streaming.pipeline import (
+        load_current_state,
+        stream_current_upsert,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="kill_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=4)
+    state_root = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    # run 1: one file per micro-batch; kill after the first batch commits
+    q = stream_current_upsert(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root,
+        ckpt,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= 1 and os.path.exists(os.path.join(state_root, "_POINTER")):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    mid = load_current_state(spark, state_root).count()
+    assert mid > 0  # genuinely mid-replay: some state, not all
+
+    # run 2: resume from the same checkpoint to completion
+    q2 = stream_current_upsert(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root,
+        ckpt,
+    )
+    q2.awaitTermination()
+
+    final = load_current_state(spark, state_root)
+    batch = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    s = {
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in final.collect()
+    }
+    b = {
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in batch.collect()
+    }
+    assert s == b
+
+
 def test_kafka_source_options_mirror_reference():
     opts = kafka_source_options("broker:9092")
     assert opts["subscribe"] == "dbserver1.bankdb.bank_accounts"
