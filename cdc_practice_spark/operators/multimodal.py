@@ -11,13 +11,18 @@ corpus needs:
   - batches are size-bounded via spark.sql.execution.arrow.maxRecordsPerBatch
     so a partition of 4K video blobs can't OOM a worker.
 
-The CODEC KERNELS are deliberately stubbed: the image/audio libraries
-are not in this container (and a real deployment would swap in
-PIL/ffmpeg/torchvision).  Each kernel either raises NotImplementedError
-(``strict=True``) or runs a deterministic fake (default) whose outputs
-are derived only from the payload bytes — so the distributed plumbing
-(schemas, batching, partitioning, UDF signatures) is fully exercised by
-tests while the pixel math is clearly marked fake.
+Codec realness, per modality:
+  - IMAGE: a REAL decode path exists and is oracle-verified — valid
+    24-bit BMP payloads (public spec) decoded to pixel arrays by PIL
+    when importable, else by the numpy BMP parser below (identical RGB
+    output for BMP input).  See synth_bmp / decode_bmp_numpy /
+    decode_images.
+  - AUDIO/VIDEO: the codec kernels are stubbed (no soundfile/ffmpeg in
+    the container; a real deployment swaps them in).  Each stub either
+    raises NotImplementedError (``strict=True``) or runs a deterministic
+    byte-stats fake (default) whose outputs derive only from the payload
+    bytes — the distributed plumbing (schemas, batching, partitioning,
+    UDF signatures) is fully exercised while the fake is clearly marked.
 """
 
 from __future__ import annotations
@@ -146,6 +151,161 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "content").mapInPandas(
         featurize, schema=FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL image path: valid BMP payloads + a real pixel decoder.
+#
+# The container has no media libraries, but the 24-bit BMP format (public
+# spec: BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows padded to
+# 4 bytes) is simple enough to both WRITE and DECODE without them — so the
+# engine carries a genuinely real decode kernel: PIL when importable
+# (arbitrary formats), a numpy BMP parser otherwise.  Same query, real
+# pixels, either way.  Only non-image modalities still use _fake_decode.
+# ---------------------------------------------------------------------------
+
+
+def _pil_image_module():
+    try:
+        from PIL import Image  # optional — not in this container
+
+        return Image
+    except ImportError:
+        return None
+
+
+def synth_bmp(asset_id: int, width: int, height: int) -> bytes:
+    """A valid 24-bit BMP whose pixel (x, y, channel c∈{R,G,B}) equals
+    ``(asset_id + 7x + 13y + 31c) % 256`` — deterministic, so an oracle
+    can recompute every pixel without parsing the binary."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    image_size = (row_bytes + pad) * height
+    header = (
+        b"BM"
+        + (54 + image_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")  # positive → bottom-up rows
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + image_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            r = (asset_id + 7 * x + 13 * y) % 256
+            g = (asset_id + 7 * x + 13 * y + 31) % 256
+            b = (asset_id + 7 * x + 13 * y + 62) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def decode_bmp_numpy(data: bytes):
+    """Real BMP decode with numpy only: returns (width, height,
+    ndarray[h, w, 3] in RGB order).  Raises ValueError on anything that
+    isn't an uncompressed 24-bit BMP."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bits = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bits != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: {bits}-bit/c{compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=offset)
+    rows = raw.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return width, height, rows[:, :, ::-1]  # BGR → RGB
+
+
+def synth_image_assets(docs: DataFrame) -> DataFrame:
+    """Real binary image fixtures: one small BMP per document, dims
+    derived from doc_id (width = id%8+2, height = id%6+2).  Runs as
+    mapInPandas — fixture synthesis is distributed like any other
+    stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            w = (ids % 8 + 2).astype("int32")
+            h = (ids % 6 + 2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": w,
+                    "height": h,
+                    "content": [
+                        synth_bmp(int(i), int(wi), int(hi))
+                        for i, wi, hi in zip(ids, w, h)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="asset_id long, width int, height int, content binary"
+    )
+
+
+IMAGE_DECODED_SCHEMA = (
+    "asset_id long, width int, height int, mean_pixel double"
+)
+
+
+def decode_images(assets: DataFrame) -> DataFrame:
+    """REAL pixel decode as mapInPandas: PIL if importable, else the
+    numpy BMP parser — both produce identical RGB arrays for BMP input,
+    so the query result is environment-independent.  Output: decoded
+    dims (from the payload, NOT the metadata columns) + mean pixel."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        Image = _pil_image_module()
+
+        def one(b: bytes):
+            if Image is not None:
+                import io
+
+                with Image.open(io.BytesIO(b)) as im:
+                    arr = np.asarray(im.convert("RGB"))
+                return arr.shape[1], arr.shape[0], arr
+            return decode_bmp_numpy(b)
+
+        for pdf in batches:
+            w, h, mean = [], [], []
+            for b in pdf["content"]:
+                wi, hi, arr = one(bytes(b))
+                w.append(wi)
+                h.append(hi)
+                mean.append(float(arr.astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "mean_pixel": mean,
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        decode, schema=IMAGE_DECODED_SCHEMA
     )
 
 

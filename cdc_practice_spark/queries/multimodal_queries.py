@@ -1,11 +1,18 @@
-"""Multimodal plumbing under the oracle gate.
+"""Multimodal queries under the oracle gate.
 
-The codec kernel is a deterministic fake (no media libs in container),
-which has a silver lining: the ENTIRE distributed path — synth binary
-assets → Arrow-batched mapInPandas decode → aggregate — is exactly
-reproducible in SQL, so the driver hash-checks the mapInPandas plumbing
-itself (schema, batching, byte-level payload handling), not just a row
-count.
+Two tiers of realness:
+  - ``multimodal_image_decode`` runs a REAL pixel decoder (PIL when
+    importable, a numpy BMP parser otherwise) over valid 24-bit BMP
+    binaries synthesized from a deterministic pixel formula — so the
+    oracle recomputes every pixel in SQL and hash-checks actual decoded
+    image statistics, not byte stats.
+  - ``multimodal_decode_stats`` keeps the byte-stats kernel for the
+    non-image modalities (audio/video codecs genuinely aren't in the
+    container); its oracle reproduces the same byte math in SQL.
+
+``multimodal_resize_plan`` / ``multimodal_frame_sample`` oracle-check the
+JVM-side geometry/sampling stages (pure arithmetic + sequence/explode —
+no Python in those plans at all).
 
 Float note: each asset's mean_byte is sum(ascii)/256 — an exact multiple
 of 2⁻⁸ — so sums/averages are bit-exact regardless of aggregation order.
@@ -16,9 +23,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_practice_spark.operators.multimodal import decode_assets, synth_assets
+from cdc_practice_spark.operators.multimodal import (
+    decode_assets,
+    decode_images,
+    resize_plan,
+    sample_frames,
+    synth_assets,
+    synth_image_assets,
+)
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table
+
+_SYNTH_META_SQL = """
+  SELECT doc_id AS asset_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+         CAST(doc_id % 300 + 1 AS INTEGER) AS n_frames
+  FROM documents
+"""
 
 
 @register(
@@ -60,3 +83,78 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_byte"), 6).alias("avg_mean_byte"),
         F.countDistinct("content_sha256").alias("n_distinct_payloads"),
     )
+
+
+@register(
+    "multimodal_image_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 8 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS height
+  FROM documents
+),
+grid AS (
+  SELECT x.g AS x, y.g AS y, c.g AS c
+  FROM (SELECT unnest(generate_series(0, 8)) AS g) x,
+       (SELECT unnest(generate_series(0, 6)) AS g) y,
+       (SELECT unnest(generate_series(0, 2)) AS g) c
+)
+SELECT d.asset_id, d.width, d.height,
+       round(avg((d.asset_id + 7 * g.x + 13 * g.y + 31 * g.c) % 256), 6)
+         AS mean_pixel
+FROM dims d
+JOIN grid g ON g.x < d.width AND g.y < d.height
+GROUP BY d.asset_id, d.width, d.height
+""",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle gate: valid BMP binaries in,
+    actual pixel arrays out (PIL or the numpy BMP parser —
+    operators/multimodal.py:decode_images).  The oracle recomputes every
+    pixel from the synthesis formula, so a wrong stride, padding, BGR
+    swap, or row order in the decoder fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_images(synth_image_assets(docs))
+    return decoded.select(
+        "asset_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
+    )
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle=f"""
+WITH assets AS ({_SYNTH_META_SQL})
+SELECT asset_id, modality, width, height,
+       CAST(ceil(width * least(1.0, 256.0 / greatest(width, height)))
+            AS INTEGER) AS target_width,
+       CAST(ceil(height * least(1.0, 256.0 / greatest(width, height)))
+            AS INTEGER) AS target_height
+FROM assets
+WHERE modality IN ('image', 'video')
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize geometry stage (aspect-preserving fit into 256×256):
+    computed entirely JVM-side — no UDF — so the 100 TB plan is a pure
+    projection over the metadata columns with the payload pruned away."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(synth_assets(docs), max_side=256).drop("resized_content")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH assets AS ({_SYNTH_META_SQL})
+SELECT asset_id, n_frames,
+       unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
+FROM assets
+WHERE modality = 'video'
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage: every-30th frame index per video via
+    sequence+explode — output size proportional to sampled frames, no
+    Python, no per-frame rows materialized before the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(synth_assets(docs), every_n=30)

@@ -72,3 +72,56 @@ def test_frame_sampling(assets):
     assert per_asset
     for r in per_asset:
         assert r.n == (max(r.nf - 1, 0)) // 30 + 1  # sequence(0, nf-1, 30)
+
+
+def test_bmp_roundtrip_pixel_exact():
+    """synth_bmp → decode_bmp_numpy is pixel-exact against the synthesis
+    formula, across widths that exercise every row-padding case (w%4 ∈
+    {0,1,2,3})."""
+    import numpy as np
+
+    for asset_id, w, h in [(7, 2, 3), (11, 3, 2), (42, 4, 5), (255, 5, 4), (999, 8, 7)]:
+        data = M.synth_bmp(asset_id, w, h)
+        dw, dh, arr = M.decode_bmp_numpy(data)
+        assert (dw, dh) == (w, h)
+        expect = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    expect[y, x, c] = (asset_id + 7 * x + 13 * y + 31 * c) % 256
+        assert np.array_equal(arr, expect), (asset_id, w, h)
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    with pytest.raises(ValueError, match="not a BMP"):
+        M.decode_bmp_numpy(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")
+
+
+def test_pil_parity_with_numpy_parser():
+    """When PIL is installed the decode path switches to it — its output
+    must be byte-identical to the numpy parser (skips where PIL absent,
+    runs in any dev environment that has it)."""
+    Image = M._pil_image_module()
+    if Image is None:
+        pytest.skip("PIL not installed in this container")
+    import io
+
+    import numpy as np
+
+    data = M.synth_bmp(123, 6, 5)
+    with Image.open(io.BytesIO(data)) as im:
+        pil_arr = np.asarray(im.convert("RGB"))
+    _, _, np_arr = M.decode_bmp_numpy(data)
+    assert np.array_equal(pil_arr, np_arr)
+
+
+def test_decode_images_runs_distributed(spark, sf_dir):
+    """decode_images over synthesized BMP assets: row-per-asset, dims
+    decoded FROM THE PAYLOAD match the synthesis dims."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = M.decode_images(M.synth_image_assets(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.width == r.asset_id % 8 + 2
+        assert r.height == r.asset_id % 6 + 2
+        assert 0.0 <= r.mean_pixel <= 255.0
