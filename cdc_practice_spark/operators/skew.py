@@ -4,7 +4,10 @@ AQE's skew-join splitting (enabled in session.py) handles most skew at
 runtime by splitting oversized shuffle partitions.  Salting is the
 explicit fallback for the pathological case AQE can't fix: ONE key so
 hot that even a split partition is dominated by it (the classic
-power-law user in a 100 TB event log).
+power-law user in a 100 TB event log).  Measured on a 40%-hot key
+(tools/ab_skew.py, 8M rows, broadcast disabled): salted_join 1.52× over
+plain SMJ and 1.19× over AQE skew-split; numbers + operating rules in
+SCALE.md §Skew A/B.
 
 ``salted_join(facts, dim, key, salt)``:
   - fact side: add a uniform random-ish salt in [0, salt) derived
@@ -59,6 +62,13 @@ def salted_agg_sum_count(
 ) -> DataFrame:
     """Two-level skew-proof aggregation: SUM + COUNT of ``value_units``
     (int64 fixed-point) per ``key``, spread over ``salt`` sub-keys.
+
+    When to use — measured (tools/ab_skew.py, 40%-hot key, 8M rows):
+    plain groupBy+sum is 4× FASTER than this (map-side combine already
+    absorbs the hot key), so reach for the two-level salt only when the
+    partial can't combine (collect_list, exact percentile,
+    countDistinct) or as the decimal-combine overflow hatch described
+    below — not for ordinary combinable aggregates.
 
     Level 1 groups by (key, salt) — the hot key's rows split across
     `salt` reducers, each emitting one partial.  Level 2 combines the
