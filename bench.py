@@ -32,15 +32,19 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_orders",
     "top_customers_by_spend",
     "window_rank_orders",
     "event_time_tumbling_agg",
-    # event-sequence operators
+    # event-sequence + time-series operators
     "event_sessionization",
     "asof_purchase_attribution",
+    "timeseries_resample_ffill",
     # training-data pipeline operators
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_minhash_clusters",
     "text_quality",
     "corpus_quality_filter",
     "ann_cosine_topk",

@@ -88,6 +88,85 @@ def ivf_topk(
     return brute_force_topk(probed, query_vec, k, id_col, vec_col)
 
 
+def kmeans_fit_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means — the IVF index-BUILD step (ivf_topk
+    assumes a precomputed cell assignment; this is where it comes from).
+
+    Spark-first shape: each iteration is one codegen'd projection
+    (distances to k literal centroids — no join, no shuffle) plus one
+    groupBy(cell) average (single shuffle of k×dim partials).  The only
+    driver-side state is the k×dim centroid matrix itself — the same
+    index-build-time collect ivf_topk already does, O(k·dim) bytes, NOT
+    data-sized.  At 100 TB this is exactly how you build IVF lists:
+    iterate on a sample, then one final assignment pass over the corpus.
+
+    Determinism (for the DuckDB oracle): init = the first k vectors by
+    id; distances and centroid averages round to 6 decimals before every
+    argmin/compare; ties break on the lower cell id (array_position
+    returns the FIRST match).  Output: (vec_id, cell, dist2).
+
+    Raises if any cell empties out (can't happen on the fixtures; a real
+    deployment re-seeds the cell — deterministic handling would differ
+    per engine, so it's an error here rather than silent divergence)."""
+    emb = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("v"))
+    cents = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col(id_col) < k).orderBy(id_col).limit(k).collect()
+    ]
+    if len(cents) != k:
+        raise ValueError(f"need vec ids 0..{k-1} for deterministic init")
+
+    def dists_col(centroids):
+        ds = []
+        for c in centroids:
+            lit_c = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with(F.col("v"), lit_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            ds.append(F.round(d, 6))
+        return F.array(*ds)
+
+    assigned = None
+    for _ in range(n_iter):
+        assigned = emb.withColumn("_d", dists_col(cents)).withColumn(
+            "cell",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
+        )
+        new_cents = (
+            assigned.groupBy("cell")
+            .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
+                   for i in range(len(cents[0]))])
+            .collect()
+        )
+        if len(new_cents) != k:
+            raise RuntimeError(
+                f"k-means cell emptied out ({len(new_cents)}/{k} survive) — "
+                "re-seed with a different k or init"
+            )
+        cents = [
+            [float(r[f"c{i}"]) for i in range(len(cents[0]))]
+            for r in sorted(new_cents, key=lambda r: r.cell)
+        ]
+
+    # final assignment against the last centroids
+    final = emb.withColumn("_d", dists_col(cents)).select(
+        F.col(id_col),
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_min(F.col("_d")).alias("dist2"),
+    )
+    return final
+
+
 def topk_similar_pairs(
     embeddings: DataFrame,
     k: int = 20,

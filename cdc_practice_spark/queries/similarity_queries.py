@@ -155,6 +155,74 @@ def ann_batch_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIST2_SQL = """
+round(list_sum(list_transform(generate_series(1, 64),
+      i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i]))), 6)
+"""
+_AVG_CENT_SQL = (
+    "[" + ", ".join(f"round(avg(e.v[{i}]), 6)" for i in range(1, 65)) + "]"
+)
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """Mirror of operators/similarity.py:kmeans_fit_assign — init from
+    the first k vectors, round-6 distances/centroids, lowest-cell
+    tiebreak — unrolled to ``n_iter`` assign+update rounds in SQL."""
+    parts = [
+        """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 8)
+"""
+    ]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        d = _DIST2_SQL.format(e="e.v", c="c.c")
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d}, c.cell) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT a{it}.cell, {_AVG_CENT_SQL} AS c
+  FROM a{it} JOIN emb e USING (vec_id)
+  GROUP BY a{it}.cell
+)"""
+        )
+        prev = f"c{it}"
+    d = _DIST2_SQL.format(e="e.v", c="c.c")
+    parts.append(
+        f"""
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, dist2 FROM (
+  SELECT e.vec_id, c.cell, {d} AS dist2,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d}, c.cell) AS rn
+  FROM emb e CROSS JOIN {prev} c
+) WHERE rn = 1
+"""
+    )
+    return "".join(parts)
+
+
+@register("ann_ivf_kmeans_build", oracle=_kmeans_oracle())
+def ann_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD: 2 Lloyd's iterations of k=8 k-means over the
+    embedding corpus, final per-vector cell assignment + distance.
+    Each iteration = one shuffle (the k×dim centroid averages); the
+    assignment pass is a pure codegen'd projection.  The oracle unrolls
+    the same two rounds in SQL — init, rounding, and tiebreak rules
+    match exactly (operators/similarity.py:kmeans_fit_assign)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_fit_assign(emb, k=8, n_iter=2)
+
+
 @register(
     "array_function_suite",
     oracle="""

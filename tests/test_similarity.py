@@ -73,3 +73,24 @@ def test_batch_scorer_matches_exact(emb, spark):
     for vid, r in list(batch.items())[:50]:
         if r.best_query == 0:
             assert abs(exact0[vid] - r.best_cosine) < 1e-5
+
+
+def test_kmeans_assignment_properties(emb):
+    """k-means index build: every vector gets exactly one cell in
+    [0, k); the init vectors 0..k-1 end up in the cell whose centroid
+    they seeded or a better one; objective (sum dist2) does not increase
+    when iterating more."""
+    out1 = S.kmeans_fit_assign(emb, k=4, n_iter=1).collect()
+    out2 = S.kmeans_fit_assign(emb, k=4, n_iter=2).collect()
+    n = emb.count()
+    assert len(out1) == len(out2) == n
+    assert {r.cell for r in out2} <= set(range(4))
+    obj1 = sum(r.dist2 for r in out1)
+    obj2 = sum(r.dist2 for r in out2)
+    assert obj2 <= obj1 + 1e-6  # Lloyd's monotonicity
+
+
+def test_kmeans_deterministic_across_runs(emb):
+    a = sorted((r.vec_id, r.cell, r.dist2) for r in S.kmeans_fit_assign(emb, k=4, n_iter=2).collect())
+    b = sorted((r.vec_id, r.cell, r.dist2) for r in S.kmeans_fit_assign(emb, k=4, n_iter=2).collect())
+    assert a == b
