@@ -24,12 +24,27 @@ from pyspark.sql import functions as F
 DEFAULT_BROADCAST_MAX_ROWS = 1_000_000
 
 
+_STATS_CACHE: dict[object, int] = {}
+
+
 def broadcast_if_small(
-    df: DataFrame, max_rows: int = DEFAULT_BROADCAST_MAX_ROWS
+    df: DataFrame,
+    max_rows: int = DEFAULT_BROADCAST_MAX_ROWS,
+    cache_key: object | None = None,
 ) -> DataFrame:
     """Apply ``F.broadcast(df)`` only when a runtime count says the side
     actually fits: rows <= max_rows.  Returns df unhinted otherwise, so
-    Catalyst/AQE pick the join strategy from their own estimates."""
-    if df.count() <= max_rows:
+    Catalyst/AQE pick the join strategy from their own estimates.
+
+    ``cache_key``: memoize the count under this key (a table-stats cache
+    — exactly what a catalog with ANALYZE stats provides; without it the
+    count re-runs per invocation)."""
+    if cache_key is not None and cache_key in _STATS_CACHE:
+        n = _STATS_CACHE[cache_key]
+    else:
+        n = df.count()
+        if cache_key is not None:
+            _STATS_CACHE[cache_key] = n
+    if n <= max_rows:
         return F.broadcast(df)
     return df

@@ -149,7 +149,11 @@ def tpch_q3_shipping_priority(
         # runtime count: small → broadcast (the measured local win);
         # large (100 TB) → unhinted shuffle join that AQE re-plans.
         li.join(
-            broadcast_if_small(building_orders, broadcast_max_rows),
+            broadcast_if_small(
+                building_orders,
+                broadcast_max_rows,
+                cache_key=("q3_building_orders", sf_dir, broadcast_max_rows),
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
