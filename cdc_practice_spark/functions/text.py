@@ -113,6 +113,54 @@ def lang_id(text: Column) -> Column:
     return F.when(scored > 0, best_lang).otherwise(F.lit("und"))
 
 
+def dup_token_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that are
+    repeats of an earlier token (1 - distinct/total).  Pure HOFs — one
+    projection, no shuffle."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n, 6
+    )
+
+
+def bigram_array(text: Column) -> Column:
+    """Adjacent token bigrams as 'a b' strings (empty for <2 tokens)."""
+    toks = tokens(text)
+    n1 = F.size(toks) - 1
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+# PII patterns — deliberately simple and REGEX-DIALECT-NEUTRAL (same
+# semantics under Java regex and RE2, so the DuckDB oracle is exact).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails/phones/IPv4s with typed placeholder tags — the
+    standard pre-training scrub pass.  Chained regexp_replace stays in
+    codegen; order matters (emails first: an IP-lookalike inside a
+    domain must already be gone before the IP pass)."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) found in ``text``."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)),
+    )
+
+
 def fingerprint_sorted_tokens(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set.  Catches shuffled/reordered duplicates that a

@@ -328,3 +328,156 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~contaminated, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(contaminated, 1).otherwise(0)).cast("bigint").alias("n_removed"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks
+),
+big AS (
+  SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM bgc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n AS INTEGER) AS n_tokens,
+       round(1.0 - CAST(b.nd AS DOUBLE) / greatest(b.n, 1), 6)
+         AS dup_token_fraction,
+       CAST(coalesce(round(CAST(t2.maxc AS DOUBLE) / t2.tot, 6), 0.0)
+            AS DOUBLE) AS top_bigram_fraction
+FROM base b LEFT JOIN top t2 USING (doc_id)
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token fraction
+    (pure HOF projection — no shuffle) and top-bigram fraction (the
+    classic 'most common 2-gram share' filter).  The bigram mode needs a
+    per-doc frequency table, so it explodes bigrams and rides ONE
+    (doc_id, bigram) shuffle with map-side combine, then a tiny per-doc
+    max/sum — the exact shape this takes over a 100 TB corpus (count
+    rows ∝ distinct bigrams, not corpus bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_tokens"),
+        T.dup_token_fraction(F.col("text")).alias("dup_token_fraction"),
+        T.bigram_array(F.col("text")).alias("_bgs"),
+    )
+    bgc = (
+        base.select("doc_id", F.explode("_bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+    )
+    top = bgc.groupBy("doc_id").agg(
+        F.max("count").alias("_maxc"), F.sum("count").alias("_tot")
+    )
+    return (
+        base.drop("_bgs")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_fraction",
+            F.coalesce(
+                F.round(F.col("_maxc").cast("double") / F.col("_tot"), 6),
+                F.lit(0.0),
+            ).alias("top_bigram_fraction"),
+        )
+    )
+
+
+_PII_ENRICH_SQL = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+           WHEN 1 THEN text || ' call 010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN text || ' from 192.168.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST((doc_id * 7) % 256 AS VARCHAR)
+           ELSE text
+         END AS text
+  FROM documents
+"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH enriched AS ({_PII_ENRICH_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{T.PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(
+         regexp_replace(text, '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{T.PII_IPV4_RE}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{T.PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{T.PII_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM enriched
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (pre-training corpus hygiene): detect + redact
+    emails / phone numbers / IPv4s with typed placeholder tags.  The
+    corpus has no organic PII, so deterministic PII is injected per
+    doc_id (emails into ids%4==0, phones into %4==1, IPs into %4==2 —
+    the oracle injects identically), then counts and the md5 of the
+    redacted text are hash-compared.  One codegen'd projection: chained
+    regexp_replace, no UDFs, no shuffle.  n_ips is counted AFTER email
+    redaction (a host like 1.2.3.4 inside an address must not double-
+    count), mirroring the redaction order."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") * 7 % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.col("text")
+    n_emails, n_phones, _ = T.pii_counts(t)
+    after_email = F.regexp_replace(t, T.PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(after_email, F.lit(T.PII_IPV4_RE), 0))
+    return enriched.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.md5(T.redact_pii(t)).alias("redacted_md5"),
+    )

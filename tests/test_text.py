@@ -51,3 +51,50 @@ def test_quality_score_bounds(spark):
     for text in ("", "x", "the " * 200, "!!!! ???? ....", "a decent sentence"):
         v = one(spark, text, T.quality_score)
         assert 0.0 <= v <= 1.0
+
+
+def test_dup_token_and_bigram_edges(spark):
+    from cdc_practice_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "solo"), (4, "x y x y x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.dup_token_fraction(F.col("text")).alias("dup"),
+            T.bigram_array(F.col("text")).alias("bgs"),
+        ).collect()
+    }
+    assert out[1].dup == 0.75          # 4 tokens, 1 distinct
+    assert out[2].dup == 0.0
+    assert out[3].bgs == []            # <2 tokens → no bigrams
+    assert out[4].bgs == ["x y", "y x", "x y", "y x"]
+
+
+def test_pii_redaction_semantics(spark):
+    from cdc_practice_spark.functions import text as T
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "emergency 010-1234-5678 line"),
+            (3, "server 10.0.255.3 down"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    e, p, i = T.pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.redact_pii(F.col("text")).alias("red"),
+            e.alias("ne"), p.alias("np"), i.alias("ni"),
+        ).collect()
+    }
+    assert out[1].red == "mail me at <EMAIL> today" and out[1].ne == 1
+    assert out[2].red == "emergency <PHONE> line" and out[2].np == 1
+    assert out[3].red == "server <IP> down" and out[3].ni == 1
+    assert out[4].red == "clean text only"
+    assert (out[4].ne, out[4].np, out[4].ni) == (0, 0, 0)
