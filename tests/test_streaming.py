@@ -275,3 +275,126 @@ def test_stream_session_windows_equal_batch(spark, sf_dir):
         for r in session_window_native(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_bucketed_upsert_equals_batch_snapshot(spark, sf_dir):
+    """The O(touched-buckets) incremental sink lands on EXACTLY the batch
+    snapshot — same MERGE semantics, bucketed storage."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_current_upsert_bucketed,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bstate_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+    q = stream_current_upsert_bucketed(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    streamed = load_bucketed_state(spark, os.path.join(work, "state"))
+    batch = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    s = {
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in streamed.collect()
+    }
+    b = {
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_bucketed_upsert_skips_untouched_buckets(spark):
+    """The incremental property itself: an epoch whose keys all land in
+    one bucket must leave every other bucket's files untouched (their
+    manifest entries keep pointing at the older version directory)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        read_events_stream,
+        stream_current_upsert_bucketed,
+    )
+
+    n_buckets = 8
+    # pick user ids by their bucket: xxhash64(uid) % 8
+    hashes = {
+        r.uid: r.b
+        for r in spark.range(1, 200)
+        .select(
+            F.col("id").alias("uid"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    bucket_of = lambda uid: hashes[uid]  # noqa: E731
+    users_a = [u for u, b in hashes.items() if b == 0][:3]   # epoch-0-only
+    users_b = [u for u, b in hashes.items() if b == 1][:3]   # both epochs
+    assert users_a and users_b
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bskip_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def write_chunk(idx, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string"
+        ).coalesce(1)
+        part = os.path.join(work, f"_p{idx}")
+        df.write.mode("overwrite").parquet(part)
+        f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+        os.rename(os.path.join(part, f), os.path.join(src, f"chunk-{idx:03d}.parquet"))
+        import shutil as _sh; import time as _t
+        _sh.rmtree(part); _t.sleep(0.05)
+
+    base_ns = 1_700_000_000_000_000_000
+    rows0 = [
+        (i, base_ns + i * 10**9, u, "signup", float(u), "{}")
+        for i, u in enumerate(users_a + users_b)
+    ]
+    rows1 = [
+        (100 + i, base_ns + (100 + i) * 10**9, u, "update", float(u) + 0.5, "{}")
+        for i, u in enumerate(users_b)  # bucket 1 only
+    ]
+    write_chunk(0, rows0)
+    write_chunk(1, rows1)
+
+    state_root = os.path.join(work, "state")
+    q = stream_current_upsert_bucketed(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=state_root,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        n_buckets=n_buckets,
+    )
+    q.awaitTermination()
+
+    with open(os.path.join(state_root, "_MANIFEST")) as fh:
+        manifest = _json.load(fh)
+    # bucket 0 (users_a) untouched by epoch 1 → still the v0 directory;
+    # bucket 1 rewritten by epoch 1 → newer version directory
+    assert "/v0/" in manifest["0"] or manifest["0"].endswith("_bucket=0")
+    v_of = lambda p: int(p.split("/v")[1].split("/")[0])  # noqa: E731
+    assert v_of(manifest["0"]) == 0
+    assert v_of(manifest["1"]) > 0
+
+    final = {
+        r.original_id: r.value
+        for r in load_bucketed_state(spark, state_root).collect()
+    }
+    for u in users_a:
+        assert final[u] == float(u)
+    for u in users_b:
+        assert final[u] == float(u) + 0.5
