@@ -1,14 +1,17 @@
 """Multimodal queries under the oracle gate.
 
-Two tiers of realness:
+Tiers of realness:
   - ``multimodal_image_decode`` runs a REAL pixel decoder (PIL when
     importable, a numpy BMP parser otherwise) over valid 24-bit BMP
     binaries synthesized from a deterministic pixel formula — so the
     oracle recomputes every pixel in SQL and hash-checks actual decoded
     image statistics, not byte stats.
+  - ``multimodal_audio_decode`` does the same for audio: valid 16-bit
+    PCM WAV binaries, decoded by soundfile or the numpy RIFF chunk
+    walker; the oracle recomputes every sample.
   - ``multimodal_decode_stats`` keeps the byte-stats kernel for the
-    non-image modalities (audio/video codecs genuinely aren't in the
-    container); its oracle reproduces the same byte math in SQL.
+    remaining stubbed modality (video containers genuinely need ffmpeg);
+    its oracle reproduces the same byte math in SQL.
 
 ``multimodal_resize_plan`` / ``multimodal_frame_sample`` oracle-check the
 JVM-side geometry/sampling stages (pure arithmetic + sequence/explode —
@@ -158,3 +161,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python, no per-frame rows materialized before the explode."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(synth_assets(docs), every_n=30)
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id, CAST(doc_id % 480 + 20 AS INTEGER) AS n
+  FROM documents
+),
+s AS (
+  SELECT asset_id, n,
+         CAST((asset_id * 31 + u.i * 17) % 65536 - 32768 AS DOUBLE) AS v
+  FROM dims, unnest(generate_series(0, n - 1)) AS u(i)
+)
+SELECT asset_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(n AS INTEGER) AS n_samples,
+       round(avg(v), 6) AS mean_amp,
+       round(sqrt(avg(v * v)), 6) AS rms
+FROM s
+GROUP BY asset_id, n
+""",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle gate: valid 16-bit PCM WAV
+    binaries in, actual int16 sample arrays out (soundfile or the numpy
+    RIFF chunk walker — operators/multimodal.py:decode_audio).  The
+    oracle recomputes every sample from the synthesis formula, so a
+    wrong chunk offset, endianness, or word-alignment in the parser
+    fails the hash."""
+    from cdc_practice_spark.operators.multimodal import (
+        decode_audio,
+        synth_audio_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_audio(synth_audio_assets(docs))
+    return decoded.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -125,3 +125,47 @@ def test_decode_images_runs_distributed(spark, sf_dir):
         assert r.width == r.asset_id % 8 + 2
         assert r.height == r.asset_id % 6 + 2
         assert 0.0 <= r.mean_pixel <= 255.0
+
+
+def test_wav_roundtrip_sample_exact():
+    import numpy as np
+
+    for asset_id, n in [(0, 1), (7, 20), (12345, 499), (10**10, 64)]:
+        rate, s = M.decode_wav_numpy(M.synth_wav(asset_id, n))
+        assert rate == 16000 and len(s) == n
+        i = np.arange(n, dtype=np.int64)
+        expect = ((asset_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+        assert np.array_equal(s, expect), (asset_id, n)
+
+
+def test_wav_decoder_walks_extra_chunks_and_rejects_bad():
+    import numpy as np
+    import pytest as _pt
+
+    # insert a LIST chunk (odd size → word-aligned) between fmt and data:
+    # a real parser must skip it, not mistake it for samples
+    wav = M.synth_wav(42, 10)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # pad byte
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    rate, s = M.decode_wav_numpy(patched)
+    assert rate == 16000 and len(s) == 10
+    _, s0 = M.decode_wav_numpy(wav)
+    assert np.array_equal(s, s0)
+
+    with _pt.raises(ValueError, match="not a WAV"):
+        M.decode_wav_numpy(b"RIFFxxxxJUNK" + b"\x00" * 40)
+
+
+def test_soundfile_parity_with_numpy_parser():
+    sf_mod = M._soundfile_module()
+    if sf_mod is None:
+        pytest.skip("soundfile not installed in this container")
+    import io
+
+    import numpy as np
+
+    data = M.synth_wav(123, 50)
+    samples, rate = sf_mod.read(io.BytesIO(data), dtype="int16")
+    r2, s2 = M.decode_wav_numpy(data)
+    assert rate == r2 and np.array_equal(np.asarray(samples), s2)

@@ -106,3 +106,63 @@ def test_cdc_matches_reference_model(spark, rows):
     assert set(cur) == set(model_current)
     for uid, m in model_current.items():
         assert cur[uid] == (m["value"], m["registered_at"], m["updated"]), uid
+
+
+def test_merge_batch_reapply_is_idempotent(spark):
+    """The retry-safety contract every foreachBatch sink (versioned AND
+    bucketed) relies on: re-applying an already-applied micro-batch to
+    the resulting state is a no-op.  Covers all three event kinds
+    (insert, update, delete) and the registered_at carry rule."""
+    from datetime import datetime
+
+    from cdc_practice_spark.cdc.feed import change_feed_from_events
+    from cdc_practice_spark.streaming.upsert import empty_state, merge_batch
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (0, ts(0), 1, "signup", 10.0, "{}"),
+        (1, ts(1), 2, "signup", 20.0, "{}"),
+        (2, ts(2), 1, "update", 11.0, "{}"),
+        (3, ts(3), 2, "error", 0.0, "{}"),     # delete user 2
+        (4, ts(4), 3, "signup", 30.0, "{}"),
+    ]
+    batch = change_feed_from_events(
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+    )
+    once = merge_batch(empty_state(spark), batch)
+    snap = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    first = snap(once)
+    twice = merge_batch(once, batch)
+    assert snap(twice) == first
+
+
+def test_bmp_roundtrip_randomized():
+    """Property: synth_bmp → decode_bmp_numpy is pixel-exact for ANY
+    (asset_id, width, height) — every padding/stride class, ids beyond
+    the byte range."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from cdc_practice_spark.operators import multimodal as M
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10**12),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=1, max_value=9),
+    )
+    def check(asset_id, w, h):
+        dw, dh, arr = M.decode_bmp_numpy(M.synth_bmp(asset_id, w, h))
+        assert (dw, dh) == (w, h)
+        ys, xs = np.mgrid[0:h, 0:w]
+        expect = np.stack(
+            [(asset_id + 7 * xs + 13 * ys + 31 * c) % 256 for c in range(3)],
+            axis=2,
+        ).astype(np.uint8)
+        assert np.array_equal(arr, expect)
+
+    check()
