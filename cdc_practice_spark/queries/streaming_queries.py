@@ -100,3 +100,45 @@ def streaming_replay_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming replay must land on the exact batch-snapshot state →
 # same oracle as cdc_current_snapshot
 ORACLES["streaming_replay_current"] = ORACLES["cdc_current_snapshot"]
+
+
+@register("streaming_replay_current_bucketed", oracle=None)
+def streaming_replay_current_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot via the BUCKETED incremental sink (3 micro-batches, 8
+    hash buckets, only touched buckets rewritten per epoch — the
+    lakehouse-MERGE plan shape; streaming/pipeline.py).  Must land on
+    the exact batch-snapshot state: same oracle as cdc_current_snapshot
+    (assigned below)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        read_events_stream,
+        stream_current_upsert_bucketed,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bucketed_replay_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=3)
+    q = stream_current_upsert_bucketed(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    state = load_bucketed_state(spark, os.path.join(work, "state"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "event_type",
+        "props_k",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+ORACLES["streaming_replay_current_bucketed"] = ORACLES["cdc_current_snapshot"]
