@@ -9,9 +9,12 @@ Tiers of realness:
   - ``multimodal_audio_decode`` does the same for audio: valid 16-bit
     PCM WAV binaries, decoded by soundfile or the numpy RIFF chunk
     walker; the oracle recomputes every sample.
-  - ``multimodal_decode_stats`` keeps the byte-stats kernel for the
-    remaining stubbed modality (video containers genuinely need ffmpeg);
-    its oracle reproduces the same byte math in SQL.
+  - ``multimodal_video_decode`` completes the set: valid uncompressed
+    AVI containers, demuxed to per-frame pixel arrays by the numpy RIFF
+    walker; the oracle recomputes every pixel of every frame.
+  - ``multimodal_decode_stats`` keeps the generic byte-stats kernel (the
+    fallback tier for codecs that DO need external libs — e.g. JPEG/
+    H.264); its oracle reproduces the same byte math in SQL.
 
 ``multimodal_resize_plan`` / ``multimodal_frame_sample`` oracle-check the
 JVM-side geometry/sampling stages (pure arithmetic + sequence/explode —
@@ -204,4 +207,55 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "multimodal_video_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS height,
+         CAST(doc_id % 5 + 1 AS INTEGER) AS nf
+  FROM documents
+),
+frames AS (
+  SELECT asset_id, width, height, CAST(u.f AS INTEGER) AS frame_idx
+  FROM dims, unnest(generate_series(0, nf - 1)) AS u(f)
+),
+grid AS (
+  SELECT x.g AS x, y.g AS y, c.g AS c
+  FROM (SELECT unnest(generate_series(0, 7)) AS g) x,
+       (SELECT unnest(generate_series(0, 5)) AS g) y,
+       (SELECT unnest(generate_series(0, 2)) AS g) c
+)
+SELECT f.asset_id, f.frame_idx, f.width, f.height,
+       round(avg((f.asset_id + 7 * g.x + 13 * g.y + 31 * g.c
+                  + 97 * f.frame_idx) % 256), 6) AS mean_pixel
+FROM frames f
+JOIN grid g ON g.x < f.width AND g.y < f.height
+GROUP BY f.asset_id, f.frame_idx, f.width, f.height
+""",
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under the oracle gate: valid uncompressed AVI
+    containers in, demuxed per-frame pixel arrays out
+    (operators/multimodal.py:decode_avi_numpy — RIFF chunk walk, DIB
+    frame decode).  One output row per frame; the oracle recomputes
+    every pixel of every frame from the synthesis formula, so a wrong
+    chunk walk, frame order, stride, or BGR swap fails the hash."""
+    from cdc_practice_spark.operators.multimodal import (
+        decode_video,
+        synth_video_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_video(synth_video_assets(docs))
+    return decoded.select(
+        "asset_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
     )

@@ -169,3 +169,35 @@ def test_soundfile_parity_with_numpy_parser():
     samples, rate = sf_mod.read(io.BytesIO(data), dtype="int16")
     r2, s2 = M.decode_wav_numpy(data)
     assert rate == r2 and np.array_equal(np.asarray(samples), s2)
+
+
+def test_avi_roundtrip_frame_exact():
+    import numpy as np
+
+    for asset_id, w, h, nf in [(3, 2, 2, 1), (44, 5, 3, 4), (1001, 7, 5, 5)]:
+        dw, dh, frames = M.decode_avi_numpy(M.synth_avi(asset_id, w, h, nf))
+        assert (dw, dh, len(frames)) == (w, h, nf)
+        for f, arr in enumerate(frames):
+            expect = np.zeros((h, w, 3), dtype=np.uint8)
+            for y in range(h):
+                for x in range(w):
+                    for c in range(3):
+                        expect[y, x, c] = (asset_id + 7 * x + 13 * y + 31 * c + 97 * f) % 256
+            assert np.array_equal(arr, expect), (asset_id, w, h, f)
+
+
+def test_avi_decoder_rejects_non_avi():
+    with pytest.raises(ValueError, match="not an AVI"):
+        M.decode_avi_numpy(M.synth_wav(1, 10))  # a WAV is RIFF but not AVI
+
+
+def test_decode_video_per_frame_rows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    out = M.decode_video(M.synth_video_assets(docs)).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+        assert r.width == r.asset_id % 6 + 2
+        assert r.height == r.asset_id % 4 + 2
+    for aid, idxs in by_asset.items():
+        assert sorted(idxs) == list(range(aid % 5 + 1))  # every frame, once
