@@ -22,38 +22,51 @@ from cdc_practice_spark.session import load_table
 @register(
     "window_frames_suite",
     oracle="""
+WITH o AS (
+  SELECT *, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 50
+)
 SELECT o_orderkey, o_custkey,
        ntile(4) OVER w AS spend_quartile,
        CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
        CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
-       CAST(round(CAST(avg(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS DOUBLE)
-         AS trailing3_avg_price
-FROM orders
-WHERE o_custkey < 50
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+       floor((2 * sum(cents) OVER w3 + count(*) OVER w3)
+             / (2.0 * count(*) OVER w3)) / 100 AS trailing3_avg_price
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
 )
 def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function frame variants beyond ranking/lag (§2.4 depth):
     ntile quartiles, percent_rank, cume_dist, and a trailing-3 ROWS
-    frame average — all four share ONE (key, order) sort, so the plan
-    is a single exchange + sort regardless of how many analytics
-    stack on it."""
+    frame average — all sharing the minimum number of sorts.
+
+    The frame average is computed in EXACT integer cents with HALF_UP
+    via ``(2·sum + n) // (2n)`` rather than avg(decimal)/avg(double):
+    a 2-row frame of 2-decimal prices can average to exactly .005,
+    where a double accumulator (DuckDB's avg over DECIMAL) lands at
+    .00499…96 and rounds DOWN while exact decimal rounds UP — a
+    cent-level engine divergence only visible once the data has such a
+    frame (surfaced at sf0.1, invisible at sf0.01).  Integer math is
+    bit-identical everywhere; quotients here stay ≤1e9, far inside
+    double's exact-integer range, so floor(a/b) is safe."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
     w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     w3 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    sum_c = F.sum(cents).over(w3)
+    cnt = F.count(F.lit(1)).over(w3)
     return orders.select(
         "o_orderkey",
         "o_custkey",
         F.ntile(4).over(w).alias("spend_quartile"),
         F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
-        F.round(
-            F.avg(F.col("o_totalprice").cast("decimal(12,2)")).over(w3).cast("double"),
-            2,
-        ).cast("double").alias("trailing3_avg_price"),
+        (F.floor((2 * sum_c + cnt) / (2.0 * cnt)) / 100).alias(
+            "trailing3_avg_price"
+        ),
     )
 
 
