@@ -41,11 +41,15 @@ def connected_components(
     raises when the final round still changed labels; ``strict=False``
     downgrades to a warning for callers that accept approximate
     components on pathological chain graphs."""
-    edges = (
+    # The symmetrizing union references `pairs` twice, and union branches do
+    # NOT common-subexpression-eliminate — an unpersisted pair-detection
+    # subtree (LSH candidate join + Jaccard verify) would run once per
+    # branch.  Persist the (tiny) pair list first so detection runs once.
+    pairs = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+    )
+    edges = (
+        pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
@@ -86,6 +90,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     if changed != 0:
         msg = (
             f"connected_components: max_iter={max_iter} exhausted with "

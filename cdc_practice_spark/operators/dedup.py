@@ -107,6 +107,84 @@ def minhash_signature(shingle_hashes: Column) -> list[Column]:
     return sig
 
 
+def with_minhash_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, hs, mh0..mh{NUM_PERM-1}) in ONE Arrow-batched pass —
+    tokenize, shingle, md5-hash, and fold all NUM_PERM permutations in
+    numpy per batch.  Replaces the JVM pipeline's per-shingle md5 `conv`
+    plus NUM_PERM interpreted higher-order passes over the hash arrays
+    with C md5 (hashlib — byte-identical to Spark/DuckDB md5) and one
+    vectorized (|hs| × NUM_PERM) matrix fold.  Pure per-doc map: no
+    shuffle, embarrassingly parallel at any scale.
+
+    Parity contract (asserted vs the JVM path in tests/test_dedup.py):
+      - tokenizer replicates split(lower(trim(text)), '\\s+') exactly —
+        trim strips 0x20 only, ASCII-only \\s, empty fields kept;
+      - shingling replicates sequence/try_element_at/concat_ws — for
+        docs shorter than k tokens the single position joins what
+        exists; dict.fromkeys == array_distinct (first-occurrence);
+      - hash = int(md5_hex[:15], 16) % MOD, products < 1e18 (int64-safe).
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    _ws = re.compile(r"\s+", re.ASCII)
+    A = np.array([_perm_params(i)[0] for i in range(NUM_PERM)], dtype=np.int64)
+    B = np.array([_perm_params(i)[1] for i in range(NUM_PERM)], dtype=np.int64)
+
+    def _batches(it):
+        from hashlib import md5
+
+        for pdf in it:
+            n_rows = len(pdf)
+            hs_out = []
+            sig = np.empty((n_rows, NUM_PERM), dtype=np.int64)
+            for i, txt in enumerate(pdf["_text"].values):
+                toks = _ws.split(txt.strip(" ").lower())
+                upper = max(len(toks) - (k - 1), 1)
+                sh = dict.fromkeys(
+                    " ".join(toks[p : p + k]) for p in range(upper)
+                )
+                # first 15 hex chars == first 60 bits: read 8 raw digest
+                # bytes and drop the low nibble (skips hex-string parse)
+                hs = np.fromiter(
+                    (
+                        (int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4)
+                        % MOD
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                hs_out.append(hs)
+                sig[i] = ((hs[:, None] * A[None, :] + B[None, :]) % MOD).min(
+                    axis=0
+                )
+            out = {"doc_id": pdf["doc_id"].values, "hs": hs_out}
+            for j in range(NUM_PERM):
+                out[f"mh{j}"] = sig[:, j]
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("hs", ArrayType(LongType()))]
+        + [StructField(f"mh{j}", LongType()) for j in range(NUM_PERM)]
+    )
+    from cdc_practice_spark.plans.hints import spread_for_python
+
+    return (
+        spread_for_python(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .mapInPandas(_batches, schema)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -121,19 +199,20 @@ def minhash_lsh_pairs(
     threshold.  The self-join shuffles on the band key whose cardinality
     grows with N, keeping buckets small; the O(N²) explosion never
     happens.  Returns (doc_a, doc_b, jaccard)."""
-    # persist the hashed shingle sets: the banding self-join and the
-    # Jaccard verify would otherwise RE-DERIVE the whole md5/shingle
-    # subtree on every branch (Spark duplicates self-join subtrees) —
-    # measured 10× on the bench before persisting.  Only the int64 hash
-    # arrays are carried (not the shingle strings): smaller state, and
+    # ONE Arrow pass computes hash sets AND all NUM_PERM signature mins
+    # (with_minhash_arrow; JVM twin kept as the parity reference —
+    # measured ~2× on the corpus bench).  Persist it: the banding
+    # self-join and the Jaccard verify would otherwise RE-DERIVE the
+    # whole md5/shingle subtree on every branch (Spark duplicates
+    # self-join subtrees) — measured 10× before persisting.  Only int64
+    # hash arrays are carried (not shingle strings): smaller state, and
     # array_intersect on longs beats string comparison; Jaccard over
     # 60-bit hashes equals string Jaccard up to negligible collisions
     # (and the oracle intersects the same hash lists, so parity is exact).
-    hs = tracked_persist(
-        with_shingle_hashes(docs, id_col, text_col).select("doc_id", "hs")
-    )
+    base = tracked_persist(with_minhash_arrow(docs, id_col, text_col))
+    hs = base.select("doc_id", "hs")
 
-    sig = hs.select("doc_id", *minhash_signature(F.col("hs")))
+    sig = base
 
     band_keys = F.array(
         *[
@@ -243,16 +322,17 @@ def with_simhash60_arrow(
     _ws = re.compile(r"\s+", re.ASCII)
 
     def _simhash_batches(it):
-        import hashlib
+        from hashlib import md5
 
         shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
         for pdf in it:
             out = np.zeros(len(pdf), dtype=np.int64)
             for i, txt in enumerate(pdf["_text"].values):
                 toks = _ws.split(txt.strip(" ").lower())
+                # first 60 md5 bits via raw digest bytes (== hexdigest[:15])
                 hs = np.fromiter(
                     (
-                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        int.from_bytes(md5(t.encode()).digest()[:8], "big") >> 4
                         for t in toks
                     ),
                     dtype=np.int64,
@@ -266,9 +346,13 @@ def with_simhash60_arrow(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("simhash", LongType())]
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
-    ).mapInPandas(_simhash_batches, schema)
+    from cdc_practice_spark.plans.hints import spread_for_python
+
+    return (
+        spread_for_python(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .mapInPandas(_simhash_batches, schema)
+    )
 
 
 def with_simhash60_sql(

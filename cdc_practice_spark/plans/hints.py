@@ -48,3 +48,29 @@ def broadcast_if_small(
     if n <= max_rows:
         return F.broadcast(df)
     return df
+
+
+def spread_for_python(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a COARSE input before an expensive
+    Arrow/Python map stage (mapInPandas/applyInPandas).
+
+    Parquet splits at row-group granularity: a single-row-group file
+    scans as ONE task no matter how small ``maxPartitionBytes`` is, so a
+    downstream Python map stage runs single-threaded.  When the input has
+    fewer partitions than the cluster's parallelism, one narrow exchange
+    unlocks full-width Python execution (measured 0.9 → 0.65 s on the
+    sf0.1 minhash fold).  At scale inputs arrive with plenty of
+    partitions and this is a no-op — the plan gains no exchange.
+
+    Call this on the SOURCE DataFrame (e.g. the memoized ``load_table``
+    scan) and project afterwards: the partition probe materializes the
+    plan's RDD lineage (~0.1 s) but caches on the DataFrame object, so
+    probing the session-scoped scan pays once per session, while probing
+    a fresh projection would pay per call.  Column pruning pushes a
+    subsequent select through the repartition, so the exchange carries
+    only the columns the map stage needs."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

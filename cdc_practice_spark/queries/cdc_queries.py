@@ -20,11 +20,18 @@ from cdc_practice_spark.cdc import (
     change_feed_from_events,
 )
 from cdc_practice_spark.queries.registry import register
-from cdc_practice_spark.session import load_table
+from cdc_practice_spark.session import load_table, memo_view
 
 
 def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return change_feed_from_events(load_table(spark, sf_dir, "events"))
+    # The normalized change feed is a deterministic view over `events`;
+    # every cdc_* query starts from it, so register its plan once per
+    # session (memo_view caches the logical plan, never data).
+    return memo_view(
+        spark,
+        ("cdc_feed", sf_dir),
+        lambda: change_feed_from_events(load_table(spark, sf_dir, "events")),
+    )
 
 
 def _us(col: str) -> F.Column:

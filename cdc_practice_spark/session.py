@@ -70,13 +70,34 @@ def get_spark(app_name: str = "cdc-practice-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def pin_session_confs(spark: SparkSession) -> None:
+    """Re-pin the two execution-time session confs the engine depends on
+    (~1 ms RPC each).  Called on every table/view resolution — they matter
+    at EXECUTION time, so a caller flipping the session timezone between
+    queries must not leak into the NTZ casts, even when the plan itself
+    comes from a memo."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.  Parquet scans get predicate pushdown +
     column pruning from Catalyst for free; callers should select only the
     columns they need so ``ReadSchema`` stays narrow.
 
-    Two session confs are pinned here because the driver may hand us a
-    session we didn't build:
+    The scan DataFrame is memoized per (session, sf_dir, name) — this is a
+    CATALOG, not a data cache: a DataFrame is an immutable logical plan, so
+    re-resolving the same path every query only re-reads parquet footers and
+    re-pays driver RPCs (measured ~0.1-0.3 s per multi-table query locally).
+    A warehouse session registers its tables once; so do we.  No row data is
+    cached — execution still scans parquet, with pushdown/pruning per query.
+    The fixture files are immutable for a session's lifetime (driver
+    contract); the cache dies with the Python session object.
+
+    Two session confs are re-pinned on EVERY call (two ~1 ms RPCs — they
+    matter at execution time, so a caller flipping the session timezone
+    between queries must not leak into the NTZ casts) because the driver
+    may hand us a session we didn't build:
       - ``nanosAsLong``: the ``events`` fixture stores TIMESTAMP(NANOS)
         which Spark's parquet reader rejects natively; we read the raw
         int64 nanos and convert to a microsecond TIMESTAMP_NTZ ourselves
@@ -86,16 +107,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+    pin_session_confs(spark)
+    cache = getattr(spark, "_cps_scan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._cps_scan_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        cache[key] = df
     return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def memo_view(spark: SparkSession, key: tuple, builder) -> DataFrame:
+    """Session-scoped memo for deterministic derived-view PLANS (same
+    contract as the ``load_table`` catalog: DataFrames are immutable
+    logical plans, so rebuilding the same view per query only re-pays
+    driver-side construction).  No data is cached — execution always
+    runs the full plan.  Use only for views that are pure functions of
+    (sf_dir, constants); anything parameterized by per-call arguments
+    must key on them."""
+    pin_session_confs(spark)
+    cache = getattr(spark, "_cps_view_cache", None)
+    if cache is None:
+        cache = {}
+        spark._cps_view_cache = cache
+    df = cache.get(key)
+    if df is None:
+        df = builder()
+        cache[key] = df
+    return df

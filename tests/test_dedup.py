@@ -98,3 +98,35 @@ def test_simhash_arrow_matches_jvm_on_adversarial_whitespace(spark):
     jvm = {r.doc_id: r.simhash for r in D.with_simhash60_sql(docs).collect()}
     arw = {r.doc_id: r.simhash for r in D.with_simhash60_arrow(docs).collect()}
     assert arw == jvm
+
+
+def test_minhash_arrow_matches_jvm_on_adversarial_whitespace(spark):
+    """with_minhash_arrow (one-pass hashlib/numpy fold) must reproduce
+    the JVM pipeline exactly: same tokenizer quirks as simhash above,
+    plus shingle fallback for short docs, array_distinct ordering, and
+    the mod-P permutation mins."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "   leading and trailing   "),
+        (4, "tab\tseparated\ttokens and more words here"),
+        (5, "trailing newline\n"),
+        (6, "nbsp joined"),
+        (7, "only two"),
+        (8, "repeat repeat repeat repeat repeat"),  # distinct shingles collapse
+        (9, "multi   \t \n  space separated words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    jvm_hs = D.with_shingle_hashes(docs).select("doc_id", "hs")
+    jvm_sig = {
+        r.doc_id: tuple(r[f"mh{j}"] for j in range(D.NUM_PERM))
+        for r in jvm_hs.select(
+            "doc_id", *D.minhash_signature(F.col("hs"))
+        ).collect()
+    }
+    arw = D.with_minhash_arrow(docs).collect()
+    arw_sig = {r.doc_id: tuple(r[f"mh{j}"] for j in range(D.NUM_PERM)) for r in arw}
+    assert arw_sig == jvm_sig
+    jvm_hs_map = {r.doc_id: list(r.hs) for r in jvm_hs.collect()}
+    arw_hs_map = {r.doc_id: list(r.hs) for r in arw}
+    assert arw_hs_map == jvm_hs_map

@@ -150,3 +150,43 @@ def test_range_join_is_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "range_join_post_purchase")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_memo_view_returns_same_plan_and_pins_confs(spark, sf_dir):
+    """memo_view caches the logical plan per (session, key) and re-pins
+    the execution-time confs even on a memo hit (a hostile caller may
+    flip the session timezone between queries)."""
+    from cdc_practice_spark.session import load_table, memo_view
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return load_table(spark, sf_dir, "events").select("event_id")
+
+    a = memo_view(spark, ("test_view", sf_dir), build)
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        b = memo_view(spark, ("test_view", sf_dir), build)
+        assert b is a and len(calls) == 1
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark._cps_view_cache.pop(("test_view", sf_dir), None)
+
+
+def test_spread_for_python_gates_on_parallelism(spark, sf_dir):
+    """Coarse inputs (single-row-group parquet scans as ONE task) get a
+    round-robin exchange before Python map stages; already-wide inputs
+    pass through with NO added exchange."""
+    from cdc_practice_spark.plans.hints import spread_for_python
+    from cdc_practice_spark.session import load_table
+
+    p = spark.sparkContext.defaultParallelism
+    coarse = load_table(spark, sf_dir, "documents")
+    assert coarse.rdd.getNumPartitions() < p
+    spread = spread_for_python(coarse)
+    assert spread.rdd.getNumPartitions() == p
+
+    wide = coarse.repartition(p)
+    assert spread_for_python(wide) is wide  # no-op, no extra exchange
