@@ -48,15 +48,24 @@ def connected_components(
     pairs = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
-    edges = (
-        pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    # No .distinct() on the symmetrized edges: input pairs are deduped
+    # with doc_a < doc_b, so symmetrization cannot create duplicates —
+    # and min-label propagation is tolerant of duplicate edges anyway.
+    # Dropping it removes a full exchange+aggregate stage.
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # Fold the FIRST propagation hop into initialization: label(v) =
+    # min(v, min neighbor id) is exactly round 1 of the loop over
+    # identity labels, computed here without the per-round persist+count
+    # cycle (saves one full round — near-dup graphs usually converge on
+    # the very next check).
+    init_nbr = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        init_nbr.select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nbr_min")).alias("component"),
+        )
         .persist()
     )
     changed = 0
