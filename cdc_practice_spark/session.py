@@ -80,6 +80,21 @@ def pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _events_ts_as_ntz(df: DataFrame) -> "Column":  # noqa: F821
+    """Canonical TIMESTAMP_NTZ(µs) ``ts`` for the events table, whatever
+    physical type the fixture generation used: TIMESTAMP(NANOS) arrives
+    as raw int64 under ``nanosAsLong`` (truncate ns→µs, matching
+    DuckDB's epoch_us()); µs TIMESTAMP/TIMESTAMP_NTZ just needs the NTZ
+    cast (deterministic — session timezone is pinned UTC)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    return F.col("ts").cast("timestamp_ntz")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.  Parquet scans get predicate pushdown +
     column pruning from Catalyst for free; callers should select only the
@@ -117,10 +132,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+            df = df.withColumn("ts", _events_ts_as_ntz(df))
         cache[key] = df
     return df
 

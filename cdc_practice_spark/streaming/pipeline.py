@@ -40,14 +40,18 @@ def read_events_stream(
     trigger ⇒ deterministic micro-batch boundaries in tests."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Streams need an explicit schema; mirror the files' actual physical
+    # type (TIMESTAMP(NANOS) fixtures arrive as int64 under nanosAsLong,
+    # µs fixtures as timestamps) by peeking at one batch footer.
+    from cdc_practice_spark.session import _events_ts_as_ntz
+
+    batch_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    return raw.withColumn("ts", _events_ts_as_ntz(raw))
 
 
 def stream_history_append(
