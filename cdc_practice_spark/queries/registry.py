@@ -47,11 +47,13 @@ def load_all() -> None:
     import cdc_practice_spark.queries.dedup_queries  # noqa: F401
     import cdc_practice_spark.queries.events_queries  # noqa: F401
     import cdc_practice_spark.queries.multimodal_queries  # noqa: F401
+    import cdc_practice_spark.queries.pipeline_queries  # noqa: F401
     import cdc_practice_spark.queries.similarity_queries  # noqa: F401
     import cdc_practice_spark.queries.sql_surface  # noqa: F401
     import cdc_practice_spark.queries.text_queries  # noqa: F401
     import cdc_practice_spark.queries.timeseries_queries  # noqa: F401
     import cdc_practice_spark.queries.relational_more  # noqa: F401
     import cdc_practice_spark.queries.tpch_more  # noqa: F401
+    import cdc_practice_spark.queries.tpch_full  # noqa: F401
     import cdc_practice_spark.queries.udf_queries  # noqa: F401
     import cdc_practice_spark.queries.streaming_queries  # noqa: F401
