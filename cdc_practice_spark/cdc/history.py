@@ -79,8 +79,19 @@ def with_registered_at_carry(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     insert_ts = F.when(F.col("change_type") == "INSERT", F.col("registered_at"))
+    carried = F.last(insert_ts, ignorenulls=True).over(w)
+    # A DELETE whose key is NOT currently live (first event, or right
+    # after another DELETE) finds no row to look up — the reference's
+    # probe misses and registered_at is NULL (simple_kafka_etl.py:
+    # 141-144).  The last-INSERT carry must not leak across that
+    # boundary.  Same window spec as the carry — rides the same sort.
+    prev_deleted = F.lag("__deleted").over(Window.partitionBy(key).orderBy(order))
+    dead_delete = (F.col("change_type") == "DELETE") & (
+        prev_deleted.isNull() | (prev_deleted == "true")
+    )
     return typed.withColumn(
-        "original_registered_at", F.last(insert_ts, ignorenulls=True).over(w)
+        "original_registered_at",
+        F.when(dead_delete, F.lit(None).cast("timestamp_ntz")).otherwise(carried),
     )
 
 

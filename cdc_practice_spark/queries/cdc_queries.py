@@ -59,17 +59,24 @@ typed AS (
          CASE WHEN __deleted = 'true' THEN 'DELETE'
               WHEN lag(__deleted) OVER w IS NULL
                 OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
-              ELSE 'UPDATE' END AS change_type
+              ELSE 'UPDATE' END AS change_type,
+         lag(__deleted) OVER w AS prev_deleted
   FROM feed
   WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
 ),
 carried AS (
-  SELECT *,
-         last_value(CASE WHEN change_type = 'INSERT' THEN registered_at END
-                    IGNORE NULLS)
-           OVER (PARTITION BY original_id ORDER BY kafka_offset
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS original_registered_at
+  SELECT * EXCLUDE (prev_deleted),
+         -- a DELETE with no live predecessor looks up nothing: the
+         -- reference's registered_at probe misses -> NULL (the
+         -- last-INSERT carry must not leak across a delete boundary)
+         CASE WHEN change_type = 'DELETE'
+               AND (prev_deleted IS NULL OR prev_deleted = 'true') THEN NULL
+              ELSE last_value(CASE WHEN change_type = 'INSERT'
+                                   THEN registered_at END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY original_id ORDER BY kafka_offset
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         END AS original_registered_at
   FROM typed
 )
 """

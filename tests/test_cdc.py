@@ -79,6 +79,32 @@ def test_registered_at_carry_forward(feed):
     assert got[6] is None  # delete with no prior insert → unknown
 
 
+def test_double_delete_does_not_leak_registered_at(spark):
+    """A DELETE of an already-deleted key finds no row to look up — the
+    reference probe misses, so original_registered_at is NULL, NOT the
+    ts of an INSERT that a prior DELETE already erased (the hypothesis
+    suite found this edge: signup→error→error)."""
+    rows = [
+        (0, ts("2024-01-01T00:00:00"), 1, "signup", 10.0, "{}"),
+        (1, ts("2024-01-01T01:00:00"), 1, "error", 10.0, "{}"),
+        (2, ts("2024-01-01T02:00:00"), 1, "error", 10.0, "{}"),
+        (3, ts("2024-01-01T03:00:00"), 1, "signup", 11.0, "{}"),
+        (4, ts("2024-01-01T04:00:00"), 1, "error", 11.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    hist = build_history(change_feed_from_events(df))
+    got = {r.kafka_offset: r.original_registered_at for r in hist.collect()}
+    assert got[0] == ts("2024-01-01T00:00:00")
+    assert got[1] == ts("2024-01-01T00:00:00")  # live delete keeps last known
+    assert got[2] is None                        # dead delete: probe misses
+    assert got[3] == ts("2024-01-01T03:00:00")  # re-insert resets
+    assert got[4] == ts("2024-01-01T03:00:00")  # live delete again
+
+
 def test_current_snapshot(feed):
     cur = build_current(feed)
     rows = {r.original_id: r for r in cur.collect()}
