@@ -217,6 +217,50 @@ def topk_similar_pairs(
     )
 
 
+def threshold_similar_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """All intra-cell pairs with round-6 cosine >= threshold — the pair
+    generator for embedding-level semantic dedup (pairs feed connected
+    components, operators/cluster.py).  Same cell-blocked GEMM shape as
+    topk_similar_pairs, but emitting the full above-threshold edge list
+    instead of a top-k: edge count is what the closure needs, and the
+    threshold filter applies INSIDE the Arrow batch, so only true
+    near-dup edges ever leave the Python worker."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        M = np.vstack(pdf[vec_col].map(np.asarray)).astype("float64")
+        n = np.linalg.norm(M, axis=1)
+        ids = pdf[id_col].to_numpy()
+        S = (M @ M.T) / np.outer(n, n)
+        iu = np.triu_indices(len(ids), 1)
+        c = np.round(S[iu], 6)
+        keep = c >= threshold
+        a = np.minimum(ids[iu[0]][keep], ids[iu[1]][keep])
+        b = np.maximum(ids[iu[0]][keep], ids[iu[1]][keep])
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c[keep]})
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            F.col(cell_col).alias("cell"),
+        )
+        .groupBy("cell")
+        .applyInPandas(per_cell, "id_a long, id_b long, cosine double")
+    )
+
+
 def topk_similar_pairs_expr(
     embeddings: DataFrame,
     k: int = 20,

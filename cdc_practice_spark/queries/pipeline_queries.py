@@ -1,0 +1,265 @@
+"""Training-data pipeline operators, tier 2: sequence packing, n-gram
+LM scoring, embedding quantization, and embedding-level semantic dedup.
+These extend the north-star operator set (COVERAGE.md bottom table)
+beyond what the reference computes — the ops a 100 TB pretraining
+pipeline runs between "raw corpus" and "training batches".
+
+Hash-compare conventions follow registry.py: identical aliases both
+engines, exact integer math where possible, round-6 before compare for
+float ratios (sums of <100 doubles are ~1e-15 relative; round-6 is 9
+orders of magnitude coarser).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.session import load_table
+
+_PACK_CAPACITY = 256
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.bin_fill + t.n_tokens > {_PACK_CAPACITY}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + t.n_tokens > {_PACK_CAPACITY}
+              THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+  FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM packed
+""",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing, 256-token bins per
+    source (operators/packing.py — the applyInPandas running-state tier;
+    the oracle recomputes the same scan as a recursive CTE).  One
+    shuffle on the group key; at 100 TB the group key becomes
+    (source, shard-hash) so groups stay executor-sized."""
+    from cdc_practice_spark.operators.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_greedy(
+        docs, capacity=_PACK_CAPACITY, group_col="source", tokens_col="n_tokens"
+    )
+
+
+@register(
+    "ngram_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) idx
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+prob AS (
+  SELECT c2.w1, c2.w2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(avg(p), 6) AS DOUBLE) AS lm_score
+FROM bg JOIN prob ON bg.w1 = prob.w1 AND bg.w2 = prob.w2
+GROUP BY bg.doc_id
+""",
+)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the fluency/
+    quality signal pretraining pipelines compute per document (here the
+    model is MLE P(w2|w1) trained on the corpus itself; a real pipeline
+    would train on a reference corpus and score candidates).
+
+    Shape: explode bigrams once and persist NOTHING — the count tables
+    (c2 on (w1,w2), c1 on w1) are map-side-combined aggregates orders of
+    magnitude smaller than the corpus; the scoring join shuffles doc
+    bigrams once on the bigram key, then one doc_id agg.  Every stage is
+    JVM codegen; no UDFs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2), "
+                    "i -> struct(split(text, ' ')[i] AS w1, "
+                    "split(text, ' ')[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    bg = tracked_persist(bg)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    prob = c2.join(c1, "w1").select(
+        "w1", "w2", (F.col("n2").cast("double") / F.col("n1").cast("double")).alias("p")
+    )
+    return (
+        bg.join(prob, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("p"), 6).cast("double").alias("lm_score"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH prep AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM prep
+),
+quant AS (
+  SELECT vec_id, label, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+           ELSE greatest(-127, least(127, floor(x / scale + 0.5))) END) AS q,
+         v
+  FROM scaled
+)
+SELECT vec_id, label,
+       CAST(round(scale, 6) AS DOUBLE) AS scale_r6,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(round(list_max(list_transform(generate_series(1, 64),
+              i -> abs(v[i] - q[i] * scale))), 6) AS DOUBLE) AS max_abs_err
+FROM quant
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage/serving compression step for a 100 TB vector corpus
+    (4 bytes -> 1 byte per dim).  scale = max|x|/127; q = clamp(round
+    half-up(x/scale)); outputs integer checksums (exact both engines)
+    plus the round-6 reconstruction error.  Everything is JVM-side
+    array HOFs in one codegen'd projection — no shuffle, no Python:
+    quantization is embarrassingly parallel and should never cost an
+    exchange."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prep = emb.select("vec_id", "label", v.alias("v"))
+    scaled = prep.withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0),
+    )
+    qexpr = (
+        "CASE WHEN scale = 0 THEN 0D ELSE "
+        "greatest(-127D, least(127D, floor(x / scale + 0.5))) END"
+    )
+    quant = scaled.withColumn(
+        "q", F.expr(f"transform(v, x -> {qexpr})")
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).cast("double").alias("scale_r6"),
+        F.expr("CAST(aggregate(q, 0D, (acc, x) -> acc + x) AS BIGINT)").alias("q_sum"),
+        F.expr(
+            "CAST(aggregate(q, 0D, (acc, x) -> acc + abs(x)) AS BIGINT)"
+        ).alias("q_l1"),
+        F.round(
+            F.expr(
+                "array_max(transform(sequence(0, size(v) - 1), "
+                "i -> abs(v[i] - q[i] * scale)))"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("max_abs_err"),
+    )
+
+
+_COS_PAIR_SQL = """
+round((CAST(list_sum(list_transform(generate_series(1, 64),
+       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS DOUBLE)
+  / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS DOUBLE))
+     * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS DOUBLE)))), 6)
+"""
+
+
+@register(
+    "semantic_dedup_keep",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_COS_PAIR_SQL} >= 0.3
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+)
+SELECT emb.vec_id,
+       coalesce(least(emb.vec_id, m.min_reach), emb.vec_id) AS cluster_rep,
+       emb.vec_id = coalesce(least(emb.vec_id, m.min_reach), emb.vec_id) AS is_kept
+FROM embeddings emb
+LEFT JOIN (SELECT src, min(dst) AS min_reach FROM reach GROUP BY src) m
+       ON m.src = emb.vec_id
+""",
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level semantic dedup: cell-blocked cosine-threshold
+    pairs (operators/similarity.py::threshold_similar_pairs — GEMM per
+    IVF cell, threshold filter inside the Arrow batch) feed connected
+    components (operators/cluster.py), and each vector keeps iff it is
+    its cluster's min-id representative.  The oracle recomputes the
+    closure as a recursive CTE — an independent algorithm agreeing on
+    the same keep-list.  Scale shape: edges only within cells, the
+    closure iterates on the (tiny) edge list, and the corpus-sized side
+    is touched exactly once by the final left join."""
+    from cdc_practice_spark.operators.cluster import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from cdc_practice_spark.operators.similarity import threshold_similar_pairs
+
+    pairs = threshold_similar_pairs(emb, threshold=0.3)
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b")
+    return (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == comp["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_rep"),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("cluster_rep"))
+    )

@@ -1,0 +1,115 @@
+"""Unit tests for the tier-2 training-pipeline operators (packing,
+bigram LM, int8 quantization, semantic dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators.packing import pack_greedy
+from cdc_practice_spark.session import load_table
+
+
+def test_pack_greedy_semantics(spark):
+    rows = [
+        # group g: 100+100 fit (200<=256), +100 overflows -> new bin
+        ("g", 0, 100), ("g", 1, 100), ("g", 2, 100),
+        # oversize doc gets its own bin, then packing continues
+        ("g", 3, 400), ("g", 4, 50),
+        # second group independent
+        ("h", 0, 256), ("h", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = {
+        (r.source, r.doc_id): (r.bin_id, r.bin_fill)
+        for r in pack_greedy(df, capacity=256).collect()
+    }
+    assert out[("g", 0)] == (0, 100)
+    assert out[("g", 1)] == (0, 200)
+    assert out[("g", 2)] == (1, 100)   # 200+100 > 256 -> new bin
+    assert out[("g", 3)] == (2, 400)   # oversize alone
+    assert out[("g", 4)] == (3, 50)    # 400 full -> next bin
+    assert out[("h", 0)] == (0, 256)   # exact fit
+    assert out[("h", 1)] == (1, 1)     # 256+1 > 256 -> new bin
+
+
+def test_pack_greedy_never_splits_and_respects_capacity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_greedy(docs, capacity=256)
+    # every doc appears exactly once
+    assert packed.count() == docs.count()
+    # no bin exceeds capacity unless it holds a single oversize doc
+    bins = (
+        packed.groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("total"), F.count("*").alias("n"))
+        .filter((F.col("total") > 256) & (F.col("n") > 1))
+    )
+    assert bins.count() == 0
+
+
+def test_threshold_pairs_match_expr_variant(spark, sf_dir):
+    from cdc_practice_spark.operators.similarity import (
+        threshold_similar_pairs,
+        topk_similar_pairs_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in threshold_similar_pairs(emb, threshold=0.3).collect()
+    }
+    # expr variant: all blocked pairs, then threshold in the driver
+    allp = topk_similar_pairs_expr(emb, k=10**9).collect()
+    want = {(r.id_a, r.id_b, r.cosine) for r in allp if r.cosine >= 0.3}
+    assert got == want
+
+
+def test_bigram_probs_sum_to_one(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "i -> struct(split(text, ' ')[i] AS w1, "
+                "split(text, ' ')[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").count().withColumnRenamed("count", "n2")
+    c1 = bg.groupBy("w1").count().withColumnRenamed("count", "n1")
+    sums = (
+        c2.join(c1, "w1")
+        .groupBy("w1")
+        .agg(F.sum(F.col("n2") / F.col("n1")).alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+
+def test_quantization_bounds(spark, sf_dir):
+    from cdc_practice_spark.queries.pipeline_queries import embedding_quantize_int8
+
+    out = embedding_quantize_int8(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.q_l1 <= 127 * 64
+        assert abs(r.q_sum) <= r.q_l1
+        # reconstruction error bounded by half a quantization step
+        assert r.max_abs_err <= r.scale_r6 / 2 + 1e-6
+
+
+def test_semantic_dedup_keep_is_consistent(spark, sf_dir):
+    from cdc_practice_spark.queries.pipeline_queries import semantic_dedup_keep
+
+    rows = semantic_dedup_keep(spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in rows}
+    reps = {r.cluster_rep for r in rows}
+    for r in rows:
+        assert r.cluster_rep <= r.vec_id
+        assert r.is_kept == (r.vec_id == r.cluster_rep)
+    # every cluster representative keeps itself
+    for rep in reps:
+        assert by_id[rep].is_kept
