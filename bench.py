@@ -32,8 +32,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q18_large_volume_orders",
+    "tpch_q21_waiting_suppliers",
     "top_customers_by_spend",
     "window_rank_orders",
     "event_time_tumbling_agg",
@@ -47,8 +49,12 @@ HEADLINE = [
     "dedup_minhash_clusters",
     "text_quality",
     "corpus_quality_filter",
+    "ngram_lm_score",
+    "pack_sequences_greedy",
     "ann_cosine_topk",
     "embedding_topk_pairs",
+    "embedding_quantize_int8",
+    "semantic_dedup_keep",
 ]
 
 

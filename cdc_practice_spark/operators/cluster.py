@@ -22,14 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_practice_spark.plans.cache import tracked_persist
+from cdc_practice_spark.plans.cache import tracked_persist, truncated_checkpoint
 
 
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 10,
+    max_iter: int = 24,
     strict: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
@@ -52,24 +52,36 @@ def connected_components(
     # with doc_a < doc_b, so symmetrization cannot create duplicates —
     # and min-label propagation is tolerant of duplicate edges anyway.
     # Dropping it removes a full exchange+aggregate stage.
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    #
+    # truncated_checkpoint (NOT persist) everywhere the loop
+    # re-references a frame: persist caches rows but keeps the logical
+    # plan, and each round references `labels` twice — the plan tree
+    # DOUBLES per round, and on many-round graphs plan stringification
+    # alone OOMs the driver.  Checkpointing cuts lineage to a
+    # materialized RDD per round; the *truncated* variant additionally
+    # resets the preserved size estimate, which otherwise compounds
+    # exponentially across rounds (see plans/cache.py).  On a multi-node
+    # cluster, swap for reliable checkpoint(dir) — localCheckpoint
+    # storage dies with an executor.
+    edges = truncated_checkpoint(
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     # Fold the FIRST propagation hop into initialization: label(v) =
     # min(v, min neighbor id) is exactly round 1 of the loop over
     # identity labels, computed here without the per-round persist+count
     # cycle (saves one full round — near-dup graphs usually converge on
     # the very next check).
     init_nbr = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
-    labels = (
+    labels = truncated_checkpoint(
         init_nbr.select(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("nbr_min")).alias("component"),
         )
-        .persist()
     )
     changed = 0
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -78,27 +90,45 @@ def connected_components(
         # one join carries BOTH the update and the convergence signal:
         # labels only ever decrease, so `changed` counts rows where the
         # new label is lower — no second old-vs-new join per round.
-        # (Pointer-doubling was A/B'd here and measured SLOWER on
-        # near-dup graphs: their diameters are tiny, so the extra
-        # per-round join costs more than the rounds it saves.  For
-        # long-chain graphs raise max_iter — the guard below makes
-        # exhaustion loud, never silent.)
-        upd = tracked_persist(
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
+        upd = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # Adaptive pointer-jumping: one-hop propagation alone needs
+        # diameter rounds — fine for near-dup clusters (tiny diameters;
+        # unconditional pointer-doubling was A/B'd SLOWER there), fatal
+        # for sparse long-chain graphs (e.g. low-threshold similarity
+        # edges).  So after two cheap rounds haven't converged, add a
+        # label shortcut per round — component(v) ← component(
+        # component(v)) — which squares the propagated distance:
+        # convergence in O(log diameter) rounds.  The shortcut join is
+        # label-table-sized (nodes, not edges) and preserves the
+        # invariant that labels are reachable minima, so the fixpoint is
+        # unchanged.
+        if i >= 2:
+            ptr = upd.select(
+                F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+            )
+            upd = upd.join(
+                ptr, upd["component"] == ptr["p_node"], "left"
+            ).select(
                 "node",
-                F.col("component").alias("_old"),
+                "_old",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
-        )
+        upd = truncated_checkpoint(upd)
         changed = upd.filter(F.col("component") < F.col("_old")).count()
-        labels.unpersist()
         labels = upd.drop("_old")
         if changed == 0:
             break
-    edges.unpersist()
     pairs.unpersist()
     if changed != 0:
         msg = (
@@ -107,7 +137,6 @@ def connected_components(
             f"converged (cluster diameter > max_iter); raise max_iter"
         )
         if strict:
-            labels.unpersist()
             raise RuntimeError(msg)
         import warnings
 
@@ -119,7 +148,7 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 10,
+    max_iter: int = 24,
 ) -> DataFrame:
     """Cluster assignment for the WHOLE corpus: docs in no pair are their
     own singleton cluster.  Output: (doc_id, cluster_rep, is_kept) —

@@ -118,8 +118,14 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     prob = c2.join(c1, "w1").select(
         "w1", "w2", (F.col("n2").cast("double") / F.col("n1").cast("double")).alias("p")
     )
+    # Broadcast the PROB side explicitly: pre-materialization stats on
+    # the persisted bg frame underestimate it, and Catalyst otherwise
+    # picks BuildLeft — broadcasting the corpus-sized occurrence list
+    # (measured: the wrong side is ~1000× the right one).  prob is
+    # bounded by vocab² ≪ corpus; for an open-vocab 100 TB corpus drop
+    # the hint and let the (w1, w2) sort-merge join stand.
     return (
-        bg.join(prob, ["w1", "w2"])
+        bg.join(F.broadcast(prob), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -217,7 +223,7 @@ WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a
   JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {_COS_PAIR_SQL} >= 0.3
+  WHERE {_COS_PAIR_SQL} >= 0.35
 ),
 bi AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -242,7 +248,10 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (operators/similarity.py::threshold_similar_pairs — GEMM per
     IVF cell, threshold filter inside the Arrow batch) feed connected
     components (operators/cluster.py), and each vector keeps iff it is
-    its cluster's min-id representative.  The oracle recomputes the
+    its cluster's min-id representative (τ=0.35 — on the synthetic
+    random embeddings this yields the star-like tiny clusters real
+    near-dup corpora produce; lower τ degenerates into one sparse giant
+    component whose diameter, not size, bounds CC rounds).  The oracle recomputes the
     closure as a recursive CTE — an independent algorithm agreeing on
     the same keep-list.  Scale shape: edges only within cells, the
     closure iterates on the (tiny) edge list, and the corpus-sized side
@@ -252,7 +261,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from cdc_practice_spark.operators.similarity import threshold_similar_pairs
 
-    pairs = threshold_similar_pairs(emb, threshold=0.3)
+    pairs = threshold_similar_pairs(emb, threshold=0.35)
     comp = connected_components(pairs, a_col="id_a", b_col="id_b")
     return (
         emb.select("vec_id")

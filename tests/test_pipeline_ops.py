@@ -51,19 +51,41 @@ def test_pack_greedy_never_splits_and_respects_capacity(spark, sf_dir):
 
 
 def test_threshold_pairs_match_expr_variant(spark, sf_dir):
-    from cdc_practice_spark.operators.similarity import (
-        threshold_similar_pairs,
-        topk_similar_pairs_expr,
-    )
+    from cdc_practice_spark.functions.vectors import dot, norm
+    from cdc_practice_spark.operators.similarity import threshold_similar_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     got = {
         (r.id_a, r.id_b, r.cosine)
         for r in threshold_similar_pairs(emb, threshold=0.3).collect()
     }
-    # expr variant: all blocked pairs, then threshold in the driver
-    allp = topk_similar_pairs_expr(emb, k=10**9).collect()
-    want = {(r.id_a, r.id_b, r.cosine) for r in allp if r.cosine >= 0.3}
+    # independent pure-expression recompute of the blocked pairs
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("label").alias("cell"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = base.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    allp = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .collect()
+    )
+    want = {(r.id_a, r.id_b, r.cosine) for r in allp}
     assert got == want
 
 
