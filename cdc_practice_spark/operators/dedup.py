@@ -465,3 +465,105 @@ def exact_dedup_clusters(
             F.min(id_col).alias("representative_id"),
         )
     )
+
+
+def band_keys_array() -> Column:
+    """The BANDS concat-ws'd band keys from mh0..mh{NUM_PERM-1} columns
+    (shared by the batch LSH self-join and the incremental index)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(BANDS)
+        ]
+    )
+
+
+def minhash_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent LSH index of a corpus: ``(bands, sigs)`` where
+    bands = (doc_id, band_idx, band_key) and sigs = (doc_id, hs).
+
+    In a deployment both are parquet tables partitioned/bucketed by
+    band_key and doc_id respectively — building them is one linear pass
+    over the corpus (the same Arrow minhash pass the batch path uses),
+    and they grow append-only as batches are admitted.  Here they are
+    returned as DataFrames; writing/reading them is the caller's
+    storage choice."""
+    base = tracked_persist(with_minhash_arrow(docs, id_col, text_col))
+    bands = base.select(
+        "doc_id", F.posexplode(band_keys_array()).alias("band_idx", "band_key")
+    )
+    return bands, base.select("doc_id", "hs")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus index at O(batch)
+    cost — the operation a 100 TB ingest pipeline actually runs (a full
+    corpus re-dedup per arriving batch would be quadratic over time).
+
+    Semantics (deterministic): a new document is a duplicate iff its
+    verified Jaccard ≥ threshold against ANY document with a smaller
+    doc_id — indexed corpus docs or earlier docs in the same batch.
+    Output: (doc_id, is_dup, dup_of = smallest matching id, n_dup_matches)
+    for every new doc.
+
+    Scale shape: the new batch's bands equality-join the indexed bands
+    (shuffle sized by the BATCH, pruned by band_key; with the index
+    bucketed by band_key the corpus side doesn't even reshuffle);
+    signature verify touches only candidates; the corpus is never
+    rescanned or re-hashed."""
+    nb = tracked_persist(with_minhash_arrow(new_docs, id_col, text_col))
+    new_bands = tracked_persist(
+        nb.select(
+            "doc_id", F.posexplode(band_keys_array()).alias("band_idx", "band_key")
+        )
+    )
+    # candidate partners: anything sharing a band bucket with a SMALLER
+    # id — covers both the indexed corpus and earlier same-batch docs.
+    all_bands = index_bands.unionByName(new_bands)
+    cands = (
+        new_bands.alias("n")
+        .join(all_bands.alias("o"), ["band_idx", "band_key"])
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("other_id"))
+        .filter(F.col("other_id") < F.col("new_id"))
+        .dropDuplicates(["new_id", "other_id"])
+    )
+    all_sigs = index_sigs.unionByName(nb.select("doc_id", "hs"))
+    paired = cands.join(
+        nb.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")), "new_id"
+    ).join(
+        all_sigs.select(F.col("doc_id").alias("other_id"), F.col("hs").alias("hs_o")),
+        "other_id",
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_o")).cast("double")
+    union = (F.size("hs_n") + F.size("hs_o")).cast("double") - inter
+    matches = (
+        paired.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.min("other_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_dup_matches"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(matches, F.col("doc_id") == matches["new_id"], "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_dup_matches", F.lit(0)).alias("n_dup_matches"),
+        )
+    )

@@ -283,3 +283,68 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, hs,
+         {{minhash_cols}}
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, unnest({{band_list}}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx
+  FROM sigs
+),
+cut AS (
+  SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS c FROM documents
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS other_id
+  FROM banded n
+  JOIN banded o ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+               AND o.doc_id < n.doc_id
+  JOIN cut ON n.doc_id >= cut.c
+),
+matches AS (
+  SELECT new_id, min(other_id) AS dup_of,
+         CAST(count(*) AS BIGINT) AS n_dup_matches
+  FROM cands
+  JOIN hs sn ON sn.doc_id = cands.new_id
+  JOIN hs so ON so.doc_id = cands.other_id
+  WHERE round(CAST(len(list_intersect(sn.hs, so.hs)) AS DOUBLE)
+        / (len(sn.hs) + len(so.hs) - len(list_intersect(sn.hs, so.hs))),
+        6) >= 0.8
+  GROUP BY new_id
+)
+SELECT d.doc_id,
+       m.dup_of IS NOT NULL AS is_dup,
+       m.dup_of,
+       coalesce(m.n_dup_matches, 0) AS n_dup_matches
+FROM documents d
+JOIN cut ON d.doc_id >= cut.c
+LEFT JOIN matches m ON m.new_id = d.doc_id
+""".format(minhash_cols="__MINHASH__", band_list="__BANDS__")
+    .replace("__MINHASH__", _minhash_cols_sql())
+    .replace("__BANDS__", _band_list_sql()),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the newest 20% of the corpus arrives as
+    a batch and dedups against the LSH index of the first 80% at
+    O(batch) cost (operators/dedup.py::incremental_dedup — the corpus
+    is never rescanned; its bands/signatures are the persisted index a
+    deployment maintains append-only).  A new doc is a duplicate iff
+    verified Jaccard ≥ 0.8 against any smaller-id doc (indexed corpus
+    or earlier in the batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor((F.max("doc_id") + 1) * 0.8).cast("long").alias("_cut")
+    )
+    split = docs.crossJoin(F.broadcast(cut))
+    corpus = split.filter(F.col("doc_id") < F.col("_cut")).drop("_cut")
+    batch = split.filter(F.col("doc_id") >= F.col("_cut")).drop("_cut")
+    index_bands, index_sigs = D.minhash_index(corpus)
+    return D.incremental_dedup(batch, index_bands, index_sigs, threshold=0.8)

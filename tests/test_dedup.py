@@ -130,3 +130,32 @@ def test_minhash_arrow_matches_jvm_on_adversarial_whitespace(spark):
     jvm_hs_map = {r.doc_id: list(r.hs) for r in jvm_hs.collect()}
     arw_hs_map = {r.doc_id: list(r.hs) for r in arw}
     assert arw_hs_map == jvm_hs_map
+
+
+def test_incremental_dedup_matches_full_pairs(spark, sf_dir):
+    """Incremental verdicts must agree with the full-corpus pair list:
+    a batch doc is a duplicate iff the full LSH pair set links it to any
+    smaller-id doc."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut_val = docs.agg(F.floor((F.max("doc_id") + 1) * 0.8).cast("long")).head()[0]
+    corpus = docs.filter(F.col("doc_id") < cut_val)
+    batch = docs.filter(F.col("doc_id") >= cut_val)
+    bands, sigs = D.minhash_index(corpus)
+    got = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in D.incremental_dedup(batch, bands, sigs, threshold=0.8).collect()
+    }
+    full_pairs = D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    partners = {}
+    for r in full_pairs:
+        partners.setdefault(r.doc_b, set()).add(r.doc_a)  # doc_a < doc_b
+    assert set(got) == {r.doc_id for r in batch.select("doc_id").collect()}
+    for doc_id, (is_dup, dup_of) in got.items():
+        smaller = partners.get(doc_id, set())
+        assert is_dup == bool(smaller)
+        assert dup_of == (min(smaller) if smaller else None)
