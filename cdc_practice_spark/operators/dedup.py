@@ -485,19 +485,34 @@ def minhash_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
     """The persistent LSH index of a corpus: ``(bands, sigs)`` where
-    bands = (doc_id, band_idx, band_key) and sigs = (doc_id, hs).
+    bands = (doc_id, bk) and sigs = (doc_id, hs).
 
-    In a deployment both are parquet tables partitioned/bucketed by
-    band_key and doc_id respectively — building them is one linear pass
-    over the corpus (the same Arrow minhash pass the batch path uses),
-    and they grow append-only as batches are admitted.  Here they are
-    returned as DataFrames; writing/reading them is the caller's
-    storage choice."""
+    ``bk`` folds the band index into the band key ("<idx>-<mins>") so
+    the candidate join has ONE equality key — which is also the bucket
+    key: a deployment stores the bands table bucketed by bk, making the
+    index side of every later incremental join exchange-free (asserted
+    in tests/test_dedup.py).  Building the index is one linear Arrow
+    pass over the corpus; both tables grow append-only as batches are
+    admitted."""
     base = tracked_persist(with_minhash_arrow(docs, id_col, text_col))
-    bands = base.select(
-        "doc_id", F.posexplode(band_keys_array()).alias("band_idx", "band_key")
-    )
+    bands = base.select("doc_id", F.explode(banded_keys_array()).alias("bk"))
     return bands, base.select("doc_id", "hs")
+
+
+def banded_keys_array() -> Column:
+    """band_keys_array with the band index folded into each key —
+    "<band_idx>-<m0>-<m1>-..." — so one string column identifies the
+    (band, bucket) pair."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(BANDS)
+        ]
+    )
 
 
 def incremental_dedup(
@@ -525,16 +540,14 @@ def incremental_dedup(
     rescanned or re-hashed."""
     nb = tracked_persist(with_minhash_arrow(new_docs, id_col, text_col))
     new_bands = tracked_persist(
-        nb.select(
-            "doc_id", F.posexplode(band_keys_array()).alias("band_idx", "band_key")
-        )
+        nb.select("doc_id", F.explode(banded_keys_array()).alias("bk"))
     )
     # candidate partners: anything sharing a band bucket with a SMALLER
     # id — covers both the indexed corpus and earlier same-batch docs.
     all_bands = index_bands.unionByName(new_bands)
     cands = (
         new_bands.alias("n")
-        .join(all_bands.alias("o"), ["band_idx", "band_key"])
+        .join(all_bands.alias("o"), ["bk"])
         .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("other_id"))
         .filter(F.col("other_id") < F.col("new_id"))
         .dropDuplicates(["new_id", "other_id"])

@@ -159,3 +159,49 @@ def test_incremental_dedup_matches_full_pairs(spark, sf_dir):
         smaller = partners.get(doc_id, set())
         assert is_dup == bool(smaller)
         assert dup_of == (min(smaller) if smaller else None)
+
+
+def test_incremental_dedup_bucketed_index_no_corpus_exchange(spark, sf_dir, tmp_path):
+    """The deployment claim in incremental_dedup's docstring: with the
+    band index stored bucketed by band_key, the candidate join reads the
+    corpus-side buckets in place — only the (small) batch side
+    exchanges."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.sources.bucketed import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+
+    import uuid
+
+    bucketed_join_ready(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    bands, _sigs = D.minhash_index(corpus)
+    table = f"idx_bands_{uuid.uuid4().hex[:8]}"
+    write_bucketed(bands, table, "bk", n_buckets=8)
+    index_bands = spark.table(table)
+
+    from cdc_practice_spark.plans.explain import physical_tree, plan_string
+
+    nb = D.with_minhash_arrow(batch)
+    new_bands = nb.select("doc_id", F.explode(D.banded_keys_array()).alias("bk"))
+    joined = new_bands.join(index_bands, ["bk"])
+    # disable broadcast: the point is co-location, not a broadcast (at
+    # 100 TB the index side never broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "Bucketed: true" in plan_string(joined, "formatted")
+        # no exchange above the bucketed index scan: every Exchange in
+        # the tree sits on the batch side (before the scan appears)
+        tree = physical_tree(joined)
+        scan_part = tree[tree.index(table):]
+        assert "Exchange" not in scan_part, scan_part[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
