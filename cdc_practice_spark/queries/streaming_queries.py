@@ -142,3 +142,77 @@ def streaming_replay_current_bucketed(spark: SparkSession, sf_dir: str) -> DataF
 
 
 ORACLES["streaming_replay_current_bucketed"] = ORACLES["cdc_current_snapshot"]
+
+
+def split_documents_into_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Split the documents fixture into n single-file chunks in doc_id
+    order with monotone mtimes (deterministic stream arrival order)."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = raw.agg(F.max("doc_id")).head()[0] + 1
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = raw.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        ).coalesce(1)
+        part_dir = os.path.join(out_dir, f"_part{i}")
+        chunk.write.mode("overwrite").parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(part_dir, src), os.path.join(out_dir, f"chunk-{i:03d}.parquet")
+        )
+        shutil.rmtree(part_dir)
+        time.sleep(0.05)
+
+
+@register(
+    "streaming_dedup_fingerprints",
+    oracle="""
+SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+         string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+""",
+)
+def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus dedup: documents arrive as 4 micro-batches and
+    ``dropDuplicates`` on the content fingerprint holds seen-fingerprint
+    state across batches — each fingerprint passes the stream exactly
+    once no matter how many batches repeat it.  The emitted SET of
+    fingerprints is deterministic (which duplicate doc carries it is
+    not — state-store partial order — so the query projects the
+    fingerprint set; representative choice is the BATCH dedup path's
+    job, dedup_exact_clusters).  At scale this is the dedup-at-ingest
+    tier: state is one row per unique fingerprint, partitioned by the
+    state key."""
+    from cdc_practice_spark.functions.text import fingerprint_sorted_tokens
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="stream_dedup_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+    split_documents_into_files(spark, sf_dir, src_dir, n_files=4)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("fingerprint", fingerprint_sorted_tokens(F.col("text")))
+        .dropDuplicates(["fingerprint"])
+        .select("fingerprint")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # no .distinct() here: the RAW sink must already be unique — a
+    # fingerprint emitted twice (state failure) breaks the oracle's
+    # row-count match, so exactly-once emission is part of the check.
+    return spark.read.parquet(out_dir).select("fingerprint")
