@@ -272,3 +272,75 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_kept", F.col("vec_id") == F.col("cluster_rep"))
     )
+
+
+_MIX_HASH = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007"
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+budget AS (
+  SELECT min(n_docs) AS min_c FROM counts
+),
+rated AS (
+  SELECT lang, n_docs,
+         CAST(min_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS rate
+  FROM counts, budget
+),
+kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d
+  JOIN rated r ON d.lang = r.lang
+  WHERE {_MIX_HASH} < CAST(floor(r.rate * 1000000007) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs,
+       CAST(round(r.rate, 6) AS DOUBLE) AS rate_r6,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rated r LEFT JOIN kept k ON r.lang = k.lang
+""",
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: downsample each language to a uniform
+    target mixture (rate_g = min_count / count_g — the largest uniform
+    mixture reachable without upsampling), with DETERMINISTIC hash-
+    threshold acceptance per document.
+
+    Scale shape: group counts are one map-side-combined aggregate (5
+    rows), rates broadcast back, and acceptance is a pure per-row
+    predicate — no per-group sort, no window over 5-key partitions
+    (which would serialize at 100 TB).  Hash-threshold acceptance hits
+    the target proportions to binomial noise; both engines compute the
+    identical md5-derived hash, so the kept counts hash-match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    budget = counts.agg(F.min("n_docs").alias("min_c"))
+    rated = counts.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        "n_docs",
+        (F.col("min_c").cast("double") / F.col("n_docs").cast("double")).alias("rate"),
+    )
+    doc_hash = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % F.lit(1000000007)
+    )
+    kept = (
+        docs.join(F.broadcast(rated), "lang")
+        .filter(doc_hash < F.floor(F.col("rate") * 1000000007).cast("bigint"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rated.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("rate", 6).cast("double").alias("rate_r6"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
