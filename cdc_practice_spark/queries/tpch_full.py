@@ -344,17 +344,27 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(orders_f, li["l_orderkey"] == orders_f["o_orderkey"]).withColumn(
         "is_late", (F.datediff("l_shipdate", "o_orderdate") > 365).cast("int")
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Pre-aggregate to (order, supplier) grain first: the two distinct
+    # counts then become plain count/sum (no Expand doubling the rows),
+    # and the qualify join happens at the pre-agg grain instead of the
+    # line level.  Both aggregates and the join ride ONE orderkey-side
+    # shuffle; late-line multiplicity survives as n_late_lines.
+    lv = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late"),
+        F.sum("is_late").alias("n_late_lines"),
     )
-    late = lines.filter(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
     qualifying = (
-        late.join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .select("l_suppkey")
+        lv.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("any_late").over(w))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_suppkey", "n_late_lines")
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -362,7 +372,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(supplier), qualifying["l_suppkey"] == supplier["s_suppkey"]
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
