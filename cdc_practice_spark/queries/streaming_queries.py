@@ -216,3 +216,85 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint emitted twice (state failure) breaks the oracle's
     # row-count match, so exactly-once emission is part of the check.
     return spark.read.parquet(out_dir).select("fingerprint")
+
+
+@register(
+    "streaming_interval_join_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(v.ts) AS view_ts_us
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 7 DAY
+""",
+)
+def streaming_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases and views arrive as two
+    streams (4 micro-batches each over the same chunked source) and
+    join on user within a 7-day attribution window.  Spark buffers both
+    sides in watermark-bounded state and emits each qualifying pair
+    exactly once — the canonical event-correlation shape (ad
+    attribution, fraud windows) that no batch twin replaces at 100 TB
+    because neither side ever exists in full.
+
+    Determinism: the watermark lag exceeds the fixture's whole time
+    span, so no event is ever dropped as late and the emitted pair SET
+    equals the batch interval join (the oracle).  A deployment sets the
+    lag to its real out-of-orderness bound — state then stays
+    O(window × arrival rate) per user; the join itself shuffles both
+    streams on user_id once."""
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="stream_ssj_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=4)
+    from cdc_practice_spark.streaming.pipeline import read_events_stream
+
+    base = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "3650 days")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "3650 days")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.unix_micros(F.col("p_ts")).alias("purchase_ts_us"),
+        F.unix_micros(F.col("v_ts")).alias("view_ts_us"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
