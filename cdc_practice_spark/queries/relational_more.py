@@ -234,3 +234,74 @@ def skew_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("sum_value"),
     )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, metric, CAST(round(CAST(value AS DECIMAL(12,2)), 2) AS DOUBLE) AS value
+FROM (
+  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+) u
+""",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of pivot): wide part metrics to long
+    (key, metric, value) rows — the layout feature stores and metric
+    pipelines ingest.  Compiles to Expand (each input row emits one row
+    per metric in the same task): zero shuffles, linear at any scale."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        "p_partkey",
+        "metric",
+        F.round(F.col("value").cast("decimal(12,2)"), 2).cast("double").alias("value"),
+    )
+
+
+@register(
+    "window_range_interval_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(18,2)), 2) AS DOUBLE) AS rolling_1h_value
+FROM events
+WHERE event_type = 'click'
+""",
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour value sum —
+    frames bounded by EVENT-TIME distance, not row counts (ROWS frames
+    are in window_frames_suite).  One shuffle on user_id; the frame
+    scan is a sliding pointer over the sorted partition.  Decimal-exact
+    sum, so ties in ts ordering can't wobble the hash (RANGE frames
+    include ALL peer rows at equal ts, making the frame sum
+    order-independent by construction)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("decimal(18,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("rolling_1h_value"),
+    )

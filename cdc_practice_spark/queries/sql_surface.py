@@ -185,3 +185,37 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_level,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation (rollup and
+    cube are special cases — registered separately; this is the general
+    form, run through spark.sql on a registered view).  One Expand over
+    the scan feeds one shuffle keyed by (keys, grouping_id): exactly the
+    rollup plan shape, set count × data in the exchange."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                 AS grouping_level,
+               CAST(round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                          / 10000.0, 2) AS DOUBLE) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
+    """)
