@@ -17,7 +17,7 @@ from cdc_practice_spark.cdc import (
     change_feed_from_events,
 )
 from cdc_practice_spark.functions import money as M
-from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.queries.registry import ORACLES, register
 from cdc_practice_spark.session import TABLES, load_table
 
 
@@ -219,3 +219,76 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
                                 (l_linestatus), ())
     """)
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                  THEN 1 END) AS BIGINT) AS k_gt50
+FROM events
+GROUP BY event_type
+""",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json
+    once into a binary-encoded variant, then typed variant_get field
+    extraction — the modern engine path for schema-less JSON columns
+    (vs. per-access string re-parsing).  The parse and both extractions
+    fuse into one codegen'd projection before the (tiny) agg."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("k_gt50"),
+    )
+
+
+@register(
+    "recursive_cte_order_chains",
+    oracle="""
+WITH RECURSIVE ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+succ AS (
+  SELECT a.o_custkey, a.rn, a.o_orderdate,
+         b.o_orderdate AS next_date, b.rn AS next_rn
+  FROM ordered a
+  LEFT JOIN ordered b ON b.o_custkey = a.o_custkey AND b.rn = a.rn + 1
+),
+chain AS (
+  SELECT o_custkey, rn, o_orderdate, 1 AS depth
+  FROM ordered
+  WHERE rn = 1 AND o_orderdate < TIMESTAMP '1995-03-01'
+  UNION ALL
+  SELECT s.o_custkey, s.next_rn, s.next_date, c.depth + 1
+  FROM chain c
+  JOIN succ s ON s.o_custkey = c.o_custkey AND s.rn = c.rn
+  WHERE s.next_date IS NOT NULL
+    AND s.next_date <= s.o_orderdate + INTERVAL 30 DAY
+    AND c.depth < 10
+)
+SELECT o_custkey, CAST(max(depth) AS BIGINT) AS chain_len
+FROM chain
+GROUP BY o_custkey
+""",
+)
+def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE, verbatim through
+    spark.sql): per customer, walk consecutive orders while each gap is
+    <= 30 days starting from a first order before 1995-03; report the
+    chain length.  Successor edges are precomputed ONCE with a window
+    (correlated NOT-EXISTS inside a recursive join is unsupported AND
+    would rescan orders per step); the recursion then walks the edge
+    table — each step one join whose working set shrinks as chains
+    terminate.  Identical SQL runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql(ORACLES["recursive_cte_order_chains"].replace("FROM orders", "FROM orders_rc"))
