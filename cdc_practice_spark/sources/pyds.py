@@ -1,0 +1,116 @@
+"""Spark 4 Python DataSource: a native ``debezium_jsonl`` format.
+
+The reference's wire format is flattened Debezium JSON on a Kafka topic
+(mysql-connector-config-clean.json:21-29); its offline twin is JSONL
+capture files (one SMT-flattened envelope per line, tombstones as
+``null``).  This data source makes those files a first-class format:
+
+    spark.dataSource.register(DebeziumJsonlDataSource)
+    spark.read.format("debezium_jsonl").load("/captures/")
+
+yielding the SAME columns ``parse_debezium`` produces from a Kafka scan
+(kafka_topic, kafka_partition, kafka_offset, id, user_id, account,
+registered_at, __deleted) — one file plays one topic-partition, the
+line number is the offset, tombstone lines are filtered (P1).
+
+Scale shape: ``partitions()`` returns one InputPartition per capture
+file, so Spark schedules file-granular parallel reads exactly like the
+built-in text source; each partition streams line-by-line (no whole-file
+buffering).  This is the Python DataSource API tier — the right tool
+for custom FORMATS, where the per-row work is parsing anyway (a JVM
+format would only move the json.loads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+try:  # Spark 4+ only; the module stays importable elsewhere
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    _HAVE_PYDS = True
+except ImportError:  # pragma: no cover
+    DataSource = object  # type: ignore[assignment,misc]
+    DataSourceReader = object  # type: ignore[assignment,misc]
+    InputPartition = object  # type: ignore[assignment,misc]
+    _HAVE_PYDS = False
+
+WIRE_SCHEMA_DDL = (
+    "kafka_topic string, kafka_partition int, kafka_offset long, "
+    "id long, user_id long, account string, registered_at string, "
+    "__deleted string"
+)
+
+DEFAULT_TOPIC = "dbserver1.bankdb.bank_accounts"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, partition_id: int):
+        self.path = path
+        self.partition_id = partition_id
+
+
+class DebeziumJsonlReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("debezium_jsonl requires a path")
+        self.topic = options.get("topic", DEFAULT_TOPIC)
+
+    def partitions(self) -> Sequence[_FilePartition]:
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".jsonl")
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(p, i) for i, p in enumerate(files)]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as fh:
+            for offset, line in enumerate(fh):
+                line = line.strip()
+                if not line or line == "null":  # tombstone (P1)
+                    continue
+                d = json.loads(line)
+                if d is None:
+                    continue
+                yield (
+                    self.topic,
+                    partition.partition_id,
+                    offset,
+                    d.get("id"),
+                    d.get("user_id"),
+                    d.get("account"),
+                    d.get("registered_at"),
+                    d.get("__deleted", "false"),
+                )
+
+
+class DebeziumJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "debezium_jsonl"
+
+    def schema(self) -> str:
+        return WIRE_SCHEMA_DDL
+
+    def reader(self, schema) -> DebeziumJsonlReader:
+        return DebeziumJsonlReader(self.options)
+
+
+def register(spark) -> bool:
+    """Register the format on a session; returns False when the Python
+    DataSource API is unavailable (pre-4.0)."""
+    if not _HAVE_PYDS:
+        return False
+    spark.dataSource.register(DebeziumJsonlDataSource)
+    return True

@@ -135,3 +135,56 @@ def test_jsonl_malformed_line_isolated(spark, tmp_path):
     assert FS.good_rows(df).count() == 2
     bad = FS.corrupt_rows(df).collect()
     assert len(bad) == 1 and "NOT JSON" in bad[0][0]
+
+
+def test_python_datasource_debezium_jsonl(spark, tmp_path):
+    """Spark 4 Python DataSource: JSONL capture files read as the
+    debezium_jsonl format must produce exactly what parse_debezium
+    yields from the equivalent Kafka records — tombstones filtered,
+    line number as offset, one partition per file."""
+    import json
+
+    from cdc_practice_spark.sources.kafka import parse_debezium
+    from cdc_practice_spark.sources.pyds import register as register_pyds
+
+    assert register_pyds(spark)
+    payloads = [
+        {"id": 1, "user_id": 10, "account": "A",
+         "registered_at": "2024-01-01 00:00:00", "__deleted": "false"},
+        {"id": 1, "user_id": 10, "account": "B",
+         "registered_at": "2024-01-01 00:00:00", "__deleted": "false"},
+        None,  # tombstone line
+        {"id": 2, "user_id": 20, "account": "C",
+         "registered_at": "2024-01-02 00:00:00", "__deleted": "true"},
+    ]
+    cap = tmp_path / "cap"
+    cap.mkdir()
+    (cap / "part-000.jsonl").write_text(
+        "\n".join(json.dumps(p) for p in payloads) + "\n"
+    )
+    got = (
+        spark.read.format("debezium_jsonl")
+        .option("path", str(cap))
+        .load()
+        .orderBy("kafka_offset")
+        .collect()
+    )
+    # twin: the same payloads as Kafka records through parse_debezium
+    kafka_rows = [
+        ("dbserver1.bankdb.bank_accounts", 0, i,
+         json.dumps(p).encode() if p is not None else None)
+        for i, p in enumerate(payloads)
+    ]
+    kafka_df = spark.createDataFrame(
+        kafka_rows, "topic string, partition int, offset long, value binary"
+    )
+    want = parse_debezium(kafka_df).orderBy("kafka_offset").collect()
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert g.kafka_offset == w.kafka_offset
+        assert g.id == w.id and g.user_id == w.user_id
+        assert g.account == w.account and g["__deleted"] == w["__deleted"]
+    # partition granularity: a second file becomes its own partition
+    (cap / "part-001.jsonl").write_text(json.dumps(payloads[0]) + "\n")
+    df2 = spark.read.format("debezium_jsonl").option("path", str(cap)).load()
+    assert df2.select("kafka_partition").distinct().count() == 2
