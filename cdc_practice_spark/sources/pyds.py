@@ -32,6 +32,7 @@ try:  # Spark 4+ only; the module stays importable elsewhere
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     _HAVE_PYDS = True
@@ -39,6 +40,7 @@ except ImportError:  # pragma: no cover
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
     _HAVE_PYDS = False
 
 WIRE_SCHEMA_DDL = (
@@ -95,6 +97,81 @@ class DebeziumJsonlReader(DataSourceReader):
                 )
 
 
+class DebeziumJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail over a directory of capture files: the offset is
+    {file: lines_consumed}; each micro-batch emits lines appended (or
+    files added) since the last committed offset — the pure-Python twin
+    of tailing the Kafka topic itself.  readBetweenOffsets replays a
+    committed range deterministically (files are append-only), which is
+    what gives the source exactly-once recovery."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("debezium_jsonl requires a path")
+        self.topic = options.get("topic", DEFAULT_TOPIC)
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".jsonl")
+            )
+        return [self.path]
+
+    def initialOffset(self) -> dict:
+        return {"lines": {}}
+
+    def _emit(self, path: str, part_id: int, lo: int, hi: int):
+        with open(path, encoding="utf-8") as fh:
+            for offset, line in enumerate(fh):
+                if offset < lo or offset >= hi:
+                    continue
+                line = line.strip()
+                if not line or line == "null":
+                    continue
+                d = json.loads(line)
+                if d is None:
+                    continue
+                yield (
+                    self.topic,
+                    part_id,
+                    offset,
+                    d.get("id"),
+                    d.get("user_id"),
+                    d.get("account"),
+                    d.get("registered_at"),
+                    d.get("__deleted", "false"),
+                )
+
+    def _count_lines(self, path: str) -> int:
+        with open(path, encoding="utf-8") as fh:
+            return sum(1 for _ in fh)
+
+    def read(self, start: dict):
+        consumed = dict(start.get("lines", {}))
+        rows: list[tuple] = []
+        end = {"lines": dict(consumed)}
+        for part_id, path in enumerate(self._files()):
+            lo = int(consumed.get(path, 0))
+            hi = self._count_lines(path)
+            if hi > lo:
+                rows.extend(self._emit(path, part_id, lo, hi))
+            end["lines"][path] = max(hi, lo)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s = start.get("lines", {})
+        e = end.get("lines", {})
+        rows: list[tuple] = []
+        for part_id, path in enumerate(self._files()):
+            lo, hi = int(s.get(path, 0)), int(e.get(path, 0))
+            if hi > lo:
+                rows.extend(self._emit(path, part_id, lo, hi))
+        return iter(rows)
+
+
 class DebeziumJsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -105,6 +182,9 @@ class DebeziumJsonlDataSource(DataSource):
 
     def reader(self, schema) -> DebeziumJsonlReader:
         return DebeziumJsonlReader(self.options)
+
+    def simpleStreamReader(self, schema) -> DebeziumJsonlStreamReader:
+        return DebeziumJsonlStreamReader(self.options)
 
 
 def register(spark) -> bool:

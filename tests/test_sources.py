@@ -188,3 +188,54 @@ def test_python_datasource_debezium_jsonl(spark, tmp_path):
     (cap / "part-001.jsonl").write_text(json.dumps(payloads[0]) + "\n")
     df2 = spark.read.format("debezium_jsonl").option("path", str(cap)).load()
     assert df2.select("kafka_partition").distinct().count() == 2
+
+
+def test_python_datasource_stream_tails_captures(spark, tmp_path):
+    """Streaming debezium_jsonl: first availableNow run consumes
+    existing lines; appended lines are picked up by a SECOND run on the
+    same checkpoint (offset = per-file line counts) — incremental tail
+    with exactly-once recovery."""
+    import json
+
+    from cdc_practice_spark.sources.pyds import register as register_pyds
+
+    assert register_pyds(spark)
+    cap = tmp_path / "cap"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    cap.mkdir()
+    f = cap / "part-000.jsonl"
+
+    def row(i, acct):
+        return json.dumps(
+            {"id": i, "user_id": i * 10, "account": acct,
+             "registered_at": "2024-01-01 00:00:00", "__deleted": "false"}
+        )
+
+    f.write_text(row(1, "A") + "\n" + row(2, "B") + "\n")
+
+    def run_once():
+        q = (
+            spark.readStream.format("debezium_jsonl")
+            .option("path", str(cap))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(str(out)).collect()
+    assert sorted(r.id for r in first) == [1, 2]
+
+    # append one line + add a tombstone; second run sees ONLY the new row
+    with f.open("a") as fh:
+        fh.write("null\n" + row(3, "C") + "\n")
+    run_once()
+    second = spark.read.parquet(str(out)).collect()
+    assert sorted(r.id for r in second) == [1, 2, 3]
+    assert {r.kafka_offset for r in second if r.id == 3} == {3}
