@@ -124,8 +124,19 @@ def connected_components(
                     F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
+        # convergence signal rides the checkpoint materialization as an
+        # observe() metric — no separate count job per round
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_round_{i}")
+        upd = upd.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("component") < F.col("_old")).cast("long")), F.lit(0)
+            ).alias("changed"),
+        )
         upd = truncated_checkpoint(upd)
-        changed = upd.filter(F.col("component") < F.col("_old")).count()
+        changed = int(obs.get["changed"])
         labels = upd.drop("_old")
         if changed == 0:
             break
