@@ -97,14 +97,17 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams once on the bigram key, then one doc_id agg.  Every stage is
     JVM codegen; no UDFs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # tokenize ONCE per row in its own projection: split() inside the
+    # transform lambda would re-run per bigram ELEMENT (~2×tokens splits
+    # per doc — measured 4× on the explode stage)
     bg = (
-        docs.select(
+        docs.withColumn("w", F.split("text", " "))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 2), "
-                    "i -> struct(split(text, ' ')[i] AS w1, "
-                    "split(text, ' ')[i + 1] AS w2))"
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> struct(w[i] AS w1, w[i + 1] AS w2))"
                 )
             ).alias("b"),
         )
