@@ -398,3 +398,50 @@ def test_bucketed_upsert_skips_untouched_buckets(spark):
         assert final[u] == float(u)
     for u in users_b:
         assert final[u] == float(u) + 0.5
+
+
+def test_state_store_reader_exposes_dedup_state(spark, sf_dir, tmp_path):
+    """Spark 4 state data source: the dropDuplicates state behind the
+    streaming corpus dedup is directly queryable — one state row per
+    unique fingerprint, matching the batch distinct count.  This is the
+    observability surface for debugging streaming state at scale
+    (inspect skew, count keys) without touching the running query."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.functions.text import fingerprint_sorted_tokens
+    from cdc_practice_spark.session import load_table
+
+    import shutil as _sh
+
+    src = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+    _sh.copy(src, str(tmp_path / "in" / "documents.parquet"))
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(str(tmp_path / "in"))
+        .withColumn("fingerprint", fingerprint_sorted_tokens(F.col("text")))
+        .dropDuplicates(["fingerprint"])
+        .select("fingerprint")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    q.start().awaitTermination()
+
+    state = spark.read.format("statestore").load(ckpt)
+    n_state = state.count()
+    n_distinct = (
+        load_table(spark, sf_dir, "documents")
+        .select(fingerprint_sorted_tokens(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert n_state == n_distinct
+    # state keys ARE the fingerprints
+    keys = {r.key.fingerprint for r in state.select("key").collect()}
+    assert len(keys) == n_distinct
