@@ -50,3 +50,38 @@ def test_unconverged_raises_not_silent(spark):
         for r in connected_components(chain, max_iter=6).collect()
     }
     assert set(comp.values()) == {0}
+
+
+def test_truncated_checkpoint_keeps_stats_bounded(spark):
+    """Regression for the iterative-plan stats explosion: plain
+    localCheckpoint preserves origin statistics, so a self-referencing
+    loop compounds sizeInBytes exponentially (million-digit BigInts in
+    the stats visitor).  truncated_checkpoint must keep the estimate at
+    a constant number of digits across rounds."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.plans.cache import truncated_checkpoint
+
+    def size_digits(df):
+        s = str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return len(s)
+
+    cur = truncated_checkpoint(
+        spark.range(100).select(
+            F.col("id").alias("node"), F.col("id").alias("component")
+        )
+    )
+    base_digits = size_digits(cur)
+    for _ in range(4):
+        ptr = cur.select(
+            F.col("node").alias("pn"), F.col("component").alias("pc")
+        )
+        nxt = cur.join(ptr, cur["component"] == ptr["pn"], "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("pc"), F.col("component"))
+            ).alias("component"),
+        )
+        cur = truncated_checkpoint(nxt)
+        assert size_digits(cur) <= base_digits + 2
+    assert cur.count() == 100
