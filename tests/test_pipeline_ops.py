@@ -135,3 +135,46 @@ def test_semantic_dedup_keep_is_consistent(spark, sf_dir):
     # every cluster representative keeps itself
     for rep in reps:
         assert by_id[rep].is_kept
+
+
+def test_pack_greedy_matches_python_model_on_random_feeds(spark):
+    """Property: pack_greedy equals the sequential first-fit model for
+    arbitrary group/size interleavings (oversize docs, exact fits,
+    singleton groups)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    feeds = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=300),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(feeds)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        data = [(g, i, n) for i, (g, n) in enumerate(rows)]
+        df = spark.createDataFrame(data, "source string, doc_id long, n_tokens long")
+        got = {
+            (r.source, r.doc_id): (r.bin_id, r.bin_fill)
+            for r in pack_greedy(df, capacity=256).collect()
+        }
+        want = {}
+        state: dict = {}
+        for g, i, n in sorted(data, key=lambda t: (t[0], t[1])):
+            bin_id, fill = state.get(g, (0, 0))
+            if fill > 0 and fill + n > 256:
+                bin_id, fill = bin_id + 1, 0
+            fill += n
+            state[g] = (bin_id, fill)
+            want[(g, i)] = (bin_id, fill)
+        assert got == want
+
+    check()
