@@ -94,3 +94,34 @@ def test_kmeans_deterministic_across_runs(emb):
     a = sorted((r.vec_id, r.cell, r.dist2) for r in S.kmeans_fit_assign(emb, k=4, n_iter=2).collect())
     b = sorted((r.vec_id, r.cell, r.dist2) for r in S.kmeans_fit_assign(emb, k=4, n_iter=2).collect())
     assert a == b
+
+
+def test_ivf_probe_prunes_partitioned_index(spark, sf_dir, tmp_path):
+    """The docstring claim in ivf_topk, proven: with the embedding
+    corpus laid out partitioned by cell (the IVF-lists-as-directories
+    layout for 100 TB), the probe's cell filter becomes PARTITION
+    pruning — the scan plan lists only the probed cells' directories,
+    and the result is identical to probing the unpartitioned table."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.operators.similarity import ivf_topk
+    from cdc_practice_spark.plans.explain import plan_string
+    from cdc_practice_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    emb.write.partitionBy("label").parquet(idx)
+    part_emb = spark.read.parquet(idx).select("vec_id", "embedding", "label")
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    want = [(r.vec_id, r.cosine) for r in ivf_topk(emb, qv, k=10, nprobe=3).collect()]
+    got_df = ivf_topk(part_emb, qv, k=10, nprobe=3)
+    got = [(r.vec_id, r.cosine) for r in got_df.collect()]
+    assert got == want
+
+    plan = plan_string(got_df)
+    # the final probe scan must carry partition filters on label
+    assert "PartitionFilters: [" in plan
+    m = [ln for ln in plan.splitlines() if "PartitionFilters: [label" in ln or
+         ("PartitionFilters" in ln and "label" in ln)]
+    assert m, plan[:1500]
