@@ -25,15 +25,50 @@ from pyspark.sql import functions as F
 from cdc_practice_spark.plans.cache import tracked_persist, truncated_checkpoint
 
 
+def _local_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with path compression — exact min-label
+    components for edge lists below the local gate."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 24,
     strict: bool = True,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id reachable.
+
+    Two tiers, gated on the EDGE count — the same decision a broadcast
+    join makes about its small side:
+      - edges ≤ ``local_threshold``: collect the edge list (a few MB at
+        the default gate) and run driver-side union-find — exact, one
+        job, no per-round scheduling floor.  Near-dup edge lists are
+        orders of magnitude smaller than their corpus, so this is the
+        common case even at large corpus sizes.
+      - above the gate: distributed min-label propagation (GraphX CC
+        shape, O(diameter) rounds — property-tested equivalent to
+        union-find in tests/test_cluster_properties.py).
 
     Min-label propagation advances one hop per round, so a cluster whose
     diameter exceeds ``max_iter`` would exit the loop with WRONG
@@ -48,6 +83,23 @@ def connected_components(
     pairs = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
+    n_edges = pairs.count()
+    if n_edges <= local_threshold:
+        comp = _local_union_find(
+            [(r.src, r.dst) for r in pairs.collect()]
+        )
+        spark = pairs.sparkSession
+        pairs.unpersist()
+        if not comp:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            empty = StructType(
+                [StructField("node", LongType()), StructField("component", LongType())]
+            )
+            return spark.createDataFrame([], empty)
+        return spark.createDataFrame(
+            sorted(comp.items()), "node long, component long"
+        )
     # No .distinct() on the symmetrized edges: input pairs are deduped
     # with doc_a < doc_b, so symmetrization cannot create duplicates —
     # and min-label propagation is tolerant of duplicate edges anyway.

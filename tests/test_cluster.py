@@ -40,14 +40,16 @@ def test_unconverged_raises_not_silent(spark):
         [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="NOT converged"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, local_threshold=0)
     # strict=False downgrades to a warning and returns the partial labels
     with pytest.warns(RuntimeWarning, match="NOT converged"):
-        connected_components(chain, max_iter=2, strict=False).collect()
+        connected_components(
+            chain, max_iter=2, strict=False, local_threshold=0
+        ).collect()
     # and with enough rounds the same chain converges cleanly
     comp = {
         r.node: r.component
-        for r in connected_components(chain, max_iter=6).collect()
+        for r in connected_components(chain, max_iter=6, local_threshold=0).collect()
     }
     assert set(comp.values()) == {0}
 

@@ -57,7 +57,9 @@ def test_connected_components_match_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
         r.node: r.component
-        for r in connected_components(pairs, max_iter=30).collect()
+        for r in connected_components(
+            pairs, max_iter=30, local_threshold=0
+        ).collect()  # force the DISTRIBUTED tier (local tier IS union-find)
     }
     assert got == union_find_components(edges)
 
