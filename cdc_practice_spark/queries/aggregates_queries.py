@@ -52,3 +52,62 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
     )
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+WITH rng AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(CASE WHEN o_totalprice >= hi THEN 20
+            ELSE floor((o_totalprice - lo) * 20.0 / (hi - lo)) + 1 END
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)), 2)
+            AS DOUBLE) AS total
+FROM orders, rng
+GROUP BY bucket
+""",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram via width_bucket — the profiling
+    primitive behind distribution dashboards.  The min/max range is one
+    tiny aggregate broadcast back (scalar-subquery shape); the bucketing
+    itself is a pure projection feeding a 21-key aggregate: one scan,
+    one map-side-combined shuffle."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        orders.crossJoin(F.broadcast(rng))
+        .select(
+            # same arithmetic as the oracle, literally — width_bucket's
+            # internal formula could differ by an ulp at bucket edges
+            F.when(F.col("o_totalprice") >= F.col("hi"), F.lit(20))
+            .otherwise(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    * 20.0
+                    / (F.col("hi") - F.col("lo"))
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast(
+                    "decimal(18,2)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )

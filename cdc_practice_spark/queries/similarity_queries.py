@@ -278,3 +278,54 @@ def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("head3"),
     )
+
+
+_COS16_RAW = """
+(CAST(list_sum(list_transform(generate_series(1, 16),
+       i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) AS DOUBLE)
+  / (sqrt(CAST(list_sum(list_transform(generate_series(1, 16),
+          i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)) AS DOUBLE))
+     * sqrt(CAST(list_sum(list_transform(generate_series(1, 16),
+            i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)) AS DOUBLE))))
+"""
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+full_topk AS (
+  SELECT vec_id FROM embeddings, q
+  ORDER BY round({_COS_RAW.format(a='embedding', b='qv')}, 6) DESC, vec_id
+  LIMIT 10
+),
+trunc_topk AS (
+  SELECT vec_id FROM embeddings, q
+  ORDER BY round({_COS16_RAW.format(a='embedding', b='qv')}, 6) DESC, vec_id
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM full_topk f
+             JOIN trunc_topk t ON f.vec_id = t.vec_id) AS BIGINT) AS n_overlap
+""",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation check: recall@10 of a
+    16-dim-prefix cosine search against the full 64-dim ranking — the
+    measurement that decides how far a deployment can truncate stored
+    embeddings (a 4× storage/compute cut) before quality drops.  Both
+    rankings are deterministic (round-6 cosine, id tiebreak), so the
+    overlap is exact on both engines.  Two linear scans + a 10×10
+    driver-free semi join; no pairwise blowup anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    full = S.brute_force_topk(emb, qv, k=10).select("vec_id")
+    emb16 = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    trunc = S.brute_force_topk(emb16, qv[:16], k=10).select(
+        F.col("vec_id").alias("t_vec_id")
+    )
+    return (
+        full.join(trunc, full["vec_id"] == trunc["t_vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(F.lit(10).cast("long").alias("k"), F.col("n_overlap"))
+    )
