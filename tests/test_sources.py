@@ -239,3 +239,33 @@ def test_python_datasource_stream_tails_captures(spark, tmp_path):
     second = spark.read.parquet(str(out)).collect()
     assert sorted(r.id for r in second) == [1, 2, 3]
     assert {r.kafka_offset for r in second if r.id == 3} == {3}
+
+
+def test_python_datasource_write_read_roundtrip(spark, tmp_path):
+    """debezium_jsonl write path: a feed written as capture files reads
+    back with identical payloads (Kafka coordinates are regenerated by
+    the reader — transport, not payload)."""
+    from cdc_practice_spark.sources.pyds import register as register_pyds
+
+    assert register_pyds(spark)
+    rows = [
+        (1, 10, "A", "2024-01-01 00:00:00", "false"),
+        (2, 20, "B", "2024-01-02 00:00:00", "true"),
+        (3, 30, "C", "2024-01-03 00:00:00", "false"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, user_id long, account string, "
+        "registered_at string, __deleted string"
+    ).coalesce(1)
+    out = str(tmp_path / "export")
+    df.write.format("debezium_jsonl").option("path", out).mode("append").save()
+    import os as _os
+
+    assert "_SUCCESS" in _os.listdir(out)
+    back = (
+        spark.read.format("debezium_jsonl").option("path", out).load()
+        .select("id", "user_id", "account", "registered_at", "__deleted")
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in back] == rows
