@@ -38,50 +38,6 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     return deco
 
 
-# Queries already driver-green in CORRECTNESS_r01/r02.  The driver's
-# per-round correctness gate checks a bounded prefix of the registry
-# (both prior rounds recorded exactly the first 50 registrations), so
-# load_all() reorders the dicts to put NOT-yet-driver-checked queries
-# first — maximizing cumulative driver-verified coverage across rounds.
-# Every query stays registered either way; tools/check_oracle.py always
-# verifies all of them locally.
-_DRIVER_CHECKED = frozenset({
-    "ann_batch_scorer", "ann_cosine_topk", "ann_ivf_kmeans_build",
-    "ann_ivf_topk", "approx_distinct_parts", "array_function_suite",
-    "asof_purchase_attribution", "case_and_date_functions",
-    "cdc_current_snapshot", "cdc_history", "cdc_replay_idempotency",
-    "cdc_user_stats", "cdc_user_stats_current", "cube_nation_segment",
-    "dedup_exact_clusters", "dedup_minhash_clusters", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_topk", "dedup_simhash", "dedup_simhash_pairs",
-    "embedding_topk_pairs", "event_sessionization",
-    "event_time_tumbling_agg", "fuzzy_brand_match", "having_big_spenders",
-    "join_left_outer_order_counts", "join_semi_anti_part_usage",
-    "multimodal_audio_decode", "multimodal_decode_stats",
-    "multimodal_frame_sample", "multimodal_image_decode",
-    "multimodal_resize_plan", "multimodal_video_decode",
-    "percentile_price_stats", "pivot_status_by_priority",
-    "q2_topk_changes", "q4_scalar_counts", "q5_filter_equality",
-    "rollup_order_status_priority", "scalar_function_suite",
-    "scalar_subquery_above_avg_orders", "session_window_native",
-    "setop_repeat_buyers", "sql_surface_recent_changes", "text_quality",
-    "text_token_stats", "top_customers_by_spend", "tpch_q14_promo_revenue",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_late_shipments", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "union_all_account_events",
-    "window_lag_lead_order_gaps", "window_rank_orders",
-})
-
-
-def _prioritize_unchecked() -> None:
-    """Reorder QUERIES/ORACLES: never-driver-checked first (stable
-    within each group)."""
-    order = sorted(QUERIES, key=lambda n: (n in _DRIVER_CHECKED,))
-    for d in (QUERIES, ORACLES):
-        items = [(n, d[n]) for n in order if n in d]
-        d.clear()
-        d.update(items)
-
-
 def load_all() -> None:
     """Import every query module so their registrations run."""
     import cdc_practice_spark.queries.analytics  # noqa: F401
@@ -101,5 +57,3 @@ def load_all() -> None:
     import cdc_practice_spark.queries.tpch_full  # noqa: F401
     import cdc_practice_spark.queries.udf_queries  # noqa: F401
     import cdc_practice_spark.queries.streaming_queries  # noqa: F401
-
-    _prioritize_unchecked()
