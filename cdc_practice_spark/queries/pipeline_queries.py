@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_practice_spark.plans.hints import broadcast_if_small
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table
 
@@ -91,44 +92,59 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model is MLE P(w2|w1) trained on the corpus itself; a real pipeline
     would train on a reference corpus and score candidates).
 
-    Shape: explode bigrams once and persist NOTHING — the count tables
-    (c2 on (w1,w2), c1 on w1) are map-side-combined aggregates orders of
-    magnitude smaller than the corpus; the scoring join shuffles doc
-    bigrams once on the bigram key, then one doc_id agg.  Every stage is
-    JVM codegen; no UDFs."""
+    Shape: explode bigrams and persist NOTHING — c2 (counts on (w1,w2))
+    is one map-side-combined aggregate, c1 is DERIVED from c2 (sum n2 by
+    w1 — a vocab²-sized re-agg, not a second corpus pass), so the corpus
+    is exploded only twice (once for the model, once for scoring) with no
+    cache materialization in between.  The scoring join broadcasts the
+    model only when a measured count says it fits (broadcast_if_small —
+    at open-vocab 100 TB the gate declines and the (w1,w2) sort-merge
+    join stands); then one doc_id agg.  Every stage is JVM codegen; no
+    UDFs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # tokenize ONCE per row in its own projection: split() inside the
-    # transform lambda would re-run per bigram ELEMENT (~2×tokens splits
-    # per doc — measured 4× on the explode stage)
-    bg = (
-        docs.withColumn("w", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w) - 2), "
-                    "i -> struct(w[i] AS w1, w[i + 1] AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    )
-    from cdc_practice_spark.plans.cache import tracked_persist
 
-    bg = tracked_persist(bg)
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # Bigrams via arrays_zip(slice, slice), NOT a per-index transform
+    # lambda: CollapseProject inlines the `w = split(text)` alias into
+    # lambda bodies, so `w[i]` re-runs split() per bigram ELEMENT
+    # (measured 0.66 s vs 0.36 s on the sf0.1 explode+count).  The two
+    # slices reference w O(1) times per ROW, keeping re-evaluation
+    # constant.  Guard size(w) >= 2: a 1-token doc must emit no bigrams
+    # (Spark's sequence(0, -1) is DESCENDING [0, -1], not empty — the
+    # bug class the old transform shape was one ANSI flag away from).
+    def bigrams() -> DataFrame:
+        return (
+            docs.withColumn("w", F.split("text", " "))
+            .where(F.size("w") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                        F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"),
+                    )
+                ).alias("b"),
+            )
+            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        )
+
+    c2 = bigrams().groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # n1 = Σ_w2 n2: derive the unigram-context counts from the bigram
+    # counts instead of re-aggregating the corpus — c2 is vocab²-bounded,
+    # so this agg + the model join touch no corpus-sized data at all.
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     prob = c2.join(c1, "w1").select(
         "w1", "w2", (F.col("n2").cast("double") / F.col("n1").cast("double")).alias("p")
     )
-    # Broadcast the PROB side explicitly: pre-materialization stats on
-    # the persisted bg frame underestimate it, and Catalyst otherwise
-    # picks BuildLeft — broadcasting the corpus-sized occurrence list
-    # (measured: the wrong side is ~1000× the right one).  prob is
-    # bounded by vocab² ≪ corpus; for an open-vocab 100 TB corpus drop
-    # the hint and let the (w1, w2) sort-merge join stand.
+    # Size-gated broadcast (plans/hints.py): Catalyst's static stats on
+    # the aggregated model side underestimate badly and would BuildLeft
+    # the corpus-sized bigram stream.  The runtime count is memoized per
+    # (dataset, query), so steady-state invocations pay a single model
+    # build (inside the broadcast exchange) and nothing else — no persist:
+    # the model is vocab²-bounded and cheaper to recompute once than to
+    # materialize per run.
+    prob = broadcast_if_small(prob, cache_key=(sf_dir, "ngram_lm_prob"))
     return (
-        bg.join(F.broadcast(prob), ["w1", "w2"])
+        bigrams().join(prob, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
