@@ -25,12 +25,13 @@ from pyspark.sql import functions as F
 from cdc_practice_spark.plans.cache import tracked_persist, truncated_checkpoint
 
 
-def _local_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+def _local_union_find(edges: list[tuple]) -> dict:
     """Driver-side union-find with path compression — exact min-label
-    components for edge lists below the local gate."""
-    parent: dict[int, int] = {}
+    components for edge lists below the local gate.  Node ids only need
+    a total order (min-label works for ints and strings alike)."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -46,6 +47,25 @@ def _local_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
         parent.setdefault(a, find(a))
         parent.setdefault(b, find(b))
     return {n: find(n) for n in parent}
+
+
+def _components_schema(pairs: DataFrame, a_col: str, b_col: str):
+    """Output schema (node, component) typed from the INPUT id columns —
+    hardcoding long would silently retype (or crash createDataFrame) for
+    string/int ids that the distributed tier handles fine.  Both id
+    columns must agree: the symmetrizing union requires it anyway."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = {f.name: f.dataType for f in pairs.schema.fields}
+    ta, tb = fields[a_col], fields[b_col]
+    if ta != tb:
+        raise TypeError(
+            f"connected_components: id columns must share a type; "
+            f"got {a_col}: {ta.simpleString()}, {b_col}: {tb.simpleString()}"
+        )
+    return StructType(
+        [StructField("node", ta), StructField("component", ta)]
+    )
 
 
 def connected_components(
@@ -76,6 +96,7 @@ def connected_components(
     raises when the final round still changed labels; ``strict=False``
     downgrades to a warning for callers that accept approximate
     components on pathological chain graphs."""
+    out_schema = _components_schema(pairs, a_col, b_col)
     # The symmetrizing union references `pairs` twice, and union branches do
     # NOT common-subexpression-eliminate — an unpersisted pair-detection
     # subtree (LSH candidate join + Jaccard verify) would run once per
@@ -90,16 +111,7 @@ def connected_components(
         )
         spark = pairs.sparkSession
         pairs.unpersist()
-        if not comp:
-            from pyspark.sql.types import LongType, StructField, StructType
-
-            empty = StructType(
-                [StructField("node", LongType()), StructField("component", LongType())]
-            )
-            return spark.createDataFrame([], empty)
-        return spark.createDataFrame(
-            sorted(comp.items()), "node long, component long"
-        )
+        return spark.createDataFrame(sorted(comp.items()), out_schema)
     # No .distinct() on the symmetrized edges: input pairs are deduped
     # with doc_a < doc_b, so symmetrization cannot create duplicates —
     # and min-label propagation is tolerant of duplicate edges anyway.
@@ -115,10 +127,18 @@ def connected_components(
     # exponentially across rounds (see plans/cache.py).  On a multi-node
     # cluster, swap for reliable checkpoint(dir) — localCheckpoint
     # storage dies with an executor.
+    #
+    # Each round's checkpoint supersedes the previous one: free round
+    # i-1's cached blocks as soon as round i materializes (free_list
+    # plumbing) instead of letting one block set per round pile up until
+    # driver GC.  The final labels frame escapes to the caller, so its
+    # freer is deferred to release_tracked().
+    edges_frees: list = []
     edges = truncated_checkpoint(
         pairs.unionByName(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        ),
+        free_list=edges_frees,
     )
     # Fold the FIRST propagation hop into initialization: label(v) =
     # min(v, min neighbor id) is exactly round 1 of the loop over
@@ -126,11 +146,13 @@ def connected_components(
     # cycle (saves one full round — near-dup graphs usually converge on
     # the very next check).
     init_nbr = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    label_frees: list = []
     labels = truncated_checkpoint(
         init_nbr.select(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("nbr_min")).alias("component"),
-        )
+        ),
+        free_list=label_frees,
     )
     changed = 0
     for i in range(max_iter):
@@ -187,11 +209,23 @@ def connected_components(
                 F.sum((F.col("component") < F.col("_old")).cast("long")), F.lit(0)
             ).alias("changed"),
         )
-        upd = truncated_checkpoint(upd)
+        new_frees: list = []
+        upd = truncated_checkpoint(upd, free_list=new_frees)
         changed = int(obs.get["changed"])
+        # round i is materialized (localCheckpoint is eager) — round
+        # i-1's labels blocks are unreachable now; free them.
+        for free in label_frees:
+            free()
+        label_frees = new_frees
         labels = upd.drop("_old")
         if changed == 0:
             break
+    from cdc_practice_spark.plans.cache import track_free
+
+    for free in edges_frees:
+        free()
+    for free in label_frees:
+        track_free(free)
     pairs.unpersist()
     if changed != 0:
         msg = (

@@ -16,9 +16,12 @@ DataFrame is a no-op, so double-release is safe.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_TRACKED_FREES: list[Callable[[], None]] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -28,7 +31,25 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def truncated_checkpoint(df: DataFrame) -> DataFrame:
+def _checkpoint_freer(ck: DataFrame) -> Callable[[], None]:
+    """Zero-arg callable that unpersists a localCheckpoint's cached RDD
+    blocks NOW instead of waiting for driver GC + ContextCleaner (an
+    iterative loop otherwise accumulates one block set per round).  The
+    handle is the LogicalRDD the checkpointed frame analyzes to; on
+    Spark Connect (no JVM handles) the free degrades to the GC path."""
+
+    def free() -> None:
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    return free
+
+
+def truncated_checkpoint(
+    df: DataFrame, free_list: list[Callable[[], None]] | None = None
+) -> DataFrame:
     """localCheckpoint WITHOUT origin-stats propagation — for iterative
     algorithms that checkpoint every round.
 
@@ -43,15 +64,31 @@ def truncated_checkpoint(df: DataFrame) -> DataFrame:
     ``defaultSizeInBytes``, keeping every round's planning cost
     constant.
 
+    ``free_list``: when given, a zero-arg freer for THIS checkpoint's
+    cached blocks is appended — call it once no frame derived from the
+    returned DataFrame is needed (an iterative loop frees round i-1
+    after round i materializes).  Without a list the freer lands in the
+    module tracker drained by ``release_tracked``.
+
     Falls back to the plain checkpoint when the JVM handles aren't
     reachable (Spark Connect) — correctness is unaffected either way."""
     ck = df.localCheckpoint()
+    (free_list if free_list is not None else _TRACKED_FREES).append(
+        _checkpoint_freer(ck)
+    )
     try:
         spark = df.sparkSession
         jdf = spark._jsparkSession.createDataFrame(ck._jdf.javaRDD(), ck._jdf.schema())
         return DataFrame(jdf, spark)
     except Exception:
         return ck
+
+
+def track_free(fn: Callable[[], None]) -> None:
+    """Register a deferred block-freer with the module tracker — for a
+    checkpoint whose frame escapes to the caller (freed at the next
+    release_tracked, after the caller materializes)."""
+    _TRACKED_FREES.append(fn)
 
 
 def release_tracked(blocking: bool = False) -> int:
@@ -64,4 +101,7 @@ def release_tracked(blocking: bool = False) -> int:
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
+    while _TRACKED_FREES:
+        _TRACKED_FREES.pop()()
+        n += 1
     return n

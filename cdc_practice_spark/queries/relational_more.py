@@ -288,12 +288,17 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is a sliding pointer over the sorted partition.  Decimal-exact
     sum, so ties in ts ordering can't wobble the hash (RANGE frames
     include ALL peer rows at equal ts, making the frame sum
-    order-independent by construction)."""
+    order-independent by construction).
+
+    Frame key is unix_micros(ts) with a ±3.6e9 µs bound — NOT a cast to
+    whole seconds: the oracle's INTERVAL 1 HOUR frame compares at full
+    timestamp precision, so truncating to seconds would shift inclusion
+    of boundary rows whenever ts carries sub-second components."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

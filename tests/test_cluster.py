@@ -54,6 +54,47 @@ def test_unconverged_raises_not_silent(spark):
     assert set(comp.values()) == {0}
 
 
+def test_local_tier_preserves_string_id_type(spark):
+    """The local union-find tier must emit (node, component) typed from
+    the INPUT id columns — string doc ids flow through both tiers with
+    the same schema, never a silently hardcoded long."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    local = connected_components(pairs)  # under the local gate
+    dist = connected_components(pairs, local_threshold=0, max_iter=8)
+    assert local.schema == dist.schema
+    lc = {r.node: r.component for r in local.collect()}
+    dc = {r.node: r.component for r in dist.collect()}
+    assert lc == dc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # mismatched id types fail loudly, not via a silent retype
+    bad = spark.createDataFrame([(1, "b")], "doc_a long, doc_b string")
+    with pytest.raises(TypeError, match="share a type"):
+        connected_components(bad)
+
+
+def test_cc_loop_frees_checkpoint_blocks(spark):
+    """Each CC round's localCheckpoint blocks must be freed when the next
+    round materializes — only the FINAL labels (+ module-tracked frames)
+    may remain cached after the loop, not one RDD per round."""
+    from cdc_practice_spark.plans.cache import release_tracked
+
+    release_tracked()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    out = connected_components(chain, local_threshold=0, max_iter=24)
+    assert out.count() == 13
+    during = jsc.getPersistentRDDs().size()
+    # final labels checkpoint + at most a couple of tracked frames — NOT
+    # one block set per propagation round
+    assert during - before <= 3
+    release_tracked()
+    assert jsc.getPersistentRDDs().size() <= before
+
+
 def test_truncated_checkpoint_keeps_stats_bounded(spark):
     """Regression for the iterative-plan stats explosion: plain
     localCheckpoint preserves origin statistics, so a self-referencing
