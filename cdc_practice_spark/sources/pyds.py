@@ -62,6 +62,32 @@ class _FilePartition(InputPartition):
         self.partition_id = partition_id
 
 
+def _capture_files(path: str) -> list[str]:
+    """Files that constitute a capture directory, manifest-aware.
+
+    A ``_SUCCESS`` manifest written by DebeziumJsonlWriter lists exactly
+    the part files its job committed — reading it (instead of globbing)
+    means files from failed/speculative/retried task attempts and from
+    superseded writes are never replayed as duplicate rows.  Directories
+    without a manifest (hand-authored fixtures, plain capture drops)
+    fall back to the sorted ``*.jsonl`` glob."""
+    if not os.path.isdir(path):
+        return [path]
+    succ = os.path.join(path, "_SUCCESS")
+    if os.path.isfile(succ):
+        try:
+            with open(succ, encoding="utf-8") as fh:
+                content = fh.read().strip()
+            if content:
+                files = json.loads(content)["files"]
+                return sorted(os.path.join(path, f) for f in files)
+        except (ValueError, KeyError, OSError):
+            pass  # unreadable/legacy manifest — glob fallback below
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".jsonl")
+    )
+
+
 class DebeziumJsonlReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -70,14 +96,7 @@ class DebeziumJsonlReader(DataSourceReader):
         self.topic = options.get("topic", DEFAULT_TOPIC)
 
     def partitions(self) -> Sequence[_FilePartition]:
-        if os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(".jsonl")
-            )
-        else:
-            files = [self.path]
+        files = _capture_files(self.path)
         return [_FilePartition(p, i) for i, p in enumerate(files)]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -116,13 +135,7 @@ class DebeziumJsonlStreamReader(SimpleDataSourceStreamReader):
         self.topic = options.get("topic", DEFAULT_TOPIC)
 
     def _files(self) -> list[str]:
-        if os.path.isdir(self.path):
-            return sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(".jsonl")
-            )
-        return [self.path]
+        return _capture_files(self.path)
 
     def initialOffset(self) -> dict:
         return {"lines": {}}
@@ -194,13 +207,28 @@ class DebeziumJsonlDataSource(DataSource):
         return DebeziumJsonlWriter(self.options, overwrite)
 
 
+class _PartCommit(WriterCommitMessage):
+    """Task → driver commit message: which part file this attempt wrote."""
+
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
 class DebeziumJsonlWriter(DataSourceWriter):
     """Export path: each task writes its partition as one
     ``part-<uuid>.jsonl`` capture file (wire-format lines: the payload
-    fields only — Kafka coordinates are transport, not payload), then
-    commit publishes the part list as a ``_SUCCESS`` manifest.  Failed
-    attempts leave only unreferenced temp files — the standard
-    task-commit contract, file-granular like the reader."""
+    fields only — Kafka coordinates are transport, not payload) and
+    reports the filename in its commit message; ``commit`` publishes
+    exactly the reported files as a ``_SUCCESS`` JSON manifest that the
+    readers honor (``_capture_files``).  Files from failed, speculative
+    or retried attempts are never referenced, so they can't read back as
+    duplicate rows; ``abort`` deletes whatever the finished tasks wrote.
+
+    ``overwrite`` (mode("overwrite")) removes every pre-existing part
+    file not referenced by THIS job's manifest at commit time; append
+    mode merges the new parts into the previous manifest instead (or
+    adopts the legacy glob set when no manifest exists)."""
 
     PAYLOAD = ("id", "user_id", "account", "registered_at", "__deleted")
 
@@ -210,7 +238,7 @@ class DebeziumJsonlWriter(DataSourceWriter):
             raise ValueError("debezium_jsonl requires a path")
         self.overwrite = overwrite
 
-    def write(self, iterator) -> "WriterCommitMessage":
+    def write(self, iterator) -> "_PartCommit":
         import uuid as _uuid
 
         os.makedirs(self.path, exist_ok=True)
@@ -223,14 +251,42 @@ class DebeziumJsonlWriter(DataSourceWriter):
                 payload = {k: d[k] for k in self.PAYLOAD if k in d}
                 fh.write(json.dumps(payload, default=str) + "\n")
                 n += 1
-        return WriterCommitMessage()
+        return _PartCommit(name, n)
 
     def commit(self, messages) -> None:
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write("")
+        new_parts = sorted(m.file for m in messages if m is not None)
+        if self.overwrite:
+            files = new_parts
+            keep = set(new_parts)
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+        else:
+            prior = [
+                os.path.basename(p)
+                for p in _capture_files(self.path)
+                if os.path.basename(p) not in set(new_parts)
+            ]
+            files = sorted(prior + new_parts)
+        manifest = {"files": files}
+        tmp = os.path.join(self.path, "._SUCCESS.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
 
-    def abort(self, messages) -> None:  # pragma: no cover
-        pass
+    def abort(self, messages) -> None:
+        # Delete the parts that completed tasks DID write — uncommitted
+        # data must not survive to be globbed by a manifest-less reader.
+        for m in messages or ():
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.file))
+            except OSError:
+                pass
 
 
 def register(spark) -> bool:

@@ -269,3 +269,56 @@ def test_python_datasource_write_read_roundtrip(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in back] == rows
+
+
+def test_python_datasource_writer_commit_contract(spark, tmp_path):
+    """The writer's task-commit contract: _SUCCESS is a manifest of
+    exactly the committed part files; readers honor it, so (a) orphan
+    parts from failed/speculative attempts are never replayed, and
+    (b) mode("overwrite") actually replaces prior data instead of
+    silently appending."""
+    import json as _json
+    import os as _os
+
+    from cdc_practice_spark.sources.pyds import register as register_pyds
+
+    assert register_pyds(spark)
+    ddl = (
+        "id long, user_id long, account string, "
+        "registered_at string, __deleted string"
+    )
+    out = str(tmp_path / "export")
+    write = lambda rows, mode: (
+        spark.createDataFrame(rows, ddl)
+        .coalesce(1)
+        .write.format("debezium_jsonl")
+        .option("path", out)
+        .mode(mode)
+        .save()
+    )
+    read_ids = lambda: sorted(
+        r.id
+        for r in spark.read.format("debezium_jsonl").option("path", out).load().collect()
+    )
+
+    write([(1, 10, "A", "2024-01-01 00:00:00", "false")], "append")
+    write([(2, 20, "B", "2024-01-02 00:00:00", "false")], "append")
+    manifest = _json.loads(open(_os.path.join(out, "_SUCCESS")).read())
+    on_disk = {f for f in _os.listdir(out) if f.endswith(".jsonl")}
+    # append merged both commits into the manifest
+    assert set(manifest["files"]) == on_disk and len(on_disk) == 2
+    assert read_ids() == [1, 2]
+
+    # an orphan part (failed/speculative attempt) is on disk but NOT in
+    # the manifest — the reader must not replay it
+    with open(_os.path.join(out, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"id": 99, "user_id": 9, "account": "X", '
+                 '"registered_at": "2024-01-09 00:00:00", "__deleted": "false"}\n')
+    assert read_ids() == [1, 2]
+
+    # overwrite replaces: old parts AND the orphan are gone, one part remains
+    write([(3, 30, "C", "2024-01-03 00:00:00", "false")], "overwrite")
+    remaining = {f for f in _os.listdir(out) if f.endswith(".jsonl")}
+    manifest = _json.loads(open(_os.path.join(out, "_SUCCESS")).read())
+    assert len(remaining) == 1 and set(manifest["files"]) == remaining
+    assert read_ids() == [3]
