@@ -41,16 +41,49 @@ def percentile_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts")  # rows-only: HLL sketches have no SQL twin
+@register(
+    "approx_distinct_parts",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       TRUE AS parts_within_tol,
+       TRUE AS suppliers_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch per order status — the
     constant-memory cardinality tier for 100 TB (exact distinct shuffles
-    every key; HLL merges fixed-size sketches map-side).  Accuracy vs
-    exact is asserted in tests/test_aggregates.py."""
+    every key; HLL merges fixed-size sketches map-side).
+
+    An HLL estimate can never hash-match a SQL twin raw, so the query
+    emits the DECISION instead: the exact counts (both engines agree)
+    plus a boolean per sketch — |approx − exact| / exact ≤ 0.05 — that
+    the oracle asserts as TRUE.  A sketch drifting out of tolerance
+    flips the boolean and fails the hash compare, which is exactly the
+    regression the rows-only check could never catch.  (rsd=0.02, so
+    the 5%% bound holds with wide margin; also tolerance-tested in
+    tests/test_aggregates.py.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("exact_suppliers"),
+    )
+    tol = lambda a, e: (
+        F.abs(F.col(a).cast("double") - F.col(e).cast("double"))
+        / F.col(e).cast("double")
+        <= F.lit(0.05)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        tol("approx_parts", "exact_parts").alias("parts_within_tol"),
+        tol("approx_suppliers", "exact_suppliers").alias("suppliers_within_tol"),
     )
 
 
