@@ -324,3 +324,80 @@ def q5_filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us("change_timestamp").alias("registered_at_us"),
         "kafka_offset",
     )
+
+
+@register(
+    "cdc_schema_drift_rescue",
+    oracle="""
+SELECT CASE WHEN event_type = 'purchase' THEN 'risk_score'
+            WHEN event_type = 'click' THEN 'source_region'
+            ELSE '' END AS rescued_keys,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drifted,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN user_id % 100 ELSE 0 END)
+            AS BIGINT) AS risk_sum,
+       CAST(count(DISTINCT CASE WHEN event_type = 'click'
+            THEN 'r' || CAST(user_id % 5 AS VARCHAR) END) AS BIGINT) AS n_region_vals
+FROM events
+GROUP BY 1
+""",
+)
+def cdc_schema_drift_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift / DDL evolution (the surface Debezium's schema-history
+    topic exists for, mysql-connector-config-clean.json:17,20): replay the
+    feed as wire JSON where the upstream source has been ALTERed — purchase
+    events carry an added ``risk_score`` column, clicks an added
+    ``source_region`` — and parse it with the engine's FIXED StructType
+    plus rescue (sources/kafka.py::parse_debezium(rescue=True)).
+
+    The oracle recomputes, straight from ``events``, exactly what the
+    rescued map must contain — so a parse path that silently drops the
+    unknown columns (plain from_json) hash-fails on risk_sum /
+    n_region_vals.  All JVM: to_json + two from_json in one projection,
+    one aggregation shuffle."""
+    from cdc_practice_spark.sources.kafka import parse_debezium
+
+    ev = load_table(spark, sf_dir, "events")
+    # Wire format after an upstream ALTER TABLE: to_json drops null
+    # fields (ignoreNullFields default), so only the affected event
+    # types carry the new columns — exactly how a mixed-binlog topic
+    # looks mid-migration.
+    wire = ev.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("user_id").alias("user_id"),
+                F.col("value").cast("string").alias("account"),
+                F.col("ts").cast("string").alias("registered_at"),
+                F.when(F.col("event_type") == "error", "true")
+                .otherwise("false")
+                .alias("__deleted"),
+                F.when(
+                    F.col("event_type") == "purchase", F.col("user_id") % 100
+                ).alias("risk_score"),
+                F.when(
+                    F.col("event_type") == "click",
+                    F.concat(F.lit("r"), (F.col("user_id") % 5).cast("string")),
+                ).alias("source_region"),
+            )
+        ).alias("value"),
+    )
+    parsed = parse_debezium(wire, rescue=True)
+    return parsed.groupBy(
+        F.concat_ws(",", F.array_sort(F.map_keys(F.col("_rescued")))).alias(
+            "rescued_keys"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.size("_rescued") > 0).cast("long")).alias("n_drifted"),
+        F.coalesce(
+            F.sum(F.element_at("_rescued", "risk_score").cast("long")), F.lit(0)
+        ).alias("risk_sum"),
+        F.countDistinct(F.element_at("_rescued", "source_region")).alias(
+            "n_region_vals"
+        ),
+    )

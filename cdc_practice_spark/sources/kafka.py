@@ -47,23 +47,40 @@ def read_kafka_stream(
     return parse_debezium(reader.load())
 
 
-def parse_debezium(kafka_df: DataFrame) -> DataFrame:
+def parse_debezium(kafka_df: DataFrame, rescue: bool = False) -> DataFrame:
     """Kafka record → flattened change event:
       - tombstone skip = value IS NOT NULL (P1, simple_kafka_etl.py:68-70)
       - envelope unwrap = from_json + star-expand (S3,
         mysql-connector-config-clean.json:21-22)
       - Kafka coordinates kept as the idempotency key (P3,
-        simple_kafka_etl.py:81-84)."""
-    return (
-        kafka_df.filter(F.col("value").isNotNull())
-        .select(
-            F.col("topic").alias("kafka_topic"),
-            F.col("partition").alias("kafka_partition"),
-            F.col("offset").alias("kafka_offset"),
-            F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("d"),
+        simple_kafka_etl.py:81-84).
+
+    ``rescue=True`` adds a ``_rescued`` map<string,string> of top-level
+    JSON fields NOT in CHANGE_EVENT_SCHEMA.  Debezium tracks source DDL
+    in a schema-history topic (mysql-connector-config-clean.json:17,20);
+    a fixed-StructType ``from_json`` silently drops a column added by
+    ALTER TABLE upstream — with rescue, the new column's values land in
+    ``_rescued`` (empty map when the event matches the schema exactly)
+    instead of vanishing.  Cost: one extra map-typed from_json in the
+    same projection — no shuffle, no second scan; leave it off for
+    schema-stable feeds."""
+    known = F.array(*[F.lit(f.name) for f in CHANGE_EVENT_SCHEMA.fields])
+    cols = [
+        F.col("topic").alias("kafka_topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("d"),
+    ]
+    out = ["kafka_topic", "kafka_partition", "kafka_offset", "d.*"]
+    if rescue:
+        cols.append(
+            F.map_filter(
+                F.from_json(F.col("value").cast("string"), "map<string,string>"),
+                lambda k, _: ~F.array_contains(known, k),
+            ).alias("_rescued")
         )
-        .select("kafka_topic", "kafka_partition", "kafka_offset", "d.*")
-    )
+        out.append("_rescued")
+    return kafka_df.filter(F.col("value").isNotNull()).select(*cols).select(*out)
 
 
 def to_debezium_json(feed: DataFrame) -> DataFrame:

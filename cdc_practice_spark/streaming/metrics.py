@@ -39,3 +39,22 @@ def observe_stream(feed: DataFrame, name: str = "cdc_feed_metrics") -> DataFrame
         ),
         F.max("kafka_offset").alias("max_offset"),
     )
+
+
+def observe_drift(parsed: DataFrame, name="cdc_schema_drift") -> DataFrame:
+    """Schema-drift metric over a rescue-parsed feed (``parse_debezium(
+    rescue=True)``): rows carrying rescued (schema-unknown) fields and an
+    estimate of how many distinct unknown keys are in flight.  ``name``
+    is a string (streaming: metrics land per micro-batch in
+    QueryProgressEvent.observedMetrics[name]) or an Observation (batch:
+    read ``obs.get`` after an action) — the alerting hook for upstream
+    ALTER TABLE: drifted_count > 0 means the fixed StructType is stale."""
+    drifted = F.size(F.col("_rescued")) > 0
+    return parsed.observe(
+        name,
+        F.count(F.lit(1)).alias("processed_count"),
+        F.sum(drifted.cast("long")).alias("drifted_count"),
+        F.approx_count_distinct(
+            F.concat_ws(",", F.array_sort(F.map_keys(F.col("_rescued"))))
+        ).alias("approx_key_shapes"),
+    )

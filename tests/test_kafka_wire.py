@@ -108,6 +108,44 @@ def test_adversarial_payloads_isolated_not_fatal(spark):
     assert out[4].id is None
 
 
+def test_schema_drift_rescued_not_dropped(spark):
+    """An upstream ALTER TABLE adds a column; the fixed-schema parse must
+    NOT silently drop it.  rescue=True lands unknown top-level fields in
+    _rescued (values intact, stringified); known fields are never
+    rescued; the observe_drift metric counts exactly the drifted rows."""
+    from cdc_practice_spark.streaming.metrics import observe_drift
+
+    records = [
+        # pre-ALTER event — no drift
+        (0, smt(1, 1001, "KB Bank 1", "2024-01-01 00:00:00", "false")),
+        # post-ALTER: new columns credit_score (int) and branch (string)
+        (1, json.dumps({"id": 2, "user_id": 1002, "account": "KB Bank 2",
+                        "registered_at": "2024-01-02 00:00:00",
+                        "__deleted": "false",
+                        "credit_score": 715, "branch": "Gangnam"}).encode()),
+        (2, json.dumps({"id": 3, "user_id": 1003, "account": "KB Bank 3",
+                        "registered_at": "2024-01-03 00:00:00",
+                        "__deleted": "true", "credit_score": 640}).encode()),
+    ]
+    parsed = parse_debezium(kafka_frame(spark, records), rescue=True)
+    assert parsed.columns == PARSED_COLUMNS + ["_rescued"]
+    from pyspark.sql import Observation
+
+    obs = Observation("drift_test")
+    observed = observe_drift(parsed, obs)
+    rows = {r.kafka_offset: r for r in observed.collect()}
+    assert obs.get["processed_count"] == 3 and obs.get["drifted_count"] == 2
+    # known columns still parse exactly as without rescue
+    assert rows[1].id == 2 and rows[2]["__deleted"] == "true"
+    # no drift → empty map, not null
+    assert rows[0]["_rescued"] == {}
+    # ALTER-added columns are rescued with their values, known keys absent
+    assert rows[1]["_rescued"] == {"credit_score": "715", "branch": "Gangnam"}
+    assert rows[2]["_rescued"] == {"credit_score": "640"}
+    # rescue off (default) keeps the legacy shape
+    assert parse_debezium(kafka_frame(spark, records)).columns == PARSED_COLUMNS
+
+
 def test_roundtrip_feed_to_wire_and_back(spark, sf_dir):
     """to_debezium_json → parse_debezium is lossless for the fields the
     wire format carries (id/user_id/account/registered_at/__deleted) —
