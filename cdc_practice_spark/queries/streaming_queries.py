@@ -25,7 +25,7 @@ from cdc_practice_spark.session import load_table
 from cdc_practice_spark.streaming.pipeline import (
     load_current_state,
     read_events_stream,
-    stream_current_upsert,
+    stream_current_upsert_full_rewrite,
 )
 
 TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -69,7 +69,10 @@ def replay_current_via_stream(
     split_events_into_files(spark, sf_dir, src_dir, n_files)
 
     stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
-    q = stream_current_upsert(
+    # the FULL-REWRITE tier, exercised explicitly — the default
+    # stream_current_upsert routes to the bucketed tier, which has its
+    # own oracle query (streaming_replay_current_bucketed)
+    q = stream_current_upsert_full_rewrite(
         spark,
         stream,
         state_root=os.path.join(work, "state"),

@@ -74,18 +74,21 @@ def stream_history_append(
     )
 
 
-def stream_current_upsert(
+def stream_current_upsert_full_rewrite(
     spark: SparkSession,
     events_stream: DataFrame,
     state_root: str,
     checkpoint_dir: str,
 ) -> StreamingQuery:
-    """S9 upsert sink via foreachBatch MERGE (streaming/upsert.py).
+    """S9 upsert sink via foreachBatch MERGE (streaming/upsert.py) —
+    FULL-REWRITE tier: each epoch writes the whole state as
+    ``state_root/v{epoch}`` and swaps a pointer file (atomic,
+    time-travelable, safe against reading-while-overwriting).
 
-    State versioning: each epoch writes ``state_root/v{epoch}`` and
-    updates a pointer file — the parquet-only stand-in for a Delta/
-    Iceberg MERGE target (atomic swap, time-travelable, and safe
-    against reading-while-overwriting)."""
+    O(state) per micro-batch, so this tier is an explicit OPT-IN for
+    tests and tiny states only — ``stream_current_upsert`` (the default
+    entry point) routes to the bucketed O(touched-buckets) tier below,
+    which is the plan shape a lakehouse MERGE actually executes."""
     feed = change_feed_from_events(events_stream)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -109,6 +112,10 @@ def stream_current_upsert(
 
 
 def load_current_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """Current state regardless of tier: bucket manifest (default tier)
+    when present, else the full-rewrite tier's version pointer."""
+    if os.path.exists(os.path.join(state_root, "_MANIFEST")):
+        return load_bucketed_state(spark, state_root)
     pointer = os.path.join(state_root, "_POINTER")
     if not os.path.exists(pointer):
         return empty_state(spark)
@@ -118,11 +125,12 @@ def load_current_state(spark: SparkSession, state_root: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Bucketed incremental upsert — the O(touched) state sink.
+# Bucketed incremental upsert — the O(touched) state sink, and the
+# DEFAULT tier (stream_current_upsert routes here).
 #
-# stream_current_upsert above rewrites the WHOLE state every micro-batch:
-# fine as a parquet stand-in, O(state) per batch — a 100 TB snapshot
-# would be rewritten to apply a 1 GB batch.  The bucketed sink below is
+# stream_current_upsert_full_rewrite above rewrites the WHOLE state every
+# micro-batch: fine as a parquet stand-in, O(state) per batch — a 100 TB
+# snapshot would be rewritten to apply a 1 GB batch.  The bucketed sink is
 # the plan shape a lakehouse MERGE actually executes: state is hash-
 # bucketed by key; a batch only reads+rewrites the buckets its keys land
 # in; a manifest maps bucket → current version directory and is swapped
@@ -217,6 +225,24 @@ def stream_current_upsert_bucketed(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stream_current_upsert(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """S9 upsert sink — the DEFAULT entry point, routing to the bucketed
+    O(touched-buckets) incremental tier: production-shaped state must
+    never pay a full-state rewrite per micro-batch.  The versioned
+    full-rewrite tier stays available as an explicit opt-in
+    (``stream_current_upsert_full_rewrite``) for tests and tiny states.
+    Read the resulting state with ``load_current_state`` (tier-agnostic)."""
+    return stream_current_upsert_bucketed(
+        spark, events_stream, state_root, checkpoint_dir, n_buckets
     )
 
 

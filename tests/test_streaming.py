@@ -175,7 +175,7 @@ def test_kill_mid_replay_then_resume_exactly_once(spark, sf_dir):
     deadline = time.time() + 120
     while time.time() < deadline:
         done = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        if len(done) >= 1 and os.path.exists(os.path.join(state_root, "_POINTER")):
+        if len(done) >= 1 and os.path.exists(os.path.join(state_root, "_MANIFEST")):
             break
         time.sleep(0.2)
     q.stop()
@@ -314,16 +314,18 @@ def test_bucketed_upsert_equals_batch_snapshot(spark, sf_dir):
 
 
 def test_bucketed_upsert_skips_untouched_buckets(spark):
-    """The incremental property itself: an epoch whose keys all land in
-    one bucket must leave every other bucket's files untouched (their
-    manifest entries keep pointing at the older version directory)."""
+    """The incremental property itself — asserted against the DEFAULT
+    stream_current_upsert entry point (which routes to the bucketed
+    tier): an epoch whose keys all land in one bucket must leave every
+    other bucket's files untouched (their manifest entries keep pointing
+    at the older version directory)."""
     import json as _json
 
     from pyspark.sql import functions as F
     from cdc_practice_spark.streaming.pipeline import (
         load_bucketed_state,
         read_events_stream,
-        stream_current_upsert_bucketed,
+        stream_current_upsert,  # DEFAULT entry point routes to the bucketed tier
     )
 
     n_buckets = 8
@@ -372,7 +374,7 @@ def test_bucketed_upsert_skips_untouched_buckets(spark):
     write_chunk(1, rows1)
 
     state_root = os.path.join(work, "state")
-    q = stream_current_upsert_bucketed(
+    q = stream_current_upsert(
         spark,
         read_events_stream(spark, src, max_files_per_trigger=1),
         state_root=state_root,
