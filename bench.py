@@ -55,6 +55,12 @@ HEADLINE = [
     "embedding_topk_pairs",
     "embedding_quantize_int8",
     "semantic_dedup_keep",
+    # distributed-tier CC stress: synthetic >200k-edge power-law +
+    # long-chain graph (queries/graph_queries.py) — sf-independent; its
+    # DuckDB oracle twin is the CLOSED-FORM expected structure, not a CC
+    # computation, so exclude it from engine-vs-engine ratio readings
+    # (see BENCHNOTES; tools/ab_cc.py has the real A/B).
+    "cc_adversarial_graph",
 ]
 
 

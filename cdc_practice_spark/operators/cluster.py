@@ -75,6 +75,7 @@ def connected_components(
     max_iter: int = 24,
     strict: bool = True,
     local_threshold: int = 200_000,
+    pointer_jumping: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id reachable.
@@ -184,7 +185,9 @@ def connected_components(
         # label-table-sized (nodes, not edges) and preserves the
         # invariant that labels are reachable minima, so the fixpoint is
         # unchanged.
-        if i >= 2:
+        # (``pointer_jumping=False`` disables the shortcut — the A/B knob
+        # tools/ab_cc.py measures; production callers leave it on.)
+        if pointer_jumping and i >= 2:
             ptr = upd.select(
                 F.col("node").alias("p_node"), F.col("component").alias("p_comp")
             )

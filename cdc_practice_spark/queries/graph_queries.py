@@ -1,0 +1,112 @@
+"""Adversarial-graph stress for connected components — the scale proof
+for the DISTRIBUTED CC tier.
+
+Every corpus-derived near-dup graph in the suite is small enough for the
+local union-find gate, so this module synthesizes the graph that tier
+gating cannot dodge: >200k edges (above ``local_threshold``) combining
+the two shapes that break naive CC implementations —
+
+  - 100 chains of 256 nodes with skip edges: diameter ~127, which
+    one-hop min-label propagation would need ~127 rounds for (the
+    adaptive pointer-jumping path must engage);
+  - 200 power-law stars, k_s = 30000 // s spokes: the s=1 hub has
+    30 000 neighbors — the skew shape that makes per-key work uneven.
+
+The construction is deterministic and closed-form, so the DuckDB oracle
+computes the expected component structure WITHOUT running CC: chain node
+n belongs to component (n // 256) * 256; star node of hub s belongs to
+component HUB(s).  The query returns corpus-level aggregates of the
+actual distributed CC output, which must match those first principles
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.operators.cluster import connected_components
+from cdc_practice_spark.queries.registry import register
+
+# Graph parameters — mirrored verbatim in the oracle SQL below.
+CHAIN_LEN = 256
+N_CHAINS = 100
+N_HUBS = 200
+STAR_C = 30_000
+STAR_BASE = CHAIN_LEN * N_CHAINS  # star ids start above the chain ids
+# each star gets a stride-wide id block; stride = max spokes + 1 so the
+# last spoke of star s can never collide with the hub of star s+1
+STAR_STRIDE = STAR_C + 1
+
+
+def adversarial_edges(spark: SparkSession) -> DataFrame:
+    """The deterministic stress edge set (~227k edges, ~202k nodes)."""
+    ids = spark.range(CHAIN_LEN * N_CHAINS)
+    step1 = ids.filter((F.col("id") + 1) % CHAIN_LEN != 0).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    # skip edges keep components identical but add cycles + halve the
+    # effective diameter — the graph stays adversarial (d ≈ 127) without
+    # needing hundreds of propagation rounds
+    step2 = ids.filter(F.col("id") % CHAIN_LEN < CHAIN_LEN - 2).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 2).alias("doc_b")
+    )
+    hubs = spark.range(1, N_HUBS + 1).select(F.col("id").alias("s"))
+    stars = hubs.select(
+        "s",
+        F.explode(F.sequence(F.lit(1), F.floor(F.lit(STAR_C) / F.col("s")))).alias(
+            "j"
+        ),
+    ).select(
+        (F.lit(STAR_BASE) + F.col("s") * STAR_STRIDE).alias("doc_a"),
+        (F.lit(STAR_BASE) + F.col("s") * STAR_STRIDE + F.col("j")).alias("doc_b"),
+    )
+    # Compact the union's inherited partitioning (3 × range parallelism ≈
+    # 200 map partitions for ~227k rows): every CC round schedules tasks
+    # per partition, so oversplit edges multiply the loop's fixed cost.
+    # ~16 partitions ≈ 15k edges/task — parallel enough here, and at real
+    # scale the caller's edge set arrives with data-proportional splits.
+    return step1.unionByName(step2).unionByName(stars).repartition(16)
+
+
+@register(
+    "cc_adversarial_graph",
+    oracle=f"""
+WITH chain_nodes AS (
+  SELECT i AS node, (i // {CHAIN_LEN}) * {CHAIN_LEN} AS component
+  FROM range(0, {CHAIN_LEN * N_CHAINS}) t(i)
+),
+star_nodes AS (
+  SELECT {STAR_BASE} + s * {STAR_STRIDE} + j AS node,
+         {STAR_BASE} + s * {STAR_STRIDE} AS component
+  FROM range(1, {N_HUBS + 1}) h(s),
+       LATERAL (SELECT unnest(range(0, {STAR_C} // s + 1)) AS j) u
+),
+nodes AS (
+  SELECT * FROM chain_nodes UNION ALL SELECT * FROM star_nodes
+),
+sizes AS (
+  SELECT component, count(*) AS cnt FROM nodes GROUP BY component
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_components,
+       CAST((SELECT sum(component) FROM nodes) AS BIGINT) AS sum_component_ids,
+       CAST((SELECT max(cnt) FROM sizes) AS BIGINT) AS max_component_size
+""",
+)
+def cc_adversarial_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-tier CC under adversarial shape: long chains force
+    pointer jumping (O(log d) rounds), power-law stars force skew.  The
+    edge count (~227k) exceeds the 200k local gate, so this runs the
+    min-label-propagation loop itself — the oracle checks its output
+    against the closed-form component structure.  ``sf_dir`` is unused:
+    the graph is synthetic by design (near-dup corpora at test SF never
+    clear the gate)."""
+    edges = adversarial_edges(spark)
+    comp = connected_components(edges, max_iter=48)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cnt"))
+    return comp.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("component").alias("n_components"),
+        F.sum("component").alias("sum_component_ids"),
+    ).crossJoin(sizes.agg(F.max("cnt").alias("max_component_size")))
