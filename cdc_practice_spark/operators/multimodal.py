@@ -288,6 +288,11 @@ def decode_images(assets: DataFrame) -> DataFrame:
         Image = _pil_image_module()
 
         def one(b: bytes):
+            if b[:8] == PNG_SIGNATURE:
+                # always the in-repo inflate+unfilter kernel for PNG —
+                # CRC-checked and bit-exact, so the result can't vary
+                # with whatever PIL build happens to be installed
+                return decode_png_numpy(b)
             if Image is not None:
                 import io
 
@@ -314,6 +319,197 @@ def decode_images(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "content").mapInPandas(
         decode, schema=IMAGE_DECODED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed codec: PNG (RFC 2083), encode + decode with numpy+zlib
+# only.  This upgrades the compressed-codec story from "stub" to "real"
+# for one format: IDAT is genuinely DEFLATE-compressed, scanlines are
+# genuinely filtered (the synthesizer cycles through all five PNG filter
+# types — None/Sub/Up/Average/Paeth — so the decoder's unfilter kernel is
+# fully exercised), and every chunk CRC is verified on read.  The pixel
+# formula matches the BMP tier, so the same closed-form SQL oracle
+# recomputes every pixel of the *decompressed* output.
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synth_png(asset_id: int, width: int, height: int) -> bytes:
+    """A valid 8-bit RGB PNG whose pixel (x, y, c) equals
+    ``(asset_id + 7x + 13y + 31c) % 256`` — same formula as synth_bmp, so
+    the oracle recomputes every pixel without parsing the binary.  Row y
+    uses filter type ``y % 5``, so a round-trip exercises every PNG
+    filter; IDAT is real zlib DEFLATE output."""
+    import zlib
+
+    import numpy as np
+
+    ys, xs, cs = np.meshgrid(
+        np.arange(height), np.arange(width), np.arange(3), indexing="ij"
+    )
+    px = ((asset_id + 7 * xs + 13 * ys + 31 * cs) % 256).astype(np.int16)
+    bpp = 3
+    out = bytearray()
+    prior = np.zeros(width * bpp, dtype=np.int16)
+    for y in range(height):
+        raw = px[y].reshape(-1)  # int16 row, RGB byte order
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), raw[:-bpp]])
+        if ftype == 0:
+            filt = raw
+        elif ftype == 1:  # Sub
+            filt = raw - left
+        elif ftype == 2:  # Up
+            filt = raw - prior
+        elif ftype == 3:  # Average
+            filt = raw - (left + prior) // 2
+        else:  # Paeth
+            prior_left = np.concatenate(
+                [np.zeros(bpp, dtype=np.int16), prior[:-bpp]]
+            )
+            filt = raw - np.array(
+                [
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prior, prior_left)
+                ],
+                dtype=np.int16,
+            )
+        out.append(ftype)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prior = raw
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, 2, 0, 0, 0))  # bit depth 8, color type 2 (RGB)
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_numpy(data: bytes):
+    """Real PNG decode with numpy+zlib only: chunk walk (CRC-verified),
+    IDAT inflate, scanline unfilter for all five filter types.  Returns
+    (width, height, ndarray[h, w, 3] RGB).  Supports the 8-bit RGB
+    non-interlaced profile it synthesizes; raises ValueError otherwise —
+    the honest boundary for codecs that truly need external libs (JPEG,
+    H.264) is documented in decode_assets."""
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(data):
+        clen = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        crc = int.from_bytes(data[pos + 8 + clen : pos + 12 + clen], "big")
+        if (zlib.crc32(ctype + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, color, interlace = body[8], body[9], body[12]
+            if (depth, color, interlace) != (8, 2, 0):
+                raise ValueError(
+                    f"unsupported PNG profile: depth={depth} color={color} "
+                    f"interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length mismatch")
+    img = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up — no left dependency, fully vectorized
+            rec = (line + prior) % 256
+        elif ftype in (1, 3, 4):  # left-dependent: sequential per pixel
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        img[y] = rec.astype(np.uint8)
+        prior = rec
+    return width, height, img.reshape(height, width, 3)
+
+
+def synth_png_assets(docs: DataFrame) -> DataFrame:
+    """One small PNG per document, dims derived from doc_id
+    (width = id%9+2, height = id%5+2) — deliberately different from the
+    BMP dims so the two image tiers can't mask each other."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            w = (ids % 9 + 2).astype("int32")
+            h = (ids % 5 + 2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": w,
+                    "height": h,
+                    "content": [
+                        synth_png(int(i), int(wi), int(hi))
+                        for i, wi, hi in zip(ids, w, h)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="asset_id long, width int, height int, content binary"
     )
 
 

@@ -36,6 +36,7 @@ from cdc_practice_spark.operators.multimodal import (
     sample_frames,
     synth_assets,
     synth_image_assets,
+    synth_png_assets,
 )
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table
@@ -122,6 +123,44 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap, or row order in the decoder fails the hash."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_images(synth_image_assets(docs))
+    return decoded.select(
+        "asset_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
+    )
+
+
+@register(
+    "multimodal_image_decode_png",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 9 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 5 + 2 AS INTEGER) AS height
+  FROM documents
+),
+grid AS (
+  SELECT x.g AS x, y.g AS y, c.g AS c
+  FROM (SELECT unnest(generate_series(0, 10)) AS g) x,
+       (SELECT unnest(generate_series(0, 6)) AS g) y,
+       (SELECT unnest(generate_series(0, 2)) AS g) c
+)
+SELECT d.asset_id, d.width, d.height,
+       round(avg((d.asset_id + 7 * g.x + 13 * g.y + 31 * g.c) % 256), 6)
+         AS mean_pixel
+FROM dims d
+JOIN grid g ON g.x < d.width AND g.y < d.height
+GROUP BY d.asset_id, d.width, d.height
+""",
+)
+def multimodal_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL *compressed* codec under the oracle gate: valid zlib-DEFLATE
+    PNGs in (every filter type exercised — synth cycles None/Sub/Up/
+    Average/Paeth per row), actual decompressed pixel arrays out via the
+    numpy+zlib inflate+unfilter kernel (operators/multimodal.py:
+    decode_png_numpy, CRC-verified chunk walk).  The oracle recomputes
+    every pixel from the synthesis formula, so a wrong predictor,
+    filter-byte offset, stride, or inflate windowing fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_images(synth_png_assets(docs))
     return decoded.select(
         "asset_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
     )

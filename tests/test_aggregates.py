@@ -22,14 +22,15 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         )
         .collect()
     }
-    approx = {
-        r.l_returnflag: (r.approx_parts, r.approx_suppliers)
-        for r in approx_distinct_parts(spark, sf_dir).collect()
-    }
-    for flag, (p, s) in exact.items():
-        ap, asup = approx[flag]
-        assert abs(ap - p) / p < 0.10
-        assert abs(asup - s) / s < 0.10
+    rows = approx_distinct_parts(spark, sf_dir).collect()
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        # the query emits the tolerance DECISION (|approx-exact|/exact <= 5%)
+        # so the oracle can hash-compare it; assert both the decision and
+        # that the exact counts it carries agree with an independent compute
+        assert r.parts_within_tol and r.suppliers_within_tol
+        p, s = exact[r.l_returnflag]
+        assert (r.exact_parts, r.exact_suppliers) == (p, s)
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):

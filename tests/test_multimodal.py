@@ -127,6 +127,50 @@ def test_decode_images_runs_distributed(spark, sf_dir):
         assert 0.0 <= r.mean_pixel <= 255.0
 
 
+def test_png_roundtrip_pixel_exact():
+    """synth_png → decode_png_numpy is pixel-exact against the synthesis
+    formula.  Heights ≥ 6 guarantee every PNG filter type (y % 5) is
+    exercised, so Sub/Up/Average/Paeth unfilter kernels are all covered."""
+    import numpy as np
+
+    for asset_id, w, h in [(0, 2, 6), (7, 5, 7), (123, 9, 6), (255, 10, 8), (999, 3, 11)]:
+        data = M.synth_png(asset_id, w, h)
+        dw, dh, arr = M.decode_png_numpy(data)
+        assert (dw, dh) == (w, h)
+        ys, xs, cs = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        expect = ((asset_id + 7 * xs + 13 * ys + 31 * cs) % 256).astype(np.uint8)
+        assert np.array_equal(arr, expect), (asset_id, w, h)
+
+
+def test_png_is_really_compressed_and_crc_checked():
+    """The IDAT stream must be genuine DEFLATE (smaller than raw pixels
+    for these regular gradients), and a flipped byte anywhere must be
+    caught by the chunk CRC walk — the properties that make this a real
+    compressed-codec path rather than a container format."""
+    data = M.synth_png(42, 10, 10)
+    assert len(data) < 10 * 10 * 3  # compression actually happened
+    bad = bytearray(data)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png_numpy(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png_numpy(b"BMxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")
+
+
+def test_decode_images_dispatches_png(spark, sf_dir):
+    """decode_images routes PNG payloads to the numpy+zlib kernel: dims
+    decoded FROM THE DECOMPRESSED PAYLOAD match the synthesis dims."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = M.decode_images(M.synth_png_assets(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.width == r.asset_id % 9 + 2
+        assert r.height == r.asset_id % 5 + 2
+        assert 0.0 <= r.mean_pixel <= 255.0
+
+
 def test_wav_roundtrip_sample_exact():
     import numpy as np
 
