@@ -144,3 +144,93 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@register(
+    "heavy_hitters_lang",
+    oracle="""
+WITH t AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS exact_count,
+       TRUE AS in_candidates
+FROM documents, t
+WHERE lang IS NOT NULL
+GROUP BY lang, t.n
+HAVING count(*) * 4 > t.n
+ORDER BY lang
+""",
+)
+def heavy_hitters_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters under the oracle gate (operators/
+    sketches.py): a capacity-3 summary per partition (O(k) memory,
+    vectorized per Arrow batch), one ≤ partitions·k-row merge shuffle,
+    final decrement on the index-sized candidate list.  The MG theorem
+    guarantees every item with true frequency > n/(k+1) survives any
+    merge tree — so the query emits the exact heavy hitters (both
+    engines agree: count·4 > n) with the sketch-membership DECISION per
+    item; a summary that drops a guaranteed item flips the boolean and
+    fails the hash.  Exact top-frequency at 100 TB shuffles every
+    distinct key; this shuffles ≤ partitions·k rows."""
+    from cdc_practice_spark.operators.sketches import misra_gries_candidates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    cands, n = misra_gries_candidates(docs, "lang", k=3)
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .filter(F.col("exact_count") * 4 > F.lit(n))
+        .select(
+            "lang",
+            "exact_count",
+            F.col("lang").isin([str(c) for c in cands]).alias("in_candidates"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "approx_quantiles_price",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+             AS DOUBLE), 4) AS exact_p50,
+       round(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+             AS DOUBLE), 4) AS exact_p95,
+       TRUE AS p50_within_rank_eps,
+       TRUE AS p95_within_rank_eps
+FROM orders
+""",
+)
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (Spark's percentile_approx /
+    Greenwald-Khanna-style summary) — the constant-memory companion to
+    exact `percentile`, which needs a per-group sort at 100 TB.  The
+    sketch's guarantee is on RANK (accuracy=100 → rank error ≤ 1%), so
+    the DECISION emitted is rank-based: the approximate p50 must lie
+    between the exact p49 and p51 values (p94/p96 for the tail) — both
+    engines agree on the exact percentiles (linear interpolation:
+    Spark `percentile` = DuckDB percentile_cont), and the booleans
+    assert the sketch holds its bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 100)").alias("a50"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 100)").alias("a95"),
+        F.expr("percentile(o_totalprice, 0.49)").alias("lo50"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("hi50"),
+        F.expr("percentile(o_totalprice, 0.94)").alias("lo95"),
+        F.expr("percentile(o_totalprice, 0.96)").alias("hi95"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("exact_p95"),
+    )
+    return agg.select(
+        "n",
+        "exact_p50",
+        "exact_p95",
+        F.col("a50").between(F.col("lo50"), F.col("hi50")).alias(
+            "p50_within_rank_eps"
+        ),
+        F.col("a95").between(F.col("lo95"), F.col("hi95")).alias(
+            "p95_within_rank_eps"
+        ),
+    )

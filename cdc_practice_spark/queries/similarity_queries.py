@@ -329,3 +329,47 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .select(F.lit(10).cast("long").alias("k"), F.col("n_overlap"))
     )
+
+
+@register(
+    "ann_pq_recall",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(10 AS BIGINT) AS k,
+       TRUE AS recall_ok
+FROM embeddings
+""",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the oracle gate (operators/
+    quantization.py): train an 8×16 codebook (two Lloyd passes, one tiny
+    shuffle each), encode the corpus to 8 one-byte codes + a stored norm
+    (256 B → ~12 B per vector), ADC-shortlist 50 by LUT lookups, then
+    exact-rerank the shortlist — FAISS's IndexPQ shape, Spark-first.
+
+    A k-means-derived ranking can't be replicated in SQL, so (like the
+    HLL query) this emits the DECISION: recall@10 vs the exact
+    brute-force top-10 must be ≥ 0.5 — the whole pipeline is
+    deterministic (round-6 everywhere, first-match/id tiebreaks), so
+    the boolean is stable; a codebook, encode, LUT, or rerank
+    regression flips it and fails the hash.  n_vectors keeps the
+    oracle row data-dependent.  Measured recall on the fixtures: 8/10
+    at sf0.01, tolerance-tested in tests/test_similarity.py."""
+    from cdc_practice_spark.operators import quantization as Q
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    codebook = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
+    pq = Q.pq_topk(emb, codebook, qv, k=10, shortlist=50).select(
+        F.col("vec_id").alias("p_id")
+    )
+    exact = S.brute_force_topk(emb, qv, k=10).select("vec_id")
+    overlap = exact.join(
+        pq, exact["vec_id"] == F.col("p_id"), "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    n_vec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return n_vec.crossJoin(overlap).select(
+        "n_vectors",
+        F.lit(10).cast("long").alias("k"),
+        (F.col("n_overlap") >= 5).alias("recall_ok"),
+    )

@@ -125,3 +125,51 @@ def test_ivf_probe_prunes_partitioned_index(spark, sf_dir, tmp_path):
     m = [ln for ln in plan.splitlines() if "PartitionFilters: [label" in ln or
          ("PartitionFilters" in ln and "label" in ln)]
     assert m, plan[:1500]
+
+
+def test_pq_encode_shape_and_code_range(emb):
+    """PQ codes: m entries, each in [0, ksub); stored norm matches the
+    exact vector norm — the compression contract (8 bytes + norm vs 256
+    raw bytes)."""
+    import math
+
+    from cdc_practice_spark.operators import quantization as Q
+
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    rows = Q.pq_encode(emb, cb).limit(50).collect()
+    raw = {r.vec_id: list(r.embedding) for r in emb.limit(50).collect()}
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+        expect = round(math.sqrt(sum(float(x) ** 2 for x in raw[r.vec_id])), 6)
+        assert abs(r.norm - expect) < 1e-5
+
+
+def test_pq_recall_beats_floor_and_is_deterministic(emb, qvec):
+    """ADC shortlist + exact rerank recovers ≥ half of the exact top-10
+    (the ann_pq_recall decision threshold), and two independent train
+    runs produce identical codebooks (round-6 + first-k init)."""
+    from cdc_practice_spark.operators import quantization as Q
+
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
+    assert cb == Q.pq_train(emb, m=8, ksub=16, n_iter=2)
+    pq_ids = {r.vec_id for r in Q.pq_topk(emb, cb, qvec, k=10, shortlist=50).collect()}
+    exact_ids = {r.vec_id for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    assert len(pq_ids & exact_ids) >= 5
+    assert 0 in pq_ids  # the query vector itself must survive quantization
+
+
+def test_pq_rerank_scores_are_exact_cosine(emb, qvec):
+    """Whatever the shortlist contains, the RETURNED scores are exact:
+    every (id, cosine) pair must equal the brute-force score for that id."""
+    from cdc_practice_spark.operators import quantization as Q
+
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+    got = {r.vec_id: r.cosine for r in Q.pq_topk(emb, cb, qvec, k=10).collect()}
+    exact = {
+        r.vec_id: r.cosine
+        for r in S.brute_force_topk(emb, qvec, k=len(got) + 490).collect()
+    }
+    for vid, cos in got.items():
+        assert cos == exact[vid]
