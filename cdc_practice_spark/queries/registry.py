@@ -47,6 +47,7 @@ def load_all() -> None:
     import cdc_practice_spark.queries.dedup_queries  # noqa: F401
     import cdc_practice_spark.queries.events_queries  # noqa: F401
     import cdc_practice_spark.queries.graph_queries  # noqa: F401
+    import cdc_practice_spark.queries.layout_queries  # noqa: F401
     import cdc_practice_spark.queries.multimodal_queries  # noqa: F401
     import cdc_practice_spark.queries.pipeline_queries  # noqa: F401
     import cdc_practice_spark.queries.similarity_queries  # noqa: F401
