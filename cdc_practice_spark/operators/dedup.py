@@ -580,3 +580,73 @@ def incremental_dedup(
             F.coalesce("n_dup_matches", F.lit(0)).alias("n_dup_matches"),
         )
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    hashed: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-substring duplication stats: for each document, how many of
+    its n-token spans also occur in ANOTHER document (the signal behind
+    exact-substring training-data dedup à la Lee et al. 2022, "Dedupli-
+    cating Training Data Makes Language Models Better" — there via a
+    distributed suffix array; here via the equivalent fixed-length span
+    join, the shape that maps onto a groupBy engine).
+
+    Pipeline (all JVM-side): tokenize → one explode to (doc, span) →
+    pre-aggregate per (doc, span) [map-side combined, kills within-doc
+    repeats early] → span-level doc-count → semi-join back → per-doc
+    totals.  Within-doc repetition does NOT count (that's the separate
+    dup_token_fraction signal); only spans shared ACROSS documents do.
+
+    ``hashed=True`` (production): spans travel as xxhash64 fingerprints
+    — 8 bytes each instead of the string, which is what the shuffle
+    must carry at 100 TB (collision odds over even 10^12 distinct
+    spans stay ~ 3·10^-2 per full corpus under 64-bit hashing, and a
+    collision only inflates one doc's count by one).  ``hashed=False``
+    keeps raw strings so a SQL twin in another engine (different hash
+    functions) can replicate byte-for-byte — the oracle-gate mode.
+
+    Returns (doc_id, n_spans, n_dup_spans) for every input document."""
+    from cdc_practice_spark.functions.text import tokens
+
+    w = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    totals = base.select(
+        "doc_id", F.greatest(F.size("w") - (n - 1), F.lit(0)).alias("n_spans")
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), n))
+    spans = (
+        base.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+            "w",
+        )
+        .select("doc_id", (F.xxhash64(gram) if hashed else gram).alias("gram"))
+    )
+    per_doc_gram = spans.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("npos")
+    )
+    shared = (
+        per_doc_gram.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gram")
+    )
+    dup = (
+        per_doc_gram.join(shared, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("npos").alias("n_dup_spans"))
+    )
+    return (
+        totals.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+    )

@@ -252,3 +252,27 @@ def read_with_skipping(
         [F.col(c).between(lo, hi) for c, (lo, hi) in predicates.items()],
     )
     return base.filter(cond), len(index["files"]), len(survivors)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+) -> tuple[int, int]:
+    """Small-file compaction (the other half of OPTIMIZE): rewrite a
+    directory of many small files — the natural residue of streaming
+    ingest, where every micro-batch commits its own files — into
+    ~target-sized ones.  Uses ``coalesce``, which merges partitions
+    WITHOUT a shuffle: each output task concatenates a set of input
+    files, so the rewrite moves every byte exactly once and never
+    re-keys it.  (A clustering rewrite is ``optimize_zorder``; this one
+    deliberately preserves only content, not order.)  Returns
+    (n_files_before, n_files_after)."""
+    df = spark.read.parquet(src_path)
+    n_before = len(df.inputFiles())
+    n_rows = df.count()
+    n_out = max(1, -(-n_rows // target_rows_per_file))
+    df.coalesce(min(n_out, n_before)).write.mode("overwrite").parquet(dst_path)
+    n_after = len(spark.read.parquet(dst_path).inputFiles())
+    return n_before, n_after

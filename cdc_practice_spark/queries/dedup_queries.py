@@ -348,3 +348,40 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = split.filter(F.col("doc_id") >= F.col("_cut")).drop("_cut")
     index_bands, index_sigs = D.minhash_index(corpus)
     return D.incremental_dedup(batch, index_bands, index_sigs, threshold=0.8)
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+tot AS (SELECT doc_id, greatest(len(w) - 7, 0) AS n_spans FROM t),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)
+),
+gp AS (SELECT doc_id, gram, count(*) AS npos FROM g GROUP BY 1, 2),
+gs AS (SELECT gram FROM gp GROUP BY gram HAVING count(*) > 1),
+d AS (
+  SELECT gp.doc_id, sum(gp.npos) AS n_dup
+  FROM gp JOIN gs USING (gram) GROUP BY 1
+)
+SELECT tot.doc_id,
+       CAST(tot.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans
+FROM tot LEFT JOIN d USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication per document (operators/dedup.py::
+    duplicate_span_stats): count each doc's 8-token spans that also
+    occur in another document — the Lee-et-al-style exact-dedup signal,
+    as one explode + two map-side-combined aggregations + a semi join.
+    Oracle mode carries raw span strings so DuckDB replicates exactly;
+    the production default fingerprints spans with xxhash64 (8-byte
+    shuffle payload), equivalence between the two modes is pinned in
+    tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_span_stats(docs, n=8, hashed=False).orderBy("doc_id")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cdc_practice_spark.operators.layout import (
     build_file_blooms,
+    compact_files,
     optimize_zorder,
     read_with_bloom,
     read_with_skipping,
@@ -112,3 +113,36 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.lit(n_read < n_total).alias("files_skipped"),
     ).orderBy("l_partkey", "l_suppkey")
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+       TRUE AS compacted
+FROM orders
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest residue → OPTIMIZE compaction, end to end:
+    scatter orders into 64 per-micro-batch-sized files, compact them
+    shuffle-free with coalesce (operators/layout.py::compact_files),
+    and prove content survived byte-for-byte (count + key-sum vs the
+    oracle) plus the decision that the file count actually dropped."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="compact_", dir=TMP_ROOT)
+    src = os.path.join(work, "small")
+    dst = os.path.join(work, "compacted")
+    orders.repartition(64).write.parquet(src)
+    n_rows = orders.count()
+    n_before, n_after = compact_files(spark, src, dst, target_rows_per_file=max(n_rows // 4, 1))
+    return (
+        spark.read.parquet(dst)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_okey"),
+        )
+        .select("n_rows", "sum_okey", F.lit(n_after < n_before).alias("compacted"))
+    )

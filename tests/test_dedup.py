@@ -205,3 +205,39 @@ def test_incremental_dedup_bucketed_index_no_corpus_exchange(spark, sf_dir, tmp_
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_duplicate_span_stats_hashed_equals_string_mode(spark, sf_dir):
+    """xxhash64 fingerprint mode must produce identical per-doc counts
+    to raw-string mode (no collisions at fixture scale) — the guarantee
+    that lets production shuffle 8-byte hashes instead of strings."""
+    from cdc_practice_spark.operators.dedup import duplicate_span_stats
+    from cdc_practice_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, duplicate_span_stats(docs, n=8, hashed=True).collect()))
+    b = sorted(map(tuple, duplicate_span_stats(docs, n=8, hashed=False).collect()))
+    assert a == b
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """Hand-built corpus: shared span counted per occurrence, within-doc
+    repetition alone NOT counted, short docs have zero spans."""
+    from cdc_practice_spark.operators.dedup import duplicate_span_stats
+
+    shared = "a b c d e f g h"           # 8 tokens, one span
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x y z"),       # spans: 4; span@1 shared with doc 2
+            (2, "p q " + shared),         # spans: 3; span@3 shared with doc 1
+            (3, "r r r r r r r r r r"),   # within-doc repeats only
+            (4, "too short"),             # < 8 tokens → 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_spans, r.n_dup_spans)
+            for r in duplicate_span_stats(docs, n=8).collect()}
+    assert rows[1] == (4, 1)
+    assert rows[2] == (3, 1)
+    assert rows[3] == (3, 0)  # 'r r ... r' spans identical WITHIN doc only
+    assert rows[4] == (0, 0)

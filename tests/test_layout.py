@@ -128,3 +128,18 @@ def test_bloom_absent_key_reads_few_or_no_files(spark, sf_dir, tmp_path):
     got, n_total, n_read = L.read_with_bloom(spark, path, int(mx) + 999_983)
     assert got.count() == 0
     assert n_read < n_total  # absent key: bloom should rule most files out
+
+
+def test_compact_files_preserves_content_without_shuffle(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src = os.path.join(str(tmp_path), "small")
+    dst = os.path.join(str(tmp_path), "big")
+    orders.repartition(32).write.parquet(src)
+    n = orders.count()
+    n_before, n_after = L.compact_files(spark, src, dst, target_rows_per_file=n // 2)
+    assert n_before == 32 and n_after <= 3
+    got = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert got == sorted(map(tuple, orders.collect()))
+    # coalesce plan must not shuffle: no Exchange in the write-side plan
+    plan = spark.read.parquet(src).coalesce(2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
