@@ -1,0 +1,139 @@
+"""Hand-built runtime Bloom filter — semi-join reduction for shuffle joins.
+
+The scale problem: a selective dim-side predicate (``customer WHERE
+segment = 'X'``) should shrink the FACT side *before* the join shuffle,
+but when the filtered dim is too large to broadcast, Spark's sort-merge
+join ships every fact row.  The standard fix (what Spark's own
+``spark.sql.optimizer.runtime.bloomFilter`` injects when it applies) is:
+build a Bloom filter over the dim join keys, apply it as a fact-side
+filter ahead of the exchange, and let the real join absorb the false
+positives.  The result set is EXACT — Bloom filters have no false
+negatives, and every false positive fails the actual join condition.
+
+This module builds that filter with nothing but public DataFrame API:
+
+  build (``build_bloom_words``): k bit positions per dim key via
+    ``pmod(xxhash64(key, seed_i), m)``, folded into an m-bit bitmap as
+    ``bigint`` words by one ``bit_or`` aggregation (map-side combined;
+    the exchange carries ≤ m/64 rows per task).  The bitmap is collected
+    to the driver — the same driver-sized artifact Spark's own runtime
+    filter produces, auto-capped (``max_bits``) exactly like
+    ``runtime.bloomFilter.maxNumBits``.
+  probe (``might_contain``): an all-JVM codegen'd predicate — for each
+    seed, ``getbit(element_at(words, pos/64 + 1), pos % 64)`` — ANDed
+    across seeds.  No Python in the hot path, no shuffle; Catalyst
+    places it directly above the fact scan, so only surviving rows reach
+    the join exchange.
+
+Sizing: ``bits_per_key`` defaults to 16 (k=5 → p_fp ≈ 0.1%), mirroring
+the Bloom sidecar lesson in operators/layout.py — the filter must scale
+with dim CONTENTS, not be a fixed constant.  Past ``max_bits`` the fpp
+degrades gracefully (never the result); at dim sizes where even a capped
+Bloom stops filtering, a plain shuffle join was the right plan anyway.
+
+Type contract: build and probe hash the raw key column, so both sides
+must share a type — guaranteed for any equi-join this is reducing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bit_position(key: Column, seed: int, n_bits: int) -> Column:
+    """Seed ``seed``'s bit position for ``key`` — the ONE definition both
+    build and probe use, so the two sides can never disagree."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_bits))
+
+
+def build_bloom_words(
+    dim: DataFrame,
+    dim_col: str,
+    n_items: int | None = None,
+    bits_per_key: int = 16,
+    k: int = 5,
+    max_bits: int = 1 << 22,
+) -> tuple[list[int], int]:
+    """Aggregate the dim keys into Bloom bitmap words.
+
+    Returns ``(words, n_bits)`` with ``words`` the bitmap as n_bits/64
+    Python ints.  Cost: one count job (skipped when ``n_items`` is
+    passed), one bit_or aggregation, one ≤ n_bits/64-row collect.
+    """
+    if n_items is None:
+        n_items = dim.select(dim_col).count()
+    n_bits = max(64, min(max_bits, bits_per_key * max(1, n_items)))
+    n_bits = ((n_bits + 63) // 64) * 64  # whole words
+    key = F.col("__key")
+    per_seed = [
+        F.struct(
+            (_bit_position(key, s, n_bits) / 64).cast("int").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(xxhash64(__key, {s}), {n_bits}) % 64 AS INT))"
+            ).alias("mask"),
+        )
+        for s in range(k)
+    ]
+    agg = (
+        dim.select(F.col(dim_col).alias("__key"))
+        .filter(key.isNotNull())
+        .select(F.explode(F.array(*per_seed)).alias("pb"))
+        .groupBy(F.col("pb.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("pb.mask")).alias("word"))
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in agg:
+        words[r.word_idx] = r.word
+    return words, n_bits
+
+
+def might_contain(
+    col: Column | str, words: list[int], n_bits: int, k: int = 5
+) -> Column:
+    """Codegen'd Bloom membership predicate over a literal word array.
+
+    NULL keys yield NULL, which a filter drops — correct for the
+    inner/semi joins this reduces (NULL never equi-joins).
+    """
+    key = F.col(col) if isinstance(col, str) else col
+    arr = F.lit(words)
+    pred: Column | None = None
+    for seed in range(k):
+        pos = _bit_position(key, seed, n_bits)
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.getbit(word, (pos % 64).cast("int")) == 1
+        pred = bit if pred is None else (pred & bit)
+    assert pred is not None
+    return pred
+
+
+def bloom_reduce_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_col: str,
+    dim_col: str,
+    how: str = "inner",
+    bits_per_key: int = 16,
+    k: int = 5,
+    max_bits: int = 1 << 22,
+    n_items: int | None = None,
+) -> DataFrame:
+    """Join with the fact side pre-reduced by a Bloom filter on dim keys.
+
+    Row-for-row identical to ``fact.join(dim, fact_col == dim_col, how)``
+    (no false negatives; the join removes false positives) — only the
+    fact rows reaching the join exchange change.
+    """
+    words, n_bits = build_bloom_words(
+        dim,
+        dim_col,
+        n_items=n_items,
+        bits_per_key=bits_per_key,
+        k=k,
+        max_bits=max_bits,
+    )
+    reduced = fact.filter(might_contain(fact_col, words, n_bits, k=k))
+    return reduced.join(dim, reduced[fact_col] == dim[dim_col], how)

@@ -401,3 +401,105 @@ def cdc_schema_drift_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_region_vals"
         ),
     )
+
+
+# SCD2 oracle CTE: versions with half-open [valid_from, valid_to) bounds —
+# mirrors cdc/scd2.py::build_scd2 (one lead() over the feed's key/offset sort).
+SCD2_CTE = """
+led AS (
+  SELECT *,
+         lead(registered_at) OVER (PARTITION BY original_id
+                                   ORDER BY kafka_offset) AS next_ts
+  FROM feed
+),
+dim AS (
+  SELECT original_id, value, event_type,
+         registered_at AS valid_from,
+         next_ts AS valid_to,
+         next_ts IS NULL AS is_current,
+         kafka_offset AS version_offset
+  FROM led
+  WHERE __deleted = 'false'
+)
+"""
+
+
+@register(
+    "cdc_scd2_dimension",
+    oracle=f"""
+WITH {FEED_CTE},
+{SCD2_CTE}
+SELECT original_id, value, event_type,
+       epoch_us(valid_from) AS valid_from_us,
+       epoch_us(valid_to) AS valid_to_us,
+       is_current,
+       version_offset
+FROM dim
+""",
+)
+def cdc_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension over the change feed (cdc/scd2.py): one row per
+    live VERSION with [valid_from, valid_to) validity — the temporal view
+    the reference's SCD-1 pair (simple_kafka_etl.py:97-175) cannot answer.
+    Rides the same single (key, offset) exchange as history/current."""
+    from cdc_practice_spark.cdc.scd2 import build_scd2
+
+    dim = build_scd2(_feed(spark, sf_dir))
+    return dim.select(
+        "original_id",
+        "value",
+        "event_type",
+        _us("valid_from").alias("valid_from_us"),
+        _us("valid_to").alias("valid_to_us"),
+        "is_current",
+        "version_offset",
+    )
+
+
+@register(
+    "cdc_scd2_asof_join",
+    oracle=f"""
+WITH {FEED_CTE},
+{SCD2_CTE},
+probes AS (
+  SELECT event_id AS probe_id, user_id, ts AS probe_ts
+  FROM events
+  WHERE event_id % 7 = 0
+)
+SELECT p.probe_id,
+       p.user_id,
+       epoch_us(p.probe_ts) AS probe_ts_us,
+       d.value AS dim_value,
+       d.event_type AS dim_event_type,
+       d.version_offset
+FROM probes p
+LEFT JOIN dim d
+  ON p.user_id = d.original_id
+ AND d.valid_from <= p.probe_ts
+ AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+""",
+)
+def cdc_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: probe rows pick the dimension version
+    valid AT their own timestamp (cdc/scd2.py::asof_join_scd2).  Key
+    equality drives a hash-partitioned sort-merge join; the interval check
+    is a residual predicate — no range-only join, no row amplification
+    (intervals per key are disjoint; probes in a delete-gap LEFT-miss)."""
+    from cdc_practice_spark.cdc.scd2 import asof_join_scd2, build_scd2
+
+    dim = build_scd2(_feed(spark, sf_dir))
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        F.col("user_id"),
+        F.col("ts").alias("probe_ts"),
+    )
+    joined = asof_join_scd2(probes, dim, fact_key="user_id", fact_ts="probe_ts")
+    return joined.select(
+        "probe_id",
+        "user_id",
+        _us("probe_ts").alias("probe_ts_us"),
+        F.col("value").alias("dim_value"),
+        F.col("event_type").alias("dim_event_type"),
+        "version_offset",
+    )

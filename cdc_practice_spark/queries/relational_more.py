@@ -310,3 +310,41 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_1h_value"),
     )
+
+
+@register(
+    "runtime_bloom_semijoin",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority
+""",
+)
+def runtime_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction (plans/runtime_filter.py):
+    orders ⋈ segment-filtered customers, with the fact side pre-filtered
+    by a hand-built Bloom bitmap over the dim keys BEFORE the join
+    exchange — the shuffle-volume play Spark's own runtime.bloomFilter
+    makes when the filtered dim outgrows broadcast.  Exact by
+    construction (no false negatives; the join kills false positives):
+    the oracle is the plain join."""
+    from cdc_practice_spark.plans.runtime_filter import bloom_reduce_join
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    joined = bloom_reduce_join(orders, dim, "o_custkey", "c_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        M.sum_fixed_as_double(M.fixed("o_totalprice"), 2).alias("sum_price"),
+    )

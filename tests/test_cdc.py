@@ -192,3 +192,35 @@ def test_tombstone_filter(spark):
     out = change_feed(df)
     # tombstone (offset 1) dropped; redelivered offset 2 deduped → 0 and 2
     assert sorted(r.kafka_offset for r in out.collect()) == [0, 2]
+
+
+def test_scd2_versions_and_delete_gap(feed):
+    """SCD2 (cdc/scd2.py): live events open versions, the NEXT event of
+    the key closes them (half-open), deletes open nothing — a probe in
+    the delete→re-insert gap must miss."""
+    from cdc_practice_spark.cdc.scd2 import asof_join_scd2, build_scd2
+
+    dim = build_scd2(feed)
+    rows = {r.version_offset: r for r in dim.collect()}
+    # key 1: events 0(ins) 1(upd) 2(del) 3(re-ins) 4(upd) → 4 versions
+    # key 2: one current version; key 3: delete-only → none
+    assert sorted(rows) == [0, 1, 3, 4, 5]
+    assert rows[0].valid_to == ts("2024-01-01T01:00:00") and not rows[0].is_current
+    assert rows[1].valid_to == ts("2024-01-01T02:00:00")  # closed by the DELETE
+    assert rows[4].valid_to is None and rows[4].is_current
+    assert rows[5].is_current  # key 2 single insert
+    # intervals per key are disjoint: probe each boundary + the gap
+    probes = feed.sparkSession.createDataFrame(
+        [
+            (100, 1, ts("2024-01-01T01:30:00")),  # inside version 1
+            (101, 1, ts("2024-01-01T02:30:00")),  # delete gap → miss
+            (102, 1, ts("2024-01-01T03:00:00")),  # re-insert boundary (inclusive)
+            (103, 3, ts("2024-01-01T05:00:00")),  # delete-only key → miss
+        ],
+        "probe_id long, user_id long, probe_ts timestamp_ntz",
+    )
+    j = asof_join_scd2(probes, dim, fact_key="user_id", fact_ts="probe_ts")
+    got = {r.probe_id: r.version_offset for r in j.collect()}
+    assert got == {100: 1, 101: None, 102: 3, 103: None}
+    # one output row per probe (no amplification)
+    assert j.count() == 4

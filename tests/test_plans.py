@@ -190,3 +190,46 @@ def test_spread_for_python_gates_on_parallelism(spark, sf_dir):
 
     wide = coarse.repartition(p)
     assert spread_for_python(wide) is wide  # no-op, no extra exchange
+
+
+def test_bloom_reduce_join_filters_before_exchange(spark, sf_dir):
+    """runtime_bloom_semijoin: the Bloom membership predicate must sit on
+    the FACT side below the join exchange (that's the whole point — fewer
+    rows shuffle), stay all-JVM (no Python eval), and actually reduce the
+    fact rows to ~|matches| + fpp."""
+    from cdc_practice_spark.plans.runtime_filter import (
+        bloom_reduce_join,
+        build_bloom_words,
+        might_contain,
+    )
+    from cdc_practice_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    words, n_bits = build_bloom_words(dim, "c_custkey")
+    # the probe predicate is pure codegen: getbit/element_at over a
+    # literal array — no BatchEvalPython / ArrowEvalPython anywhere
+    probe = orders.filter(might_contain("o_custkey", words, n_bits))
+    plan = plan_string(probe, "extended")
+    assert "Python" not in plan and "getbit" in plan
+    n_fact = orders.count()
+    n_surv = probe.count()
+    n_true = orders.join(dim, orders.o_custkey == dim.c_custkey).count()
+    # no false negatives + fpp bounded: survivors within 1% of fact rows
+    # above the true matches (16 bits/key, k=5 → ~0.1% expected)
+    assert n_true <= n_surv <= n_true + max(10, n_fact // 100)
+    # exactness of the full reduced join
+    got = sorted(
+        (r.o_custkey, r.o_totalprice)
+        for r in bloom_reduce_join(orders, dim, "o_custkey", "c_custkey").collect()
+    )
+    want = sorted(
+        (r.o_custkey, r.o_totalprice)
+        for r in orders.join(dim, orders.o_custkey == dim.c_custkey).collect()
+    )
+    assert got == want
