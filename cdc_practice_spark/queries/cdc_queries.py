@@ -503,3 +503,53 @@ def cdc_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("dim_event_type"),
         "version_offset",
     )
+
+
+@register(
+    "cdc_incremental_mv",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+),
+cur AS (
+  SELECT * FROM ranked WHERE rn = 1 AND __deleted = 'false'
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM cur
+GROUP BY event_type
+""",
+)
+def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (cdc/incremental.py):
+    materialize the per-event_type (count, sum(value)) aggregate of the
+    CURRENT state as of the feed's midpoint offset, then maintain it with
+    retract/insert deltas from the second half — touching O(delta +
+    touched keys), never the base history.  The oracle recomputes from
+    scratch over the FULL feed, so any drift in the delta algebra
+    hash-fails.  The midpoint is a driver-side scalar (one max() job —
+    same class as the ANN query-vector collects)."""
+    from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
+
+    feed = _feed(spark, sf_dir)
+    t = feed.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    base_feed = feed.filter(F.col("kafka_offset") <= t)
+    delta_feed = feed.filter(F.col("kafka_offset") > t)
+    base_current = build_current(base_feed)
+    base_mv = current_mv(base_current, "event_type")
+    maintained = delta_apply_mv(base_current, base_mv, delta_feed, "event_type")
+    return maintained.select(
+        "event_type",
+        "n_rows",
+        F.round(
+            F.col("sum_cents").cast("decimal(38,0)")
+            / F.lit(100).cast("decimal(19,0)"),
+            2,
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )

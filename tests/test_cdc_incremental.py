@@ -1,0 +1,75 @@
+"""Incremental MV maintenance (cdc/incremental.py): delta application must
+equal from-scratch recomputation at EVERY split point — including the
+degenerate ones (everything in the base, everything in the delta).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.cdc import build_current, change_feed_from_events
+from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
+from cdc_practice_spark.session import load_table
+
+
+def _mv_rows(df):
+    return sorted(
+        (r.event_type, r.n_rows, r.sum_cents)
+        for r in df.select("event_type", "n_rows", "sum_cents").collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def feed(spark, sf_dir):
+    f = change_feed_from_events(load_table(spark, sf_dir, "events"))
+    f.persist()
+    yield f
+    f.unpersist()
+
+
+def test_delta_apply_equals_scratch_at_any_split(feed):
+    scratch = _mv_rows(current_mv(build_current(feed), "event_type"))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    for t in (-1, max_off // 3, max_off // 2, max_off):
+        base_feed = feed.filter(F.col("kafka_offset") <= t)
+        delta_feed = feed.filter(F.col("kafka_offset") > t)
+        base_current = build_current(base_feed)
+        maintained = delta_apply_mv(
+            base_current,
+            current_mv(base_current, "event_type"),
+            delta_feed,
+            "event_type",
+        )
+        assert _mv_rows(maintained) == scratch, f"split {t} diverged"
+
+
+def test_delta_retracts_and_groups_vanish(spark):
+    """A key whose delta moves it across groups retracts from the old
+    group; a group whose only key is deleted disappears (n_rows=0
+    filtered)."""
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "signup", 10.0, "{}"),
+        (1, datetime(2024, 1, 1, 1), 2, "click", 5.0, "{}"),
+        # delta: key 1 moves signup→click with a new value; key 2 deleted
+        (2, datetime(2024, 1, 1, 2), 1, "click", 7.0, "{}"),
+        (3, datetime(2024, 1, 1, 3), 2, "error", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    base_feed = feed.filter(F.col("kafka_offset") <= 1)
+    base_current = build_current(base_feed)
+    maintained = delta_apply_mv(
+        base_current,
+        current_mv(base_current, "event_type"),
+        feed.filter(F.col("kafka_offset") > 1),
+        "event_type",
+    )
+    # signup group vanished (its only key moved); click holds key 1 only
+    assert _mv_rows(maintained) == [("click", 1, 700)]
