@@ -28,6 +28,9 @@ HEADLINE = [
     "cdc_current_snapshot",
     "cdc_history",
     "cdc_user_stats",
+    # CDC scale tiers (r4): temporal join, delta-maintained MV
+    "cdc_scd2_asof_join",
+    "cdc_incremental_mv",
     # relational analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -37,6 +40,7 @@ HEADLINE = [
     "tpch_q18_large_volume_orders",
     "tpch_q21_waiting_suppliers",
     "top_customers_by_spend",
+    "runtime_bloom_semijoin",
     "window_rank_orders",
     "event_time_tumbling_agg",
     # event-sequence + time-series operators

@@ -73,3 +73,24 @@ def test_delta_retracts_and_groups_vanish(spark):
     )
     # signup group vanished (its only key moved); click holds key 1 only
     assert _mv_rows(maintained) == [("click", 1, 700)]
+
+
+def test_multi_batch_chaining(feed):
+    """Composability — the streaming shape: apply delta batches one at a
+    time, each against the PREVIOUS maintained state (MV(T1) ⊕ Δ2 ⊕ Δ3 =
+    scratch(T3)).  Requires maintaining the snapshot alongside the MV,
+    exactly what the bucketed upsert sink stores."""
+    scratch = _mv_rows(current_mv(build_current(feed), "event_type"))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    cuts = [max_off // 4, max_off // 2, (3 * max_off) // 4, max_off]
+    prev = -1
+    state_feed = feed.filter(F.col("kafka_offset") <= prev)
+    mv = current_mv(build_current(state_feed), "event_type")
+    for t in cuts:
+        delta = feed.filter(
+            (F.col("kafka_offset") > prev) & (F.col("kafka_offset") <= t)
+        )
+        mv = delta_apply_mv(build_current(state_feed), mv, delta, "event_type")
+        state_feed = feed.filter(F.col("kafka_offset") <= t)
+        prev = t
+    assert _mv_rows(mv) == scratch
