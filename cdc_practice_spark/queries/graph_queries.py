@@ -110,3 +110,70 @@ def cc_adversarial_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("component").alias("n_components"),
         F.sum("component").alias("sum_component_ids"),
     ).crossJoin(sizes.agg(F.max("cnt").alias("max_component_size")))
+
+
+def _pr_iter_cte(prev: str, cur: str) -> str:
+    """One unrolled fixed-point PageRank iteration (oracle side) — the
+    EXACT integer algebra of operators/pagerank.py::pagerank_fixed
+    (DuckDB `//` and Spark `div` agree on non-negative BIGINTs)."""
+    return f"""
+{cur} AS (
+  SELECT n.node,
+         CAST(150000000 + coalesce(s.contrib, 0) AS BIGINT) AS r
+  FROM pr_nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((r.r * 85) // (100 * o.d)) AS BIGINT) AS contrib
+    FROM pr_edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN pr_outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+
+
+_PAGERANK_ORACLE = (
+    """
+WITH pr_edges AS (
+  SELECT DISTINCT l_partkey AS src,
+         CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+  FROM lineitem
+),
+pr_nodes AS (
+  SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges
+),
+pr_outdeg AS (
+  SELECT src, count(*) AS d FROM pr_edges GROUP BY src
+),
+r0 AS (
+  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM pr_nodes
+),"""
+    + ",".join(_pr_iter_cte(f"r{i}", f"r{i + 1}") for i in range(3))
+    + """
+SELECT node, r AS rank_units
+FROM r3
+ORDER BY r DESC, node
+LIMIT 20
+"""
+)
+
+
+@register("pagerank_part_supplier", oracle=_PAGERANK_ORACLE)
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/pagerank.py) on the
+    part→supplier sourcing graph from lineitem: suppliers accumulate rank
+    proportional to how many parts source through them.  3 exact
+    iterations — BIGINT 1e-9-unit arithmetic makes the result bit-equal
+    to the oracle's unrolled CTEs regardless of summation order or
+    partitioning (the float-PageRank hash-mismatch trap).  Top-20 by
+    rank with node-id tiebreak."""
+    from cdc_practice_spark.operators.pagerank import pagerank_fixed
+    from cdc_practice_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+    ).distinct()
+    pr = pagerank_fixed(edges, n_iter=3)
+    return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)

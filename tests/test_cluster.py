@@ -128,3 +128,34 @@ def test_truncated_checkpoint_keeps_stats_bounded(spark):
         cur = truncated_checkpoint(nxt)
         assert size_digits(cur) <= base_digits + 2
     assert cur.count() == 100
+
+
+def test_pagerank_fixed_hand_computed(spark):
+    """pagerank_fixed (operators/pagerank.py): exact integer algebra on a
+    hand-computed 3-node cycle+chord graph, 2 iterations."""
+    from cdc_practice_spark.operators.pagerank import pagerank_fixed
+    from cdc_practice_spark.plans.cache import release_tracked
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.rank_units for r in pagerank_fixed(edges, n_iter=2).collect()}
+    release_tracked()
+    # iter1: r = (1.0, 0.575, 1.425);  iter2 below (1e-9 units, floor div)
+    assert got == {1: 1_361_250_000, 2: 575_000_000, 3: 1_063_750_000}
+
+
+def test_pagerank_dangling_and_source_nodes(spark):
+    """A node with no in-edges settles at 0.15; a dangling node (no
+    out-edges) accumulates but leaks its own mass — the documented
+    GraphX-style convention."""
+    from cdc_practice_spark.operators.pagerank import pagerank_fixed
+    from cdc_practice_spark.plans.cache import release_tracked
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.rank_units for r in pagerank_fixed(edges, n_iter=3).collect()}
+    release_tracked()
+    # node1: no in-edges → 0.15 from iter1 onward
+    # node2: 0.15 + 0.85 * r1;  r1 = 0.15 after iter1
+    #   iter2: 0.15 + 0.85*0.15 ... iter3 same (fixed point) = 277500000
+    assert got == {1: 150_000_000, 2: 277_500_000}
