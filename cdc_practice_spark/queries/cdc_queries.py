@@ -534,12 +534,16 @@ def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails.  The midpoint is a driver-side scalar (one max() job —
     same class as the ANN query-vector collects)."""
     from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
+    from cdc_practice_spark.plans.cache import tracked_persist
 
     feed = _feed(spark, sf_dir)
     t = feed.agg(F.max("kafka_offset")).collect()[0][0] // 2
     base_feed = feed.filter(F.col("kafka_offset") <= t)
     delta_feed = feed.filter(F.col("kafka_offset") > t)
-    base_current = build_current(base_feed)
+    # base_current stands in for the STORED snapshot (two consumers: the
+    # MV materialization and the touched-key retraction lookup) — persist
+    # so the window pipeline runs once, as reading a stored table would
+    base_current = tracked_persist(build_current(base_feed))
     base_mv = current_mv(base_current, "event_type")
     maintained = delta_apply_mv(base_current, base_mv, delta_feed, "event_type")
     return maintained.select(

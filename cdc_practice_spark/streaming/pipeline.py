@@ -294,3 +294,140 @@ def stream_session_windows(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained-aggregate sink — incremental MV maintenance in the stream.
+#
+# The read-side aggregate the reference recomputes per query becomes a
+# STORED table maintained per micro-batch by the retract/insert delta
+# algebra of cdc/incremental.py: each epoch reads only the TOUCHED
+# buckets of the snapshot (the retraction lookups), applies the batch,
+# and swaps a new MV version (the MV itself is group-cardinality-sized,
+# so its full rewrite is O(groups), not O(state)).  Ordering matters:
+# the MV delta must see the snapshot as of the PREVIOUS epoch, so it is
+# computed before the snapshot buckets are merged.
+# ---------------------------------------------------------------------------
+
+
+def load_mv(spark: SparkSession, mv_root: str) -> DataFrame:
+    """Current maintained MV (group_col, n_rows, sum_cents) or empty."""
+    pointer = os.path.join(mv_root, "_MV_POINTER")
+    if not os.path.exists(pointer):
+        return spark.createDataFrame(
+            [], "event_type string, n_rows long, sum_cents long"
+        )
+    with open(pointer) as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
+def stream_maintained_mv(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_root: str,
+    mv_root: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """foreachBatch sink maintaining BOTH the bucketed snapshot (the
+    O(touched-buckets) default tier) AND a per-group (count, sum_cents)
+    MV over it — the streaming face of cdc/incremental.py, composability
+    proven by tests/test_cdc_incremental.py::test_multi_batch_chaining."""
+    from cdc_practice_spark.cdc.incremental import delta_apply_mv
+
+    os.makedirs(state_root, exist_ok=True)
+    os.makedirs(mv_root, exist_ok=True)
+    feed = change_feed_from_events(events_stream)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        touched = sorted(
+            r.b
+            for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return
+        # Crash-replay safety: the MV delta MUST retract against the
+        # snapshot as of the previous epoch.  If the job died after the
+        # state-manifest swap but before the MV pointer swap, a naive
+        # replay would read the POST-batch state and double-apply — so
+        # the pre-batch manifest is snapshotted (atomically) before the
+        # first swap and re-used verbatim on replay.
+        pre_path = os.path.join(state_root, f"_MANIFEST.pre_v{epoch_id}")
+        if os.path.exists(pre_path):
+            with open(pre_path) as fh:
+                manifest_pre = json.load(fh)
+        else:
+            manifest_pre = _read_manifest(state_root)
+            tmp = pre_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest_pre, fh)
+            os.replace(tmp, pre_path)
+        pre_paths = [
+            manifest_pre[str(b)] for b in touched if str(b) in manifest_pre
+        ]
+        base_current = (
+            spark.read.parquet(*pre_paths) if pre_paths else empty_state(spark)
+        )
+        # ... and the MV pointer gets the same pre-epoch snapshot (a crash
+        # between the MV swap and the checkpoint commit would otherwise
+        # replay against the post-batch MV).
+        mv_pre_path = os.path.join(mv_root, f"_MV_POINTER.pre_v{epoch_id}")
+        if not os.path.exists(mv_pre_path):
+            pointer = os.path.join(mv_root, "_MV_POINTER")
+            content = ""
+            if os.path.exists(pointer):
+                with open(pointer) as fh:
+                    content = fh.read().strip()
+            tmp = mv_pre_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(content)
+            os.replace(tmp, mv_pre_path)
+        with open(mv_pre_path) as fh:
+            mv_path_pre = fh.read().strip()
+        base_mv = (
+            spark.read.parquet(mv_path_pre)
+            if mv_path_pre
+            else spark.createDataFrame(
+                [], f"{group_col} string, n_rows long, sum_cents long"
+            )
+        )
+        # 1. MV delta against the PRE-batch snapshot: only touched
+        #    buckets can hold touched keys, so the retraction lookup
+        #    reads exactly the buckets the merge will rewrite anyway
+        new_mv = delta_apply_mv(base_current, base_mv, batch_df, group_col)
+        mv_out = os.path.join(mv_root, f"v{epoch_id}")
+        new_mv.write.mode("overwrite").parquet(mv_out)
+        # 2. snapshot bucket merge (same contract as the bucketed tier)
+        new_state = merge_batch(base_current, batch_df).withColumn(
+            "_bucket", _bucket_col(n_buckets)
+        )
+        out = os.path.join(state_root, f"v{epoch_id}")
+        new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        manifest = _read_manifest(state_root)
+        for b in touched:
+            bucket_dir = os.path.join(out, f"_bucket={b}")
+            if os.path.isdir(bucket_dir):
+                manifest[str(b)] = bucket_dir
+            else:
+                manifest.pop(str(b), None)
+        _swap_manifest(state_root, manifest)
+        # 3. MV pointer swap LAST — any crash point replays correctly:
+        #    the pre-epoch manifest/pointer snapshots above pin both
+        #    retraction sources to the previous epoch's state, and the
+        #    rewrites land in the same v{epoch} dirs
+        with open(os.path.join(mv_root, "_MV_POINTER.tmp"), "w") as fh:
+            fh.write(mv_out)
+        os.replace(
+            os.path.join(mv_root, "_MV_POINTER.tmp"),
+            os.path.join(mv_root, "_MV_POINTER"),
+        )
+
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -447,3 +447,97 @@ def test_state_store_reader_exposes_dedup_state(spark, sf_dir, tmp_path):
     # state keys ARE the fingerprints
     keys = {r.key.fingerprint for r in state.select("key").collect()}
     assert len(keys) == n_distinct
+
+
+def test_stream_maintained_mv_equals_batch(spark, sf_dir):
+    """The maintained-aggregate sink (stream_maintained_mv): after N
+    micro-batches, the stored MV equals the from-scratch aggregate of
+    the batch current snapshot — the streaming face of
+    cdc/incremental.py's delta algebra."""
+    from cdc_practice_spark.cdc.incremental import current_mv
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        load_mv,
+        stream_maintained_mv,
+    )
+
+    work = tempfile.mkdtemp(prefix="mvsink_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+    q = stream_maintained_mv(
+        spark,
+        read_events_stream(spark, src),
+        state_root=os.path.join(work, "state"),
+        mv_root=os.path.join(work, "mv"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n_rows, r.sum_cents)
+        for r in load_mv(spark, os.path.join(work, "mv")).collect()
+    }
+    batch_current = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    want = {
+        r.event_type: (r.n_rows, r.sum_cents)
+        for r in current_mv(batch_current, "event_type").collect()
+    }
+    assert got == want
+    # the maintained snapshot agrees with the MV it claims to summarize
+    state = load_bucketed_state(spark, os.path.join(work, "state"))
+    assert state.count() == sum(n for n, _ in got.values())
+
+
+def test_stream_maintained_mv_replay_does_not_double_apply(spark, sf_dir):
+    """The MV crash-replay hazard, forced: after the run completes, the
+    LAST epoch's checkpoint commit is deleted and the stream restarted —
+    Spark re-invokes foreachBatch with the same epoch against state that
+    already includes it.  The pre-epoch manifest/pointer snapshots must
+    make the replay a no-op; without them the retractions read post-batch
+    state and the MV double-applies."""
+    from cdc_practice_spark.cdc.incremental import current_mv
+    from cdc_practice_spark.streaming.pipeline import (
+        load_mv,
+        read_events_stream,
+        stream_maintained_mv,
+    )
+
+    work = tempfile.mkdtemp(prefix="mvreplay_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+
+    def run_once():
+        q = stream_maintained_mv(
+            spark,
+            read_events_stream(spark, src),
+            state_root=os.path.join(work, "state"),
+            mv_root=os.path.join(work, "mv"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+
+    run_once()
+    # forge the crash: last epoch applied but never committed
+    commits = sorted(os.listdir(os.path.join(work, "ckpt", "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(work, "ckpt", "commits", last))
+    crc = os.path.join(work, "ckpt", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+
+    got = {
+        r.event_type: (r.n_rows, r.sum_cents)
+        for r in load_mv(spark, os.path.join(work, "mv")).collect()
+    }
+    batch_current = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    want = {
+        r.event_type: (r.n_rows, r.sum_cents)
+        for r in current_mv(batch_current, "event_type").collect()
+    }
+    assert got == want
