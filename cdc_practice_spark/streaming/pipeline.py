@@ -219,6 +219,7 @@ def stream_current_upsert_bucketed(
             else:
                 manifest.pop(str(b), None)
         _swap_manifest(state_root, manifest)
+        _snapshot_manifest(state_root, manifest, epoch_id)  # time travel
 
     return (
         feed.writeStream.foreachBatch(apply_batch)
@@ -414,6 +415,7 @@ def stream_maintained_mv(
             else:
                 manifest.pop(str(b), None)
         _swap_manifest(state_root, manifest)
+        _snapshot_manifest(state_root, manifest, epoch_id)  # time travel
         # 3. MV pointer swap LAST — any crash point replays correctly:
         #    the pre-epoch manifest/pointer snapshots above pin both
         #    retraction sources to the previous epoch's state, and the
@@ -431,3 +433,84 @@ def stream_maintained_mv(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel + vacuum over the bucketed state — the lakehouse table
+# services the manifest design buys for free.  Every epoch's post-swap
+# manifest is retained as ``_MANIFEST.v{epoch}``; reading one gives the
+# snapshot AS OF that epoch without copying a byte (old bucket dirs are
+# immutable — an epoch only writes NEW v{epoch}/_bucket=b dirs).  Vacuum
+# deletes bucket dirs no retained manifest references, at BUCKET-dir
+# granularity: a v{N} directory can be half-live (some of its buckets
+# superseded, others still current), so whole-version deletion would
+# corrupt the table.
+# ---------------------------------------------------------------------------
+
+import shutil
+
+
+def _snapshot_manifest(state_root: str, manifest: dict[str, str], epoch_id: int) -> None:
+    path = os.path.join(state_root, f"_MANIFEST.v{epoch_id}")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, path)
+
+
+def list_state_versions(state_root: str) -> list[int]:
+    """Epochs with a retained manifest, ascending."""
+    out = []
+    for name in os.listdir(state_root):
+        if name.startswith("_MANIFEST.v") and not name.endswith(".tmp"):
+            out.append(int(name[len("_MANIFEST.v"):]))
+    return sorted(out)
+
+
+def load_bucketed_state_at(
+    spark: SparkSession, state_root: str, epoch: int
+) -> DataFrame:
+    """Snapshot AS OF ``epoch`` (time travel) — reads that epoch's
+    retained manifest; raises if it was vacuumed away."""
+    path = os.path.join(state_root, f"_MANIFEST.v{epoch}")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no retained manifest for epoch {epoch} "
+            f"(available: {list_state_versions(state_root)})"
+        )
+    with open(path) as fh:
+        manifest = json.load(fh)
+    paths = list(manifest.values())
+    if not paths:
+        return empty_state(spark)
+    return spark.read.parquet(*paths)
+
+
+def vacuum_state(state_root: str, keep_last: int = 1) -> list[str]:
+    """Delete bucket dirs unreferenced by the current manifest or the
+    last ``keep_last`` retained version manifests; drop older version
+    manifests.  Returns the deleted paths.  Run only with no writer
+    active (same contract as any lakehouse VACUUM)."""
+    versions = list_state_versions(state_root)
+    kept_versions = versions[-keep_last:] if keep_last > 0 else []
+    referenced: set[str] = set(_read_manifest(state_root).values())
+    for v in kept_versions:
+        with open(os.path.join(state_root, f"_MANIFEST.v{v}")) as fh:
+            referenced.update(json.load(fh).values())
+    referenced = {os.path.normpath(p) for p in referenced}
+    deleted: list[str] = []
+    for name in sorted(os.listdir(state_root)):
+        vdir = os.path.join(state_root, name)
+        if not (name.startswith("v") and name[1:].isdigit() and os.path.isdir(vdir)):
+            continue
+        for bname in sorted(os.listdir(vdir)):
+            bdir = os.path.normpath(os.path.join(vdir, bname))
+            if bname.startswith("_bucket=") and bdir not in referenced:
+                shutil.rmtree(bdir)
+                deleted.append(bdir)
+        if not any(n.startswith("_bucket=") for n in os.listdir(vdir)):
+            shutil.rmtree(vdir)
+    for v in versions:
+        if v not in kept_versions:
+            os.remove(os.path.join(state_root, f"_MANIFEST.v{v}"))
+    return deleted

@@ -541,3 +541,67 @@ def test_stream_maintained_mv_replay_does_not_double_apply(spark, sf_dir):
         for r in current_mv(batch_current, "event_type").collect()
     }
     assert got == want
+
+
+def test_time_travel_and_vacuum(spark, sf_dir):
+    """Retained per-epoch manifests give AS-OF reads without copying
+    data; vacuum removes only unreferenced bucket dirs (a version dir can
+    be HALF-live — deleting whole v{N} dirs would corrupt the table)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        list_state_versions,
+        load_bucketed_state,
+        load_bucketed_state_at,
+        read_events_stream,
+        stream_current_upsert,
+        vacuum_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="ttvac_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+    state_root = os.path.join(work, "state")
+    q = stream_current_upsert(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root,
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    versions = list_state_versions(state_root)
+    assert len(versions) == 3
+    # AS-OF epoch 0 == replaying only the first chunk through the batch path
+    first_file = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )[0]
+    ev0 = spark.read.parquet(os.path.join(src, first_file))
+    from cdc_practice_spark.session import _events_ts_as_ntz
+
+    ev0 = ev0.withColumn("ts", _events_ts_as_ntz(ev0))
+    want0 = {
+        r.original_id: r.value
+        for r in build_current(change_feed_from_events(ev0)).collect()
+    }
+    got0 = {
+        r.original_id: r.value
+        for r in load_bucketed_state_at(spark, state_root, versions[0]).collect()
+    }
+    assert got0 == want0
+    # vacuum keeping only the newest version: current state unchanged,
+    # old manifests gone, old-only bucket dirs deleted
+    current_before = {
+        r.original_id: r.value
+        for r in load_bucketed_state(spark, state_root).collect()
+    }
+    deleted = vacuum_state(state_root, keep_last=1)
+    assert deleted  # something old was actually reclaimed
+    current_after = {
+        r.original_id: r.value
+        for r in load_bucketed_state(spark, state_root).collect()
+    }
+    assert current_after == current_before
+    assert list_state_versions(state_root) == versions[-1:]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_bucketed_state_at(spark, state_root, versions[0])
