@@ -166,3 +166,98 @@ def test_bmp_roundtrip_randomized():
         assert np.array_equal(arr, expect)
 
     check()
+
+
+@pytest.mark.slow
+@given(feeds)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_matches_version_model(spark, rows):
+    """SCD2 (cdc/scd2.py) vs a pure-Python version model: every live
+    event opens a version; ANY next event of the key closes it; deletes
+    open nothing; the last open version per key is current."""
+    from cdc_practice_spark.cdc.scd2 import build_scd2
+
+    base = datetime(2024, 1, 1)
+    stamped = [
+        (uid, etype, value, base + timedelta(minutes=i))
+        for i, (uid, etype, value) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, ts, uid, etype, value, "{}")
+            for i, (uid, etype, value, ts) in enumerate(stamped)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    versions: list[list] = []
+    open_v: dict[int, int] = {}
+    for offset, (uid, etype, value, ts) in enumerate(stamped):
+        if uid in open_v:
+            versions[open_v[uid]][3] = ts
+            del open_v[uid]
+        if etype != "error":
+            versions.append([uid, value, ts, None, offset])
+            open_v[uid] = len(versions) - 1
+    model = {
+        v[4]: (v[0], v[1], v[2], v[3], v[3] is None) for v in versions
+    }
+    got = {
+        r.version_offset: (
+            r.original_id,
+            r.value,
+            r.valid_from,
+            r.valid_to,
+            r.is_current,
+        )
+        for r in build_scd2(change_feed_from_events(df)).collect()
+    }
+    assert got == model
+
+
+@pytest.mark.slow
+@given(feeds, st.integers(min_value=0, max_value=100))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_mv_matches_scratch_random_split(spark, rows, pct):
+    """delta_apply_mv == from-scratch recompute for ANY feed and ANY
+    split point (cdc/incremental.py delta algebra)."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
+
+    base = datetime(2024, 1, 1)
+    stamped = [
+        (uid, etype, value, base + timedelta(minutes=i))
+        for i, (uid, etype, value) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, ts, uid, etype, value, "{}")
+            for i, (uid, etype, value, ts) in enumerate(stamped)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    t = (len(stamped) * pct) // 100 - 1  # -1 → everything in the delta
+    base_feed = feed.filter(F.col("kafka_offset") <= t)
+    base_current = build_current(base_feed)
+    maintained = delta_apply_mv(
+        base_current,
+        current_mv(base_current, "event_type"),
+        feed.filter(F.col("kafka_offset") > t),
+        "event_type",
+    )
+    snap = lambda df_: sorted(  # noqa: E731
+        (r.event_type, r.n_rows, r.sum_cents)
+        for r in df_.select("event_type", "n_rows", "sum_cents").collect()
+    )
+    assert snap(maintained) == snap(current_mv(build_current(feed), "event_type"))
