@@ -12,18 +12,24 @@ negatives, and every false positive fails the actual join condition.
 
 This module builds that filter with nothing but public DataFrame API:
 
-  build (``build_bloom_words``): k bit positions per dim key via
-    ``pmod(xxhash64(key, seed_i), m)``, folded into an m-bit bitmap as
-    ``bigint`` words by one ``bit_or`` aggregation (map-side combined;
-    the exchange carries ≤ m/64 rows per task).  The bitmap is collected
-    to the driver — the same driver-sized artifact Spark's own runtime
-    filter produces, auto-capped (``max_bits``) exactly like
-    ``runtime.bloomFilter.maxNumBits``.
-  probe (``might_contain``): an all-JVM codegen'd predicate — for each
-    seed, ``getbit(element_at(words, pos/64 + 1), pos % 64)`` — ANDed
-    across seeds.  No Python in the hot path, no shuffle; Catalyst
-    places it directly above the fact scan, so only surviving rows reach
-    the join exchange.
+  build (``build_bloom_row``): k bit positions per dim key via
+    ``pmod(xxhash64(key, seed_i), m)``, folded into an m-bit bitmap by
+    one ``bit_or`` aggregation (map-side combined; the exchange carries
+    ≤ m/64 rows per task), then densified JVM-side into ONE row holding
+    an ``array<bigint>`` column.  Nothing is collected to the driver.
+  probe (``bloom_reduce_join``): the one-row bitmap broadcast-joins onto
+    the fact (a 1-row broadcast — the cheapest join Spark has), and the
+    membership predicate — ``getbit(element_at(words, pos/64 + 1),
+    pos % 64)`` ANDed over seeds — filters above the fact scan.  All
+    JVM, no Python, no shuffle added.
+
+Why a 1-row DataFrame instead of a literal array (the obvious first
+cut): ``F.lit(words)`` becomes a CreateArray with n_bits/64 literal
+children; past a few thousand elements the generated method exceeds
+JVM codegen limits and Spark silently falls back to INTERPRETED
+evaluation, which re-walks every literal child PER ROW — measured 11.5 s
+vs 0.9 s for the plain join it was meant to beat (tools/ab_bloom.py).
+As a joined column the bitmap is one buffer reference per row batch.
 
 Sizing: ``bits_per_key`` defaults to 16 (k=5 → p_fp ≈ 0.1%), mirroring
 the Bloom sidecar lesson in operators/layout.py — the filter must scale
@@ -40,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_WORDS_COL = "__bloom_words"
+
 
 def _bit_position(key: Column, seed: int, n_bits: int) -> Column:
     """Seed ``seed``'s bit position for ``key`` — the ONE definition both
@@ -47,24 +55,30 @@ def _bit_position(key: Column, seed: int, n_bits: int) -> Column:
     return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_bits))
 
 
-def build_bloom_words(
+def _size_bits(n_items: int, bits_per_key: int, max_bits: int) -> int:
+    n_bits = max(64, min(max_bits, bits_per_key * max(1, n_items)))
+    return ((n_bits + 63) // 64) * 64  # whole words
+
+
+def build_bloom_row(
     dim: DataFrame,
     dim_col: str,
     n_items: int | None = None,
     bits_per_key: int = 16,
     k: int = 5,
     max_bits: int = 1 << 22,
-) -> tuple[list[int], int]:
-    """Aggregate the dim keys into Bloom bitmap words.
+) -> tuple[DataFrame, int]:
+    """Aggregate the dim keys into a 1-row DataFrame holding the dense
+    Bloom bitmap as an ``array<bigint>`` column ``__bloom_words``.
 
-    Returns ``(words, n_bits)`` with ``words`` the bitmap as n_bits/64
-    Python ints.  Cost: one count job (skipped when ``n_items`` is
-    passed), one bit_or aggregation, one ≤ n_bits/64-row collect.
+    Cost: one count job (skipped when ``n_items`` is passed) + one
+    bit_or aggregation whose final densify runs on ≤ n_bits/64 rows.
+    The bitmap never touches the driver.
     """
     if n_items is None:
         n_items = dim.select(dim_col).count()
-    n_bits = max(64, min(max_bits, bits_per_key * max(1, n_items)))
-    n_bits = ((n_bits + 63) // 64) * 64  # whole words
+    n_bits = _size_bits(n_items, bits_per_key, max_bits)
+    n_words = n_bits // 64
     key = F.col("__key")
     per_seed = [
         F.struct(
@@ -76,30 +90,43 @@ def build_bloom_words(
         )
         for s in range(k)
     ]
-    agg = (
+    sparse = (
         dim.select(F.col(dim_col).alias("__key"))
         .filter(key.isNotNull())
         .select(F.explode(F.array(*per_seed)).alias("pb"))
         .groupBy(F.col("pb.word_idx").alias("word_idx"))
         .agg(F.bit_or(F.col("pb.mask")).alias("word"))
-        .collect()
     )
-    words = [0] * (n_bits // 64)
-    for r in agg:
-        words[r.word_idx] = r.word
-    return words, n_bits
+    # densify via a full slot range + ordered collect — NOT element_at
+    # over a map (ArrayBasedMapData lookup is a linear scan; n_words
+    # lookups × n_words entries was an O(words²) single-row stage,
+    # measured 16 s at 12.5k words)
+    slots = dim.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("word_idx")
+    )
+    words_row = (
+        slots.join(sparse, on="word_idx", how="left")
+        .select("word_idx", F.coalesce("word", F.lit(0)).alias("word"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(word_idx, word))), "
+                "s -> s.word)"
+            ).alias(_WORDS_COL)
+        )
+    )
+    return words_row, n_bits
 
 
 def might_contain(
-    col: Column | str, words: list[int], n_bits: int, k: int = 5
+    col: Column | str, words: Column | str, n_bits: int, k: int = 5
 ) -> Column:
-    """Codegen'd Bloom membership predicate over a literal word array.
-
-    NULL keys yield NULL, which a filter drops — correct for the
-    inner/semi joins this reduces (NULL never equi-joins).
-    """
+    """Codegen'd Bloom membership predicate; ``words`` is the bitmap
+    ``array<bigint>`` COLUMN (attach via the 1-row broadcast join —
+    see bloom_reduce_join).  NULL keys yield NULL, which a filter drops
+    — correct for the inner/semi joins this reduces (NULL never
+    equi-joins)."""
     key = F.col(col) if isinstance(col, str) else col
-    arr = F.lit(words)
+    arr = F.col(words) if isinstance(words, str) else words
     pred: Column | None = None
     for seed in range(k):
         pos = _bit_position(key, seed, n_bits)
@@ -127,7 +154,7 @@ def bloom_reduce_join(
     (no false negatives; the join removes false positives) — only the
     fact rows reaching the join exchange change.
     """
-    words, n_bits = build_bloom_words(
+    words_row, n_bits = build_bloom_row(
         dim,
         dim_col,
         n_items=n_items,
@@ -135,5 +162,9 @@ def bloom_reduce_join(
         k=k,
         max_bits=max_bits,
     )
-    reduced = fact.filter(might_contain(fact_col, words, n_bits, k=k))
+    reduced = (
+        fact.join(F.broadcast(words_row))  # 1-row broadcast: bitmap as a column
+        .filter(might_contain(fact_col, _WORDS_COL, n_bits, k=k))
+        .drop(_WORDS_COL)
+    )
     return reduced.join(dim, reduced[fact_col] == dim[dim_col], how)

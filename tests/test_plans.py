@@ -199,7 +199,7 @@ def test_bloom_reduce_join_filters_before_exchange(spark, sf_dir):
     fact rows to ~|matches| + fpp."""
     from cdc_practice_spark.plans.runtime_filter import (
         bloom_reduce_join,
-        build_bloom_words,
+        build_bloom_row,
         might_contain,
     )
     from cdc_practice_spark.session import load_table
@@ -211,10 +211,12 @@ def test_bloom_reduce_join_filters_before_exchange(spark, sf_dir):
         .select("c_custkey")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    words, n_bits = build_bloom_words(dim, "c_custkey")
-    # the probe predicate is pure codegen: getbit/element_at over a
-    # literal array — no BatchEvalPython / ArrowEvalPython anywhere
-    probe = orders.filter(might_contain("o_custkey", words, n_bits))
+    words_row, n_bits = build_bloom_row(dim, "c_custkey")
+    # the probe predicate is pure codegen: getbit/element_at over the
+    # 1-row-broadcast bitmap column — no BatchEvalPython / ArrowEvalPython
+    probe = orders.join(F.broadcast(words_row)).filter(
+        might_contain("o_custkey", "__bloom_words", n_bits)
+    )
     plan = plan_string(probe, "extended")
     assert "Python" not in plan and "getbit" in plan
     n_fact = orders.count()
