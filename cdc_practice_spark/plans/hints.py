@@ -27,6 +27,19 @@ DEFAULT_BROADCAST_MAX_ROWS = 1_000_000
 _STATS_CACHE: dict[object, int] = {}
 
 
+def cached_count(df: DataFrame, cache_key: object | None = None) -> int:
+    """Runtime row count, memoized under ``cache_key`` — the table-stats
+    cache a catalog with ANALYZE stats provides (without a key the count
+    re-runs per invocation).  Shared by every size-driven decision:
+    broadcast gating, Bloom-filter sizing."""
+    if cache_key is not None and cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
+    n = df.count()
+    if cache_key is not None:
+        _STATS_CACHE[cache_key] = n
+    return n
+
+
 def broadcast_if_small(
     df: DataFrame,
     max_rows: int = DEFAULT_BROADCAST_MAX_ROWS,
@@ -34,18 +47,8 @@ def broadcast_if_small(
 ) -> DataFrame:
     """Apply ``F.broadcast(df)`` only when a runtime count says the side
     actually fits: rows <= max_rows.  Returns df unhinted otherwise, so
-    Catalyst/AQE pick the join strategy from their own estimates.
-
-    ``cache_key``: memoize the count under this key (a table-stats cache
-    — exactly what a catalog with ANALYZE stats provides; without it the
-    count re-runs per invocation)."""
-    if cache_key is not None and cache_key in _STATS_CACHE:
-        n = _STATS_CACHE[cache_key]
-    else:
-        n = df.count()
-        if cache_key is not None:
-            _STATS_CACHE[cache_key] = n
-    if n <= max_rows:
+    Catalyst/AQE pick the join strategy from their own estimates."""
+    if cached_count(df, cache_key) <= max_rows:
         return F.broadcast(df)
     return df
 

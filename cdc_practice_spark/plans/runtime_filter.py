@@ -67,16 +67,21 @@ def build_bloom_row(
     bits_per_key: int = 16,
     k: int = 5,
     max_bits: int = 1 << 22,
+    cache_key: object | None = None,
 ) -> tuple[DataFrame, int]:
     """Aggregate the dim keys into a 1-row DataFrame holding the dense
     Bloom bitmap as an ``array<bigint>`` column ``__bloom_words``.
 
-    Cost: one count job (skipped when ``n_items`` is passed) + one
+    Cost: one count job for sizing (skipped when ``n_items`` is passed;
+    memoized under ``cache_key`` via the shared table-stats cache —
+    Spark's own runtime filter sizes from plan stats the same way) + one
     bit_or aggregation whose final densify runs on ≤ n_bits/64 rows.
     The bitmap never touches the driver.
     """
     if n_items is None:
-        n_items = dim.select(dim_col).count()
+        from cdc_practice_spark.plans.hints import cached_count
+
+        n_items = cached_count(dim.select(dim_col), cache_key)
     n_bits = _size_bits(n_items, bits_per_key, max_bits)
     n_words = n_bits // 64
     key = F.col("__key")
@@ -147,6 +152,7 @@ def bloom_reduce_join(
     k: int = 5,
     max_bits: int = 1 << 22,
     n_items: int | None = None,
+    cache_key: object | None = None,
 ) -> DataFrame:
     """Join with the fact side pre-reduced by a Bloom filter on dim keys.
 
@@ -161,6 +167,7 @@ def bloom_reduce_join(
         bits_per_key=bits_per_key,
         k=k,
         max_bits=max_bits,
+        cache_key=cache_key,
     )
     reduced = (
         fact.join(F.broadcast(words_row))  # 1-row broadcast: bitmap as a column

@@ -343,7 +343,13 @@ def runtime_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
-    joined = bloom_reduce_join(orders, dim, "o_custkey", "c_custkey")
+    joined = bloom_reduce_join(
+        orders,
+        dim,
+        "o_custkey",
+        "c_custkey",
+        cache_key=("bloom_dim_rows", sf_dir, "customer:BUILDING"),
+    )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         M.sum_fixed_as_double(M.fixed("o_totalprice"), 2).alias("sum_price"),
