@@ -605,3 +605,69 @@ def test_time_travel_and_vacuum(spark, sf_dir):
 
     with _pytest.raises(FileNotFoundError):
         load_bucketed_state_at(spark, state_root, versions[0])
+
+
+def test_stream_scd2_append_equals_batch(spark, sf_dir):
+    """Streaming SCD2 sink (streaming/scd2_sink.py): after N micro-
+    batches of close-and-append, the last-copy-wins read equals the
+    batch builder over the full feed; compaction preserves it; a forged
+    replay of the last epoch is a no-op."""
+    from cdc_practice_spark.cdc.scd2 import build_scd2
+    from cdc_practice_spark.streaming.scd2_sink import (
+        compact_scd2,
+        read_scd2,
+        stream_scd2_append,
+    )
+
+    work = tempfile.mkdtemp(prefix="scd2sink_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+    out_root = os.path.join(work, "dim")
+    ckpt = os.path.join(work, "ckpt")
+
+    def run_once():
+        q = stream_scd2_append(
+            spark, read_events_stream(spark, src), out_root, ckpt
+        )
+        q.awaitTermination()
+
+    run_once()
+
+    def snap(df):
+        return sorted(
+            (
+                r.version_offset,
+                r.original_id,
+                r.value,
+                r.valid_from,
+                r.valid_to,
+                r.is_current,
+            )
+            for r in df.collect()
+        )
+
+    want = snap(
+        build_scd2(change_feed_from_events(load_table(spark, sf_dir, "events")))
+    )
+    assert snap(read_scd2(spark, out_root)) == want
+
+    # forged crash-replay of the last epoch: delete its commit, rerun
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    assert snap(read_scd2(spark, out_root)) == want
+
+    # compact: one epoch dir, same view, no dead copies
+    compact_scd2(spark, out_root, epoch=99)
+    dirs = [n for n in os.listdir(out_root) if n.startswith("e")]
+    assert dirs == ["e99"]
+    assert snap(read_scd2(spark, out_root)) == want
+    assert spark.read.parquet(os.path.join(out_root, "e99")).count() == len(want)
