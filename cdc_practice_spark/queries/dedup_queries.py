@@ -385,3 +385,227 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_span_stats(docs, n=8, hashed=False).orderBy("doc_id")
+
+
+@register(
+    "dataset_split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, hs,
+         {{minhash_cols}}
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, unnest({{band_list}}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx
+  FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN hs sa ON sa.doc_id = cands.doc_a
+  JOIN hs sb ON sb.doc_id = cands.doc_b
+  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+),
+bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+),
+clusters AS (
+  SELECT d.doc_id,
+         coalesce(least(d.doc_id, m.min_reach), d.doc_id) AS cluster_rep
+  FROM documents d
+  LEFT JOIN (SELECT src, min(dst) AS min_reach FROM reach GROUP BY src) m
+         ON m.src = d.doc_id
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN CAST('0x' || substring(
+                md5(CAST(cluster_rep AS VARCHAR) || ':split'), 1, 15)
+              AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'val' END AS split
+  FROM clusters
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS leaky FROM (
+    SELECT cluster_rep FROM tagged
+    GROUP BY cluster_rep HAVING count(DISTINCT split) > 1)
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+       (SELECT leaky FROM leak) AS leaky_clusters
+FROM tagged
+GROUP BY split
+""".format(minhash_cols="__MINHASH__", band_list="__BANDS__")
+    .replace("__MINHASH__", _minhash_cols_sql())
+    .replace("__BANDS__", _band_list_sql()),
+)
+def dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: membership hashes the near-dup
+    CLUSTER representative, not the document id — every member of a
+    near-duplicate cluster lands in the same split, so no test example
+    has a training near-duplicate (the contamination the plain
+    ``dataset_train_val_split`` cannot rule out).  ``leaky_clusters``
+    (clusters spanning both splits) is emitted as a checked invariant —
+    it must be 0 by construction, and the oracle recomputes it
+    independently.  Scale: one LSH+CC pass (already the dedup path) + a
+    pure projection; the split adds NO extra shuffle over dedup."""
+    from cdc_practice_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    clustered = dedup_clusters(docs, pairs)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster_rep").cast("string"), F.lit(":split"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    tagged = clustered.withColumn(
+        "split", F.when(bucket < 90, "train").otherwise("val")
+    )
+    leaky = tagged.groupBy("cluster_rep").agg(
+        F.countDistinct("split").alias("ns")
+    ).filter(F.col("ns") > 1).agg(F.count(F.lit(1)).alias("leaky_clusters"))
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_rep").alias("n_clusters"),
+        )
+        .crossJoin(leaky)
+    )
+
+
+def _clusters_cte_prefix() -> str:
+    """Shared oracle prefix: shingles → minhash → LSH bands → verified
+    pairs → recursive closure → per-doc cluster_rep (the independent
+    algorithm agreeing with the engine's CC output)."""
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, hs,
+         {_minhash_cols_sql()}
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, unnest({_band_list_sql()}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx
+  FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN hs sa ON sa.doc_id = cands.doc_a
+  JOIN hs sb ON sb.doc_id = cands.doc_b
+  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+),
+bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+),
+clusters AS (
+  SELECT d.doc_id,
+         coalesce(least(d.doc_id, m.min_reach), d.doc_id) AS cluster_rep
+  FROM documents d
+  LEFT JOIN (SELECT src, min(dst) AS min_reach FROM reach GROUP BY src) m
+         ON m.src = d.doc_id
+)
+"""
+
+
+# quality_score SQL — identical formula to functions/text.py::quality_score
+# (and the corpus_quality_filter oracle in text_queries.py)
+def _quality_sql() -> str:
+    from cdc_practice_spark.queries.text_queries import _STOP_SQL, _TOKS
+
+    return f"""round((least(length(text) / 500.0, 1.0)
+       + least(round(CAST(len(list_filter({_TOKS}, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1), 6) * 4, 1.0)
+       + 1.0 - least(round(CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                  - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                                          '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+            / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1), 6) * 4, 1.0)) / 3,
+      6)"""
+
+
+_KEEP_BEST_ORACLE = (
+    _clusters_cte_prefix()
+    + """,
+scored AS (
+  SELECT doc_id, {q} AS quality_score FROM documents
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_rep, s.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY s.quality_score DESC, c.doc_id) AS rn
+  FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_rep, quality_score
+FROM ranked WHERE rn = 1
+""".format(q=_quality_sql())
+)
+
+
+@register("dedup_keep_best_quality", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup keeping the HIGHEST-QUALITY member per cluster
+    (quality ties → lower doc_id) instead of the arbitrary min-id rep —
+    what a curation pipeline actually wants: dropping duplicates must
+    not drop the best-written copy.  Composition: LSH+CC clusters
+    (the existing dedup path) ⋈ the quality projection, then one
+    row_number window per cluster — no extra pass over raw text beyond
+    the scoring projection."""
+    from cdc_practice_spark.functions import text as T
+    from cdc_practice_spark.operators.cluster import dedup_clusters
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    clustered = dedup_clusters(docs, pairs).select("doc_id", "cluster_rep")
+    scored = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality_score")
+    )
+    joined = clustered.join(scored, on="doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "cluster_rep", "quality_score")
+    )
