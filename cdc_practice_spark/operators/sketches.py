@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,80 @@ def misra_gries_candidates(
         counters = {i: w - cut for i, w in counters.items() if w > cut}
     n = df.filter(F.col(col).isNotNull()).count()
     return sorted(counters), n
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — point-frequency estimates in O(d·w) memory.
+#
+# Misra-Gries answers "which items are heavy"; Count-Min answers "how
+# often does THIS item occur" for any item, with est >= true (never
+# under) and est <= true + e/w·n with prob 1-(1/2)^d.  The whole sketch
+# is d·w counters (e.g. 4×256 longs = 8 KB for any input size) — built
+# here as ONE exploded aggregation, no Python, no driver collect: the
+# sketch stays a (seed, bucket, c) DataFrame small enough to broadcast
+# into the estimate join.
+#
+# Hash: md5-derived (the repo's cross-engine-portable hash family) so
+# the DuckDB oracle reproduces the sketch bit-for-bit; a production
+# deployment swaps in xxhash64 (same shape, one function call) — the
+# guarantee depends only on pairwise independence, not the hash family.
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(col: Column, seed: int, width: int) -> Column:
+    """Portable bucket hash — mirrored verbatim in oracle SQL."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(f":cm{seed}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % width).cast("int")
+
+
+def count_min_build(df: DataFrame, col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """The sketch as a (seed, bucket, c) DataFrame (≤ depth·width rows)."""
+    c = F.col(col)
+    rows = df.filter(c.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _cm_bucket(c, s, width).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("sb")
+    )
+    return rows.groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, probe_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point estimates: min over the d rows' bucket counters.  The
+    sketch side broadcasts (d·w rows); probes keep their partitioning."""
+    p = probes.select(F.col(probe_col)).distinct()
+    pb = p.select(
+        probe_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _cm_bucket(F.col(probe_col), s, width).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("sb"),
+    ).select(probe_col, F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+    joined = pb.join(F.broadcast(sketch), on=["seed", "bucket"], how="left")
+    return joined.groupBy(probe_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_freq")
+    )

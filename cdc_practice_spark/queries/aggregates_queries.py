@@ -234,3 +234,71 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_within_rank_eps"
         ),
     )
+
+
+@register(
+    "countmin_user_freq",
+    oracle="""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+cm AS (
+  SELECT seed,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':cm' || CAST(seed AS VARCHAR)), 1, 15)
+              AS BIGINT) % 256 AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+probes AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9]) AS user_id),
+pb AS (
+  SELECT p.user_id, s.seed,
+         CAST(CAST('0x' || substring(md5(CAST(p.user_id AS VARCHAR) || ':cm' || CAST(s.seed AS VARCHAR)), 1, 15)
+              AS BIGINT) % 256 AS INTEGER) AS bucket
+  FROM probes p CROSS JOIN seeds s
+),
+est AS (
+  SELECT pb.user_id, CAST(min(coalesce(cm.c, 0)) AS BIGINT) AS est_freq
+  FROM pb LEFT JOIN cm ON cm.seed = pb.seed AND cm.bucket = pb.bucket
+  GROUP BY pb.user_id
+),
+tru AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_freq
+  FROM ev GROUP BY user_id
+)
+SELECT e.user_id,
+       coalesce(t.true_freq, 0) AS true_freq,
+       e.est_freq,
+       e.est_freq >= coalesce(t.true_freq, 0) AS never_underestimates
+FROM est e LEFT JOIN tru t ON t.user_id = e.user_id
+""",
+)
+def countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (operators/sketches.py):
+    a 4×256-counter sketch built by ONE exploded aggregation (8 KB for
+    ANY input size — the constant-memory answer to 'how often does this
+    key occur' that exact needs a full-key shuffle for), probed for ten
+    fixed user ids against exact counts.  ``never_underestimates`` is
+    the CM one-sided guarantee as a checked decision; both engines build
+    the identical sketch (md5-portable hash), so estimates hash-compare
+    exactly."""
+    from cdc_practice_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sketch = count_min_build(ev, "user_id", depth=4, width=256)
+    probes = spark.range(10).select(F.col("id").alias("user_id"))
+    est = count_min_estimate(sketch, probes, "user_id", depth=4, width=256)
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_freq"))
+    return (
+        est.join(tru, on="user_id", how="left")
+        .select(
+            "user_id",
+            F.coalesce("true_freq", F.lit(0)).alias("true_freq"),
+            "est_freq",
+            (F.col("est_freq") >= F.coalesce("true_freq", F.lit(0))).alias(
+                "never_underestimates"
+            ),
+        )
+    )
