@@ -138,3 +138,115 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+WITH u1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+  GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM u1) AS n_signup,
+       (SELECT count(*) FROM u2) AS n_signup_click,
+       (SELECT count(*) FROM u3) AS n_full_funnel,
+       (SELECT CAST(coalesce(sum(u3.t3 - u1.t1), 0) AS BIGINT)
+        FROM u3 JOIN u1 ON u3.user_id = u1.user_id) AS total_conversion_us
+""",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup → click → purchase, each stage
+    STRICTLY after the previous stage's first completion): the canonical
+    product-analytics query.  Three user-keyed aggregations — every
+    groupBy/join shuffles on the SAME key, so the plan repartitions once
+    and reuses it; stage frames shrink monotonically (u2 ⊆ u1 keys)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    u1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, on="user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, on="user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    conv = u3.join(u1, on="user_id").agg(
+        F.coalesce(F.sum(F.col("t3") - F.col("t1")), F.lit(0)).alias(
+            "total_conversion_us"
+        )
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(u1.agg(F.count(F.lit(1)).alias("n_signup")))
+        .crossJoin(u2.agg(F.count(F.lit(1)).alias("n_signup_click")))
+        .crossJoin(u3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        .crossJoin(conv)
+    )
+
+
+@register(
+    "event_retention_cohorts",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+  FROM events
+),
+firsts AS (
+  SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id
+)
+SELECT f.cohort_week,
+       a.week - f.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active epoch-week,
+    counted in every later week they return — the other canonical
+    product-analytics shape.  Two user-keyed aggregations sharing one
+    exchange; the (cohort, offset) matrix is weeks², never data-sized.
+    (active is DISTINCT per (user, week), so count(*) == distinct
+    users.)"""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        # integer `div`, NOT double `/` + cast: a double quotient landing
+        # within 1 ulp of an integer boundary truncates differently than
+        # the oracle's exact `//` — the data-dependent mismatch class
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000").alias("week"),
+    ).distinct()
+    firsts = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(firsts, on="user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
