@@ -98,3 +98,49 @@ def test_minhash_arrow_parity_random_text(spark, txts):
         for r in D.with_minhash_arrow(docs).collect()
     }
     assert arw == jvm
+
+
+@pytest.mark.slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(lambda es: sorted({(a, b) for a, b in es if a != b}))
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_matches_integer_model(spark, edges):
+    """pagerank_fixed vs a pure-Python replay of the exact integer
+    algebra — bit-equality required on arbitrary digraphs (the whole
+    point of the fixed-point design)."""
+    from cdc_practice_spark.operators.pagerank import (
+        BASE_UNITS,
+        INIT_UNITS,
+        pagerank_fixed,
+    )
+    from cdc_practice_spark.plans.cache import release_tracked
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_units for r in pagerank_fixed(df, n_iter=3).collect()}
+    release_tracked()
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: INIT_UNITS for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += (r[s] * 85) // (100 * outdeg[s])
+        r = {n: BASE_UNITS + contrib[n] for n in nodes}
+    assert got == r
