@@ -293,6 +293,9 @@ def decode_images(assets: DataFrame) -> DataFrame:
                 # CRC-checked and bit-exact, so the result can't vary
                 # with whatever PIL build happens to be installed
                 return decode_png_numpy(b)
+            if b[:6] in GIF_SIGNATURES:
+                # same policy for GIF: the in-repo LZW kernel
+                return decode_gif_numpy(b)
             if Image is not None:
                 import io
 
@@ -867,4 +870,241 @@ def sample_frames(assets: DataFrame, every_n: int = 30) -> DataFrame:
     return (
         assets.filter(F.col("modality") == "video")
         .select("asset_id", "n_frames", F.explode(frames).alias("frame_idx"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed codec #2: GIF87a with a full LZW coder pair.
+# PNG proved DEFLATE; GIF proves a dictionary coder — variable-width
+# codes (9→12 bits, LSB-first bit packing), in-lockstep dictionary
+# growth on both sides, CLEAR resets at 4096 entries, sub-block framing.
+# The synthesized images are palette-indexed with pixel(x, y) =
+# (asset_id + 7x + 13y) % 256 over a grayscale palette, so the oracle
+# recomputes every decoded value without touching the binary.  Fixture
+# images are tiny (width stays 9 bits); the width-bump and CLEAR-reset
+# paths are exercised by a large round-trip unit test instead
+# (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+def lzw_encode_gif(indices, min_code: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the dictionary per
+    mismatch, bumps code width when the next assignable code crosses the
+    current width, resets at 4096.  LSB-first bit packing."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << min_code)}, end + 1, min_code + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    buf = bytes([indices[0]])
+    for k in indices[1:]:
+        cand = buf + bytes([k])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # decoder bumps after ITS add, which lags the encoder's by one
+        # code — so the encoder must widen one entry early (+1)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        buf = bytes([k])
+    emit(table[buf], width)
+    emit(end, width)
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def lzw_decode_gif(data: bytes, min_code: int = 8) -> bytes:
+    """Inverse of lzw_encode_gif — the classic streaming LZW decode with
+    the KwKwK special case."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    pos = 0
+
+    table: list[bytes] = []
+    width = min_code + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no END code)")
+            acc |= data[pos] << nacc
+            nacc += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code after CLEAR must be a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def synth_gif(asset_id: int, width: int, height: int) -> bytes:
+    """A valid GIF87a whose palette index at (x, y) is
+    ``(asset_id + 7x + 13y) % 256`` over the grayscale palette
+    palette[i] = (i, i, i) — so decoded RGB mean == mean index, and the
+    oracle recomputes it from the formula."""
+    import numpy as np
+
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    idx = ((asset_id + 7 * xs + 13 * ys) % 256).astype(np.uint8).reshape(-1)
+    palette = bytes(bytearray(i for i in range(256) for _ in range(3)))
+    lzw = lzw_encode_gif(idx.tobytes())
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF87a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes((0xF7, 0, 0))  # global table, 8-bit color, 256 entries
+        + palette
+        + b"\x2c"  # image descriptor
+        + (0).to_bytes(2, "little") * 2
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"  # no local table, not interlaced
+        + bytes([8])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x3b"  # trailer
+    )
+
+
+def decode_gif_numpy(data: bytes):
+    """Real GIF decode with the stdlib + numpy only: header walk,
+    global/local palettes, extension skip, sub-block reassembly, full
+    LZW decode.  Returns (width, height, ndarray[h, w, 3] RGB).
+    Supports the non-interlaced single-frame profile it synthesizes."""
+    import numpy as np
+
+    if data[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = np.frombuffer(data, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if iflags & 0x80:
+                size = 2 << (iflags & 0x07)
+                palette = np.frombuffer(data, np.uint8, size * 3, pos).reshape(
+                    -1, 3
+                )
+                pos += size * 3
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = np.frombuffer(
+                lzw_decode_gif(bytes(lzw), min_code), dtype=np.uint8
+            )
+            if len(idx) != w * h:
+                raise ValueError("GIF pixel count mismatch")
+            return sw, sh, palette[idx.reshape(h, w)]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def synth_gif_assets(docs: DataFrame) -> DataFrame:
+    """One small GIF per document (width = id%7+2, height = id%4+2 —
+    distinct from both the BMP and PNG dims)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            w = (ids % 7 + 2).astype("int32")
+            h = (ids % 4 + 2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": w,
+                    "height": h,
+                    "content": [
+                        synth_gif(int(i), int(wi), int(hi))
+                        for i, wi, hi in zip(ids, w, h)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="asset_id long, width int, height int, content binary"
     )

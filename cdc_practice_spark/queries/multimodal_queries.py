@@ -298,3 +298,41 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_pixel", 6).alias("mean_pixel"),
     )
+
+
+@register(
+    "multimodal_image_decode_gif",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 7 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS height
+  FROM documents
+),
+grid AS (
+  SELECT x.g AS x, y.g AS y
+  FROM (SELECT unnest(generate_series(0, 8)) AS g) x,
+       (SELECT unnest(generate_series(0, 5)) AS g) y
+)
+SELECT d.asset_id, d.width, d.height,
+       round(avg((d.asset_id + 7 * g.x + 13 * g.y) % 256), 6) AS mean_pixel
+FROM dims d
+JOIN grid g ON g.x < d.width AND g.y < d.height
+GROUP BY d.asset_id, d.width, d.height
+""",
+)
+def multimodal_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed codec #2 under the oracle gate: valid GIF87a in
+    (palette-indexed, genuine LZW streams), decoded pixels out via the
+    in-repo variable-width LZW kernel (operators/multimodal.py:
+    decode_gif_numpy — sub-block reassembly, dictionary growth, KwKwK).
+    The grayscale palette makes mean RGB == mean index, which the oracle
+    recomputes from the synthesis formula — any bit-packing, width-bump,
+    or dictionary drift fails the hash."""
+    from cdc_practice_spark.operators.multimodal import synth_gif_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_images(synth_gif_assets(docs))
+    return decoded.select(
+        "asset_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
+    )

@@ -245,3 +245,32 @@ def test_decode_video_per_frame_rows(spark, sf_dir):
         assert r.height == r.asset_id % 4 + 2
     for aid, idxs in by_asset.items():
         assert sorted(idxs) == list(range(aid % 5 + 1))  # every frame, once
+
+
+def test_gif_lzw_roundtrip_exercises_width_bumps():
+    """The fixture GIFs are tiny (9-bit codes only); this pins the
+    deep-dictionary paths: width bumps 9→10→11→12, the 4096 CLEAR
+    reset, and the KwKwK special case, on both random (incompressible)
+    and structured (20× compressible) streams."""
+    import numpy as np
+
+    from cdc_practice_spark.operators.multimodal import (
+        decode_gif_numpy,
+        lzw_decode_gif,
+        lzw_encode_gif,
+        synth_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 256, size=120_000).astype(np.uint8)
+    assert lzw_decode_gif(lzw_encode_gif(idx.tobytes())) == idx.tobytes()
+    rep = np.tile(np.arange(64, dtype=np.uint8), 3000)
+    enc = lzw_encode_gif(rep.tobytes())
+    assert lzw_decode_gif(enc) == rep.tobytes()
+    assert len(enc) * 10 < len(rep)  # actually compresses
+    # full-container pixel exactness
+    data = synth_gif(42, 8, 5)
+    w, h, arr = decode_gif_numpy(data)
+    ys, xs = np.meshgrid(np.arange(5), np.arange(8), indexing="ij")
+    expect = ((42 + 7 * xs + 13 * ys) % 256).astype(np.uint8)
+    assert (w, h) == (8, 5) and (arr == expect[..., None]).all()
