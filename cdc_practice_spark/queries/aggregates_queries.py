@@ -302,3 +302,51 @@ def countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "stats_regression_suite",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(regr_slope(value, (epoch_us(ts) - 1704067200000000) / 1000000.0)
+             AS DOUBLE), 6) AS slope_per_s,
+       round(CAST(regr_intercept(value, (epoch_us(ts) - 1704067200000000) / 1000000.0)
+             AS DOUBLE), 4) AS intercept,
+       round(CAST(corr(value, user_id) AS DOUBLE), 6) AS corr_value_user,
+       round(CAST(covar_samp(value, user_id) AS DOUBLE), 4) AS covar_value_user,
+       round(CAST(stddev_samp(value) AS DOUBLE), 6) AS sd_value,
+       -- DuckDB skewness is SAMPLE-corrected; Spark's is population —
+       -- convert: g1 = G1 * (n-2) / sqrt(n*(n-1))
+       round(CAST(skewness(value) * (count(*) - 2)
+                  / sqrt(count(*) * (count(*) - 1.0)) AS DOUBLE), 6)
+         AS skew_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stats_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: per-group OLS trend (regr_slope /
+    regr_intercept — the model-per-group pattern, closed-form so it
+    stays a single JVM partial-aggregatable pass, no ML library, no
+    Python), correlation, sample covariance, stddev, skewness.  All are
+    algebraic aggregates: partials combine associatively, so the plan is
+    one map-side-combined exchange regardless of group skew — the same
+    scale shape as sum/count.  Rounded to 6/4 dp so cross-engine float
+    summation-order noise stays below the hash granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    # x centered on 2024-01-01: raw epoch seconds (~1.7e9) put the
+    # intercept extrapolation 10 orders of magnitude from the data —
+    # catastrophic cancellation made two engines disagree at 4 dp
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)
+    ) / F.lit(1000000.0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_s"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.corr("value", "user_id"), 6).alias("corr_value_user"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_value_user"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.skewness("value"), 6).alias("skew_value"),
+    )
