@@ -292,3 +292,88 @@ def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminate.  Identical SQL runs on both engines."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
     return spark.sql(ORACLES["recursive_cte_order_chains"].replace("FROM orders", "FROM orders_rc"))
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_r AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE)
+           AS o_totalprice_r
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_custkey < 100
+"""
+
+
+@register("lateral_top_orders_per_customer", oracle=_LATERAL_SQL)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 orders per customer), verbatim
+    SQL on both engines.  Catalyst decorrelates the per-row LIMIT into a
+    DomainJoin + window — NOT a per-customer rescan of orders — so the
+    plan is one key-partitioned join + rank filter at any scale; DuckDB
+    plans its own lateral unnesting.  Two engines, two decorrelation
+    strategies, one answer."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       count(*) = count(DISTINCT o_orderkey) AS pk_unique,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_custkey,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_fk_orphans,
+       bool_and(o_totalprice > 0) AS totalprice_positive,
+       bool_and(o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31')
+         AS orderdate_in_range,
+       bool_and(o_orderstatus IN ('O', 'F', 'P')) AS status_in_domain
+FROM orders
+""",
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the dbt-test / Great-Expectations
+    surface): primary-key uniqueness, null rate, referential integrity
+    (anti-join orphan count), domain and range invariants — each a
+    single boolean/count so violations are oracle-detectable.  Shape:
+    one pass over the fact (all checks fold into one aggregate) + one
+    broadcast anti join for the FK probe; at 100 TB this is the same
+    scan the ingest job already pays, so expectations ride along free."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_fk_orphans"))
+    )
+    checks = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) == F.countDistinct("o_orderkey")).alias("pk_unique"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_custkey"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("totalprice_positive"),
+        F.bool_and(
+            F.col("o_orderdate").between("1992-01-01", "1998-12-31")
+        ).alias("orderdate_in_range"),
+        F.bool_and(F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "status_in_domain"
+        ),
+    )
+    return checks.crossJoin(orphans).select(
+        "n_rows",
+        "pk_unique",
+        "n_null_custkey",
+        "n_fk_orphans",
+        "totalprice_positive",
+        "orderdate_in_range",
+        "status_in_domain",
+    )
