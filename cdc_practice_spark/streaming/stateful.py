@@ -10,9 +10,9 @@ timestamp — i.e. an incrementally-maintained ``user_account_stats``
 
 State is a GroupState holding one tuple per key — O(keys) memory across
 the cluster, partitioned by the group key, checkpointed with the query.
-Timeouts are left off (the CDC state never expires); a TTL'd variant
-would pass GroupStateTimeout.ProcessingTimeTimeout and call
-``state.setTimeoutDuration``.
+``running_user_state`` runs without timeouts (CDC state never expires);
+``session_close_on_timeout`` below is the EXPIRING tier —
+EventTimeTimeout-driven session closure with state removal.
 """
 
 from __future__ import annotations
@@ -87,4 +87,112 @@ def running_user_state(feed: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time-timeout sessionization — the state-EXPIRY tier.
+#
+# running_user_state never expires (CDC state is permanent); a session
+# aggregator is the canonical operator that MUST expire: a user's
+# session closes when the event-time watermark passes last_event + gap,
+# at which point the state is freed and the closed session emitted.
+# This exercises GroupStateTimeout.EventTimeTimeout — the mechanism that
+# bounds arbitrary-state memory at 100 TB (without it, every key ever
+# seen holds state forever).
+#
+# Determinism note: timed-out groups emit when a LATER micro-batch's
+# watermark passes their timeout — availableNow runs a final no-data
+# batch for exactly this cleanup, and the batch-equivalence test pins
+# the semantics (streaming sessions == batch gap-sessionization for all
+# sessions the final watermark can close).
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n_events long"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+
+
+def _session_with_timeout(gap_us: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start_us": start_us,
+                        "session_end_us": end_us,
+                        "n_events": n,
+                    }
+                ]
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts_us")
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        out = []
+        for ts in rows["ts_us"].astype("int64"):
+            if start_us is None:
+                start_us, end_us, n = int(ts), int(ts), 1
+            elif ts - end_us <= gap_us:
+                end_us, n = int(ts), n + 1
+            else:  # gap exceeded WITHIN the data: close and restart
+                out.append((start_us, end_us, n))
+                start_us, end_us, n = int(ts), int(ts), 1
+        state.update((start_us, end_us, n))
+        # expire when the watermark passes the open session's end + gap
+        state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start_us": s,
+                        "session_end_us": e,
+                        "n_events": c,
+                    }
+                    for s, e, c in out
+                ]
+            )
+
+    return update
+
+
+def session_close_on_timeout(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME state expiry: closed
+    sessions emit either when a later event of the same user exceeds the
+    gap (in-data closure) or when the watermark passes the open
+    session's end + gap (timeout closure — state removed).  Gap parsed
+    as minutes/seconds; emitted bounds are epoch-µs."""
+    from pyspark.sql import functions as F
+
+    n, unit = gap.split()
+    gap_us = int(n) * (60_000_000 if unit.startswith("minute") else 1_000_000)
+    prepared = (
+        events.withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id"),
+            F.unix_micros(F.col("event_time")).alias("ts_us"),
+            "event_time",
+        )
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_with_timeout(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
