@@ -89,19 +89,83 @@ def _capture_files(path: str) -> list[str]:
 
 
 class DebeziumJsonlReader(DataSourceReader):
+    """Batch reader with FILTER PUSHDOWN (Spark 4 ``pushFilters``):
+
+    - ``kafka_partition`` equality/In → FILE pruning: a capture file IS
+      a partition, so the predicate selects files before any IO (the
+      Python-DataSource analogue of parquet partition pruning);
+    - ``kafka_offset`` ranges → LINE-RANGE pruning: the offset is the
+      line number, so a lower bound skips lines cheaply and an upper
+      bound STOPS the scan (replay-window reads don't touch the tail).
+
+    Accepted filters are fully enforced here (the pushFilters contract:
+    Spark removes them from the post-scan Filter); everything else is
+    returned unsupported and evaluated by Spark as usual.
+    """
+
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("debezium_jsonl requires a path")
         self.topic = options.get("topic", DEFAULT_TOPIC)
+        self._parts_keep: set[int] | None = None  # None = all files
+        self._off_lo = 0
+        self._off_hi: int | None = None
+
+    def pushFilters(self, filters):  # type: ignore[override]
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = ".".join(getattr(f, "attribute", ()) or ())
+            if attr == "kafka_partition" and isinstance(f, EqualTo):
+                keep = {int(f.value)}
+                self._parts_keep = (
+                    keep if self._parts_keep is None else self._parts_keep & keep
+                )
+            elif attr == "kafka_partition" and isinstance(f, In):
+                keep = {int(v) for v in f.value}
+                self._parts_keep = (
+                    keep if self._parts_keep is None else self._parts_keep & keep
+                )
+            elif attr == "kafka_offset" and isinstance(f, EqualTo):
+                v = int(f.value)
+                self._off_lo = max(self._off_lo, v)
+                self._off_hi = v if self._off_hi is None else min(self._off_hi, v)
+            elif attr == "kafka_offset" and isinstance(f, GreaterThan):
+                self._off_lo = max(self._off_lo, int(f.value) + 1)
+            elif attr == "kafka_offset" and isinstance(f, GreaterThanOrEqual):
+                self._off_lo = max(self._off_lo, int(f.value))
+            elif attr == "kafka_offset" and isinstance(f, LessThan):
+                v = int(f.value) - 1
+                self._off_hi = v if self._off_hi is None else min(self._off_hi, v)
+            elif attr == "kafka_offset" and isinstance(f, LessThanOrEqual):
+                v = int(f.value)
+                self._off_hi = v if self._off_hi is None else min(self._off_hi, v)
+            else:
+                yield f  # unsupported — Spark evaluates it post-scan
 
     def partitions(self) -> Sequence[_FilePartition]:
         files = _capture_files(self.path)
-        return [_FilePartition(p, i) for i, p in enumerate(files)]
+        return [
+            _FilePartition(p, i)
+            for i, p in enumerate(files)
+            if self._parts_keep is None or i in self._parts_keep
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         with open(partition.path, encoding="utf-8") as fh:
             for offset, line in enumerate(fh):
+                if offset < self._off_lo:
+                    continue
+                if self._off_hi is not None and offset > self._off_hi:
+                    break  # upper bound: stop the scan, don't read the tail
                 line = line.strip()
                 if not line or line == "null":  # tombstone (P1)
                     continue
@@ -294,5 +358,8 @@ def register(spark) -> bool:
     DataSource API is unavailable (pre-4.0)."""
     if not _HAVE_PYDS:
         return False
+    # the reader implements pushFilters(); Spark refuses to plan it
+    # unless Python-source pushdown is explicitly enabled
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DebeziumJsonlDataSource)
     return True

@@ -322,3 +322,64 @@ def test_python_datasource_writer_commit_contract(spark, tmp_path):
     manifest = _json.loads(open(_os.path.join(out, "_SUCCESS")).read())
     assert len(remaining) == 1 and set(manifest["files"]) == remaining
     assert read_ids() == [3]
+
+
+def test_python_datasource_filter_pushdown(spark, tmp_path):
+    """pushFilters: kafka_partition predicates prune FILES before IO,
+    kafka_offset ranges prune LINES (lower bound skips, upper bound
+    stops the scan) — and the pushed results equal the unpushed
+    semantics exactly (the pushFilters contract: accepted filters are
+    fully enforced by the reader)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from cdc_practice_spark.sources.pyds import (
+        DebeziumJsonlReader,
+        register as register_pyds,
+    )
+
+    assert register_pyds(spark)
+    cap = tmp_path / "cap"
+    cap.mkdir()
+    for p in range(3):
+        rows = [
+            _json.dumps(
+                {"id": p * 10 + i, "user_id": p, "account": f"a{p}{i}",
+                 "registered_at": "2024-01-01 00:00:00", "__deleted": "false"}
+            )
+            for i in range(5)
+        ]
+        (cap / f"part-{p:03d}.jsonl").write_text("\n".join(rows) + "\n")
+
+    # unit tier: the reader object itself prunes
+    r = DebeziumJsonlReader({"path": str(cap)})
+    unsupported = list(
+        r.pushFilters(
+            [
+                EqualTo(("kafka_partition",), 1),
+                GreaterThanOrEqual(("kafka_offset",), 1),
+                LessThan(("kafka_offset",), 4),
+                EqualTo(("account",), "a11"),  # not pushable
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in unsupported] == ["EqualTo"]
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].partition_id == 1  # file pruning
+    offsets = [row[2] for row in r.read(parts[0])]
+    assert offsets == [1, 2, 3]  # line-range pruning, upper bound stops
+
+    # end-to-end tier: pushed plan == semantics of the same filters
+    df = spark.read.format("debezium_jsonl").option("path", str(cap)).load()
+    got = sorted(
+        (row.kafka_partition, row.kafka_offset, row.id)
+        for row in df.filter(
+            (F.col("kafka_partition") == 1)
+            & (F.col("kafka_offset") >= 1)
+            & (F.col("kafka_offset") < 4)
+            & (F.col("account") != "a11")
+        ).collect()
+    )
+    assert got == [(1, 2, 12), (1, 3, 13)]
