@@ -57,17 +57,28 @@ def read_scd2(spark: SparkSession, out_root: str) -> DataFrame:
 
 def compact_scd2(spark: SparkSession, out_root: str, epoch: int) -> None:
     """Merge-on-read → copy-on-write: rewrite the log as one epoch
-    directory holding only the winning copies.  Run with no writer
-    active."""
+    directory holding only the winning copies.  ``epoch`` must exceed
+    every existing epoch.  Run with no writer active.
+
+    Crash-safe ordering: write tmp → PUBLISH (rename to e{epoch}) →
+    delete superseded dirs.  A crash before the publish leaves the old
+    log intact (the ``_compact_*`` tmp is invisible to readers); a crash
+    after it leaves old + new coexisting, which last-copy-wins reads
+    resolve to the new epoch — deleting old dirs FIRST would make the
+    window between delete and rename a data-loss hole."""
+    existing = [
+        n for n in os.listdir(out_root) if n.startswith("e") and n[1:].isdigit()
+    ]
+    if any(int(n[1:]) >= epoch for n in existing):
+        raise ValueError(f"compact epoch {epoch} must exceed existing {existing}")
     winners = read_scd2(spark, out_root).withColumn("_epoch", F.lit(epoch))
     tmp = os.path.join(out_root, f"_compact_e{epoch}")
     winners.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(out_root, f"e{epoch}"))  # publish
     import shutil
 
-    for name in list(os.listdir(out_root)):
-        if name.startswith("e") and name[1:].isdigit():
-            shutil.rmtree(os.path.join(out_root, name))
-    os.rename(tmp, os.path.join(out_root, f"e{epoch}"))
+    for name in existing:
+        shutil.rmtree(os.path.join(out_root, name))
 
 
 def stream_scd2_append(
