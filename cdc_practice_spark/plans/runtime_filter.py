@@ -127,9 +127,10 @@ def might_contain(
 ) -> Column:
     """Codegen'd Bloom membership predicate; ``words`` is the bitmap
     ``array<bigint>`` COLUMN (attach via the 1-row broadcast join —
-    see bloom_reduce_join).  NULL keys yield NULL, which a filter drops
-    — correct for the inner/semi joins this reduces (NULL never
-    equi-joins)."""
+    see bloom_reduce_join).  NULL keys: xxhash64 skips null inputs, so
+    the probe evaluates on the seed alone — the row may pass or fail
+    the filter, and the real join eliminates it either way (NULL never
+    equi-joins) — correct for the inner/semi joins this reduces."""
     key = F.col(col) if isinstance(col, str) else col
     arr = F.col(words) if isinstance(words, str) else words
     pred: Column | None = None
@@ -159,7 +160,16 @@ def bloom_reduce_join(
     Row-for-row identical to ``fact.join(dim, fact_col == dim_col, how)``
     (no false negatives; the join removes false positives) — only the
     fact rows reaching the join exchange change.
+
+    Only inner/semi joins are reducible: an outer join must KEEP
+    non-matching fact rows, so pre-filtering the fact side would change
+    its result — rejected loudly rather than silently wrong.
     """
+    if how.replace("_", "").lower() not in ("inner", "semi", "leftsemi", "cross"):
+        raise ValueError(
+            f"bloom_reduce_join cannot reduce a {how!r} join: outer joins "
+            "must keep non-matching fact rows"
+        )
     words_row, n_bits = build_bloom_row(
         dim,
         dim_col,
