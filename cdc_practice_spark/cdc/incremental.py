@@ -112,3 +112,98 @@ def delta_apply_mv(
         .filter(F.col("n_rows") > 0)
     )
     return combined
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN view maintenance — the bilinear delta rule.
+#
+# The aggregate MV above is linear (deltas add).  A JOIN view
+# V = A ⋈ B is BILINEAR: given signed deltas ΔA, ΔB (retract old row,
+# insert new row, weight ±1),
+#
+#     ΔV = ΔA ⋈ B_old  +  A_old ⋈ ΔB  +  ΔA ⋈ ΔB
+#
+# (the DBSP / differential-dataflow product rule; the cross term is what
+# naive "join the changes to the other side's NEW state" silently
+# double-counts).  Each term joins a DELTA against a bounded side, so
+# per-batch cost is O(|ΔA|·matchB + |ΔB|·matchA + |ΔA⋈ΔB|) — never a
+# recompute of A ⋈ B.  The maintained view is a multiset: rows carry a
+# count, retractions subtract, and rows at count 0 vanish; equality
+# with from-scratch recomputation at every split point is asserted in
+# tests/test_cdc_incremental.py.
+# ---------------------------------------------------------------------------
+
+
+def signed_delta_current(
+    base_current: DataFrame,
+    delta_feed: DataFrame,
+    cols: list[str],
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> DataFrame:
+    """Signed delta of a CURRENT-state table under a change batch:
+    -1 for the touched keys' old rows (if present), +1 for their new
+    live rows.  Output: ``cols`` + ``w`` (±1)."""
+    w = Window.partitionBy(key)
+    latest = (
+        delta_feed.withColumn("_mx", F.max(order).over(w))
+        .filter(F.col(order) == F.col("_mx"))
+    )
+    touched = latest.select(key).distinct()
+    retract = (
+        base_current.join(touched, on=key, how="left_semi")
+        .select(*cols, F.lit(-1).alias("w"))
+    )
+    insert = (
+        latest.filter(F.col("__deleted") == "false")
+        .select(*cols, F.lit(1).alias("w"))
+    )
+    return retract.unionByName(insert)
+
+
+def delta_apply_join_view(
+    view: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    da: DataFrame,
+    db: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Maintain the multiset join view V = A ⋈ B (equi-join on ``on``)
+    through signed deltas of both sides.
+
+    ``view`` rows: joined columns + ``cnt``; ``a_old``/``b_old`` the
+    pre-batch states (each with weight 1 implied); ``da``/``db`` signed
+    deltas (… + ``w``).  Returns the new view (rows with cnt > 0).
+    """
+    a1 = a_old.withColumn("w", F.lit(1))
+    b1 = b_old.withColumn("w", F.lit(1))
+
+    def term(left: DataFrame, right: DataFrame) -> DataFrame:
+        lw = left.withColumnRenamed("w", "_wl")
+        rw = right.withColumnRenamed("w", "_wr")
+        return lw.join(rw, on=on).select(
+            *[c for c in lw.columns if c != "_wl"],
+            *[c for c in rw.columns if c not in ("_wr", on)],
+            (F.col("_wl") * F.col("_wr")).alias("dw"),
+        )
+
+    delta_v = (
+        term(da, b1)
+        .unionByName(term(a1, db))
+        .unionByName(term(da, db))
+    )
+    group_cols = [c for c in delta_v.columns if c != "dw"]
+    delta_agg = delta_v.groupBy(*group_cols).agg(F.sum("dw").alias("dw"))
+    merged = (
+        view.join(delta_agg, on=group_cols, how="full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("dw"), F.lit(0))
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    return merged

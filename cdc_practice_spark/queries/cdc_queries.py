@@ -564,3 +564,121 @@ def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "cdc_incremental_join_view",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+),
+a_cur AS (
+  SELECT original_id AS user_id, original_id % 20 AS bucket,
+         CAST(round(CAST(value AS DECIMAL(12,2)), 2) AS DOUBLE) AS value_a
+  FROM ranked WHERE rn = 1 AND __deleted = 'false'
+),
+b_ranked AS (
+  SELECT original_id % 20 AS bucket,
+         CAST(round(CAST(value AS DECIMAL(12,2)), 2) AS DOUBLE) AS value_b,
+         row_number() OVER (PARTITION BY original_id % 20
+                            ORDER BY kafka_offset DESC) AS rn
+  FROM feed WHERE event_type = 'purchase'
+),
+b_cur AS (SELECT bucket, value_b FROM b_ranked WHERE rn = 1)
+SELECT a.bucket, a.user_id, a.value_a, b.value_b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM a_cur a JOIN b_cur b ON a.bucket = b.bucket
+GROUP BY 1, 2, 3, 4
+""",
+)
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view (cdc/incremental.py, the DBSP
+    bilinear product rule ΔV = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB): A = the user
+    current-state table, B = last-purchase-per-bucket (bucket =
+    user % 20), V = A ⋈ B on bucket as a counted multiset.  The view is
+    materialized at the feed's midpoint and maintained through the
+    second half with SIGNED deltas on BOTH sides — the oracle recomputes
+    A_final ⋈ B_final from scratch, so a missing cross term or an
+    unretracted old row hash-fails."""
+    from cdc_practice_spark.cdc.incremental import (
+        delta_apply_join_view,
+        signed_delta_current,
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    feed = _feed(spark, sf_dir)
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+
+    def val(c: str) -> F.Column:
+        return F.round(F.col(c).cast("decimal(12,2)"), 2).cast("double")
+
+    def a_frames(f: DataFrame) -> DataFrame:
+        cur = build_current(f)
+        return cur.select(
+            F.col("original_id"),
+            (F.col("original_id") % 20).alias("bucket"),
+            F.col("original_id").alias("user_id"),
+            val("value").alias("value_a"),
+        )
+
+    feed_b = feed.filter(F.col("event_type") == "purchase").select(
+        "kafka_offset",
+        (F.col("original_id") % 20).alias("bucket"),
+        val("value").alias("value_b"),
+        "__deleted",  # always 'false' for purchases — B never deletes
+    )
+
+    def b_current(fb: DataFrame) -> DataFrame:
+        w = Window.partitionBy("bucket")
+        return (
+            fb.withColumn("_mx", F.max("kafka_offset").over(w))
+            .filter(F.col("kafka_offset") == F.col("_mx"))
+            .select("bucket", "value_b")
+        )
+
+    base_feed = feed.filter(F.col("kafka_offset") <= t)
+    a_old = tracked_persist(a_frames(base_feed))
+    b_old = tracked_persist(b_current(feed_b.filter(F.col("kafka_offset") <= t)))
+    view_old = (
+        a_old.drop("original_id")
+        .join(b_old, on="bucket")
+        .groupBy("bucket", "user_id", "value_a", "value_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # signed deltas of both sides from the second half of the feed
+    da = signed_delta_current(
+        a_old.withColumnRenamed("original_id", "_k"),
+        feed.filter(F.col("kafka_offset") > t)
+        .withColumnRenamed("original_id", "_k")
+        .withColumn("bucket", F.col("_k") % 20)
+        .withColumn("user_id", F.col("_k"))
+        .withColumn("value_a", val("value")),
+        cols=["bucket", "user_id", "value_a"],
+        key="_k",
+    )
+    db = signed_delta_current(
+        b_old.withColumn("_k", F.col("bucket")),
+        feed_b.filter(F.col("kafka_offset") > t).withColumn(
+            "_k", F.col("bucket")
+        ),
+        cols=["bucket", "value_b"],
+        key="_k",
+    )
+    maintained = delta_apply_join_view(
+        view_old,
+        a_old.drop("original_id"),
+        b_old,
+        da,
+        db,
+        on="bucket",
+    )
+    return maintained.select(
+        "bucket", "user_id", "value_a", "value_b", F.col("cnt").cast("long").alias("cnt")
+    )

@@ -94,3 +94,101 @@ def test_multi_batch_chaining(feed):
         state_feed = feed.filter(F.col("kafka_offset") <= t)
         prev = t
     assert _mv_rows(mv) == scratch
+
+
+def test_join_view_delta_equals_scratch_at_any_split(spark, sf_dir):
+    """Bilinear join-view maintenance: ΔA⋈B + A⋈ΔB + ΔA⋈ΔB applied to
+    the materialized view equals the from-scratch A_final ⋈ B_final at
+    every split point (missing cross term or unretracted rows diverge)."""
+    from cdc_practice_spark.cdc.incremental import (
+        delta_apply_join_view,
+        signed_delta_current,
+    )
+    from cdc_practice_spark.queries.registry import QUERIES, load_all
+
+    load_all()
+    scratch = None
+    max_off = (
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+        .agg(F.max("kafka_offset"))
+        .collect()[0][0]
+    )
+    # drive through the registered query for the half split, and the raw
+    # operators for the degenerate splits
+    from cdc_practice_spark.cdc import build_current
+
+    feed = change_feed_from_events(load_table(spark, sf_dir, "events"))
+
+    def val(c):
+        return F.round(F.col(c).cast("decimal(12,2)"), 2).cast("double")
+
+    def a_state(f):
+        return build_current(f).select(
+            F.col("original_id").alias("_k"),
+            (F.col("original_id") % 20).alias("bucket"),
+            F.col("original_id").alias("user_id"),
+            val("value").alias("value_a"),
+        )
+
+    feed_b = feed.filter(F.col("event_type") == "purchase").select(
+        "kafka_offset",
+        (F.col("original_id") % 20).alias("bucket"),
+        val("value").alias("value_b"),
+        "__deleted",
+    )
+
+    def b_state(fb):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        return (
+            fb.withColumn("_mx", F.max("kafka_offset").over(w))
+            .filter(F.col("kafka_offset") == F.col("_mx"))
+            .select("bucket", "value_b")
+        )
+
+    def snap(df):
+        return sorted(
+            (r.bucket, r.user_id, r.value_a, r.value_b, r.cnt)
+            for r in df.collect()
+        )
+
+    a_fin = a_state(feed).drop("_k")
+    b_fin = b_state(feed_b)
+    scratch = snap(
+        a_fin.join(b_fin, on="bucket")
+        .groupBy("bucket", "user_id", "value_a", "value_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    for t in (-1, max_off // 3, max_off):
+        a_old = a_state(feed.filter(F.col("kafka_offset") <= t))
+        b_old = b_state(feed_b.filter(F.col("kafka_offset") <= t))
+        view_old = (
+            a_old.drop("_k")
+            .join(b_old, on="bucket")
+            .groupBy("bucket", "user_id", "value_a", "value_b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        da = signed_delta_current(
+            a_old,
+            feed.filter(F.col("kafka_offset") > t)
+            .withColumnRenamed("original_id", "_k")
+            .withColumn("bucket", F.col("_k") % 20)
+            .withColumn("user_id", F.col("_k"))
+            .withColumn("value_a", val("value")),
+            cols=["bucket", "user_id", "value_a"],
+            key="_k",
+        )
+        db = signed_delta_current(
+            b_old.withColumn("_k", F.col("bucket")),
+            feed_b.filter(F.col("kafka_offset") > t).withColumn(
+                "_k", F.col("bucket")
+            ),
+            cols=["bucket", "value_b"],
+            key="_k",
+        )
+        maintained = delta_apply_join_view(
+            view_old, a_old.drop("_k"), b_old, da, db, on="bucket"
+        )
+        assert snap(maintained) == scratch, f"split {t} diverged"
