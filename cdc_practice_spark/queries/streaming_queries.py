@@ -301,3 +301,85 @@ def streaming_interval_join_attribution(spark: SparkSession, sf_dir: str) -> Dat
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@register("streaming_maintained_mv_replay", oracle=None)
+def streaming_maintained_mv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-aggregate sink (streaming/pipeline.py::
+    stream_maintained_mv) replayed over 3 micro-batches: per-epoch
+    retract/insert delta maintenance over the bucketed snapshot must
+    land on the same per-group aggregate the batch pipeline computes —
+    same oracle as cdc_incremental_mv (assigned below)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_mv,
+        read_events_stream,
+        stream_maintained_mv,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="mv_replay_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=3)
+    q = stream_maintained_mv(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root=os.path.join(work, "state"),
+        mv_root=os.path.join(work, "mv"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    mv = load_mv(spark, os.path.join(work, "mv"))
+    return mv.select(
+        "event_type",
+        "n_rows",
+        F.round(
+            F.col("sum_cents").cast("decimal(38,0)")
+            / F.lit(100).cast("decimal(19,0)"),
+            2,
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+ORACLES["streaming_maintained_mv_replay"] = ORACLES["cdc_incremental_mv"]
+
+
+@register("streaming_scd2_replay", oracle=None)
+def streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-only streaming SCD2 sink (streaming/scd2_sink.py)
+    replayed over 3 micro-batches: close-and-append + last-copy-wins
+    read must equal the batch type-2 builder — same oracle as
+    cdc_scd2_dimension (assigned below)."""
+    from cdc_practice_spark.streaming.scd2_sink import (
+        read_scd2,
+        stream_scd2_append,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="scd2_replay_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=3)
+    q = stream_scd2_append(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        out_root=os.path.join(work, "dim"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    dim = read_scd2(spark, os.path.join(work, "dim"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return dim.select(
+        "original_id",
+        "value",
+        "event_type",
+        us("valid_from").alias("valid_from_us"),
+        us("valid_to").alias("valid_to_us"),
+        "is_current",
+        "version_offset",
+    )
+
+
+ORACLES["streaming_scd2_replay"] = ORACLES["cdc_scd2_dimension"]
