@@ -336,3 +336,41 @@ def multimodal_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "asset_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
     )
+
+
+@register(
+    "multimodal_audio_spectral",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id, CAST(doc_id % 480 + 20 AS INTEGER) AS n
+  FROM documents
+),
+e AS (
+  SELECT d.asset_id, d.n,
+         CAST(sum(power((d.asset_id * 31 + i.g * 17) % 65536 - 32768, 2))
+              AS BIGINT) AS energy_time
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, 499)) AS g) i ON i.g < d.n
+  GROUP BY d.asset_id, d.n
+)
+SELECT asset_id, n AS n_samples, energy_time,
+       CAST(n // 2 + 1 AS INTEGER) AS n_bins,
+       TRUE AS parseval_ok
+FROM e
+""",
+)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION beyond decode: numpy rFFT spectral
+    energy per asset (operators/multimodal.py::spectral_features).  The
+    FFT is not SQL-expressible, but the PARSEVAL IDENTITY is the
+    checkable contract: time-domain energy (exact integer, recomputed by
+    the oracle from the synthesis formula) must equal folded spectral
+    energy / N — emitted as a boolean both engines agree on.  Arrow-
+    batched mapInPandas; payload column pruned for every other query."""
+    from cdc_practice_spark.operators.multimodal import (
+        spectral_features,
+        synth_audio_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spectral_features(synth_audio_assets(docs))
