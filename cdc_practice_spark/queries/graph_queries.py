@@ -158,6 +158,66 @@ LIMIT 20
 )
 
 
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH el AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM el e1
+  JOIN el e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN el e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, count(*) AS cnt
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+  GROUP BY node
+),
+tot AS (SELECT count(*) AS n FROM tri)
+SELECT CAST(p.node AS BIGINT) AS node,
+       CAST(p.cnt AS BIGINT) AS tri_cnt,
+       CAST(t.n AS BIGINT) AS total_triangles
+FROM per_node p CROSS JOIN tot t
+ORDER BY p.cnt DESC, p.node
+LIMIT 10
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/triangles.py, degree orientation)
+    over the parts-bought-together graph: an undirected edge links two
+    parts that co-occur in an order.  Returns the 10 most triangle-dense
+    parts plus the corpus triangle total — the clustering-coefficient
+    numerator.  The oracle counts the same triangles by the naive
+    id-ordered 3-way join (exact, independent algorithm); the engine
+    side uses the oriented form whose wedge join is skew-proof at scale
+    (O(√m) out-degree bound — module docstring)."""
+    from cdc_practice_spark.operators.triangles import triangle_counts
+    from cdc_practice_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("doc_b")), "l_orderkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    per_node = triangle_counts(pairs)
+    total = per_node.agg((F.sum("tri_cnt") / 3).cast("long").alias("total_triangles"))
+    return (
+        per_node.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("tri_cnt").cast("long").alias("tri_cnt"),
+        )
+        .crossJoin(total)
+        .orderBy(F.col("tri_cnt").desc(), "node")
+        .limit(10)
+    )
+
+
 @register("pagerank_part_supplier", oracle=_PAGERANK_ORACLE)
 def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (operators/pagerank.py) on the
