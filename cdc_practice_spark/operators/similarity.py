@@ -341,3 +341,57 @@ def batch_topk_mapinpandas(
         pandas_batch_scorer(query_matrix),
         schema="vec_id long, best_query int, best_cosine double",
     )
+
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Bottom-k vectors per cell by cosine to their own cell centroid —
+    embedding-space curation: the vectors farthest from their cluster
+    center are the mislabel / noise / contamination candidates a
+    training pipeline reviews or drops.
+
+    Shape: one groupBy(cell) centroid aggregate (k×dim partials,
+    map-side combined), one BROADCAST join of the ncells-row centroid
+    table back onto the corpus (never a shuffle of the vectors), one
+    codegen'd cosine projection, and a bottom-k window whose rank filter
+    Spark pushes to a partial WindowGroupLimit below the cell exchange —
+    so a billion-vector cell ships k rows per map partition, not a full
+    sort.  Cosine is rounded to 6 decimals before ranking (id tiebreak)
+    so the order is engine- and partitioning-deterministic.
+    """
+    from pyspark.sql import Window
+
+    dvec = to_double(F.col(vec_col))
+    cent = (
+        embeddings.select(F.col(cell_col).alias("cell"), dvec.alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.array(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]).alias(
+                "centroid"
+            )
+        )
+    )
+    scored = (
+        embeddings.join(
+            F.broadcast(cent), F.col(cell_col) == F.col("cell"), "inner"
+        )
+        .select(
+            F.col(cell_col),
+            F.col(id_col),
+            F.round(cosine(dvec, F.col("centroid")), 6).alias("cos_centroid"),
+        )
+    )
+    w = Window.partitionBy(cell_col).orderBy(F.col("cos_centroid"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            cell_col, id_col, "cos_centroid", F.col("rnk").cast("long").alias("rnk")
+        )
+    )

@@ -373,3 +373,36 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("long").alias("k"),
         (F.col("n_overlap") >= 5).alias("recall_ok"),
     )
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, {_CENTROID_SQL} AS centroid
+  FROM embeddings GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         {_COS_SQL.format(a='e.embedding', b='centroid')} AS cos_centroid
+  FROM embeddings e JOIN cent USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, cos_centroid,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_centroid, vec_id) AS rnk
+  FROM scored
+)
+SELECT label, vec_id, cos_centroid, CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= 5
+""",
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: the 5 vectors per label
+    farthest (lowest cosine) from their label centroid — the mislabel /
+    noise / contamination review queue of an embedding-curated corpus.
+    One centroid aggregate + broadcast join-back + partial-pushed
+    bottom-k window (operators/similarity.py::centroid_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_outliers(emb, k=5)

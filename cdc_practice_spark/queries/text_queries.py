@@ -21,6 +21,17 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 # shared oracle fragment: whitespace tokens of lowercased text
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
+# shared oracle fragment: the functions/text.py::quality_score formula,
+# digit-for-digit (length term + stopword term + inverse-punct term) / 3
+_QUALITY_SQL = f"""round((least(length(text) / 500.0, 1.0)
+                + least(round(CAST(len(list_filter({_TOKS}, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+                              / greatest(len({_TOKS}), 1), 6) * 4, 1.0)
+                + 1.0 - least(round(CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                           - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                                                   '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1), 6) * 4, 1.0)) / 3,
+               6)"""
+
 
 @register(
     "text_token_stats",
@@ -235,15 +246,7 @@ def vocab_df_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_quality_filter",
     oracle=f"""
 WITH scored AS (
-  SELECT doc_id, lang,
-         round((least(length(text) / 500.0, 1.0)
-                + least(round(CAST(len(list_filter({_TOKS}, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
-                              / greatest(len({_TOKS}), 1), 6) * 4, 1.0)
-                + 1.0 - least(round(CAST(length(regexp_replace(text, '\\s', '', 'g'))
-                           - length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
-                                                   '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
-                     / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1), 6) * 4, 1.0)) / 3,
-               6) AS quality_score
+  SELECT doc_id, lang, {_QUALITY_SQL} AS quality_score
   FROM documents
 ),
 thr AS (SELECT round(quantile_cont(quality_score, 0.25), 6) AS q25 FROM scored)
@@ -480,4 +483,49 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.alias("n_phones"),
         n_ips.alias("n_ips"),
         F.md5(T.redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+@register(
+    "corpus_cap_per_source",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, source, quality_score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= 10
+""",
+)
+def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the Common-Crawl-style 'no domain may
+    dominate the corpus' curation rule: keep only the top-10
+    highest-quality documents per source (ties broken by doc_id).
+
+    One quality projection + one window ranked on (source).  The scale
+    property is Spark's WindowGroupLimit pushdown (3.5+): the
+    ``rnk <= k`` filter becomes a per-partition partial top-k BEFORE the
+    source-key exchange, so a source with a billion documents ships only
+    k rows per map partition — the window never materializes a
+    full-source sort.  tests/test_plans.py pins the pushdown."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "source", "quality_score", F.col("rnk").cast("long").alias("rnk"))
     )

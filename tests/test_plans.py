@@ -235,3 +235,30 @@ def test_bloom_reduce_join_filters_before_exchange(spark, sf_dir):
         for r in orders.join(dim, orders.o_custkey == dim.c_custkey).collect()
     )
     assert got == want
+
+
+def test_cap_per_source_pushes_partial_window_group_limit(spark, sf_dir):
+    """corpus_cap_per_source's rnk<=10 filter must become a PARTIAL
+    WindowGroupLimit BELOW the source-key exchange — each map partition
+    ships at most k rows per source, so a billion-doc source never
+    materializes a full sort (the top-k-per-group scale property)."""
+    plan = plan_of(spark, sf_dir, "corpus_cap_per_source")
+    m = re.search(
+        r"WindowGroupLimit .*?row_number\(\), 10, Partial", plan
+    )
+    assert m, "partial WindowGroupLimit missing"
+    # the Partial group-limit must appear AFTER (i.e. below) the exchange
+    # in the printed tree: Exchange line precedes it
+    exch = plan.index("Exchange hashpartitioning(source")
+    assert m.start() > exch
+
+
+def test_triangle_wedge_join_has_no_cartesian(spark, sf_dir):
+    """graph_triangle_count: the wedge self-join and closing join must
+    both be key-equi joins — a cartesian/nested-loop here is the naive
+    all-pairs plan the degree orientation exists to avoid."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoin allowed is the final 1-row
+    # total_triangles crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

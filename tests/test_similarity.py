@@ -173,3 +173,50 @@ def test_pq_rerank_scores_are_exact_cosine(emb, qvec):
     }
     for vid, cos in got.items():
         assert cos == exact[vid]
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    # 3 tight vectors near e1 + one near-orthogonal outlier per label:
+    # the outlier must rank first (lowest cosine to the centroid)
+    import math
+
+    rows = []
+    for label in (0, 1):
+        base = [0.0] * 8
+        base[label] = 1.0
+        for i in range(3):
+            v = list(base)
+            v[7] = 0.01 * i
+            rows.append((label * 10 + i, v, label))
+        out = [0.0] * 8
+        out[6 - label] = 1.0  # orthogonal direction
+        rows.append((label * 10 + 9, out, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    from cdc_practice_spark.operators.similarity import centroid_outliers
+
+    got = centroid_outliers(emb, k=1, dim=8).collect()
+    assert {(r.label, r.vec_id, r.rnk) for r in got} == {(0, 9, 1), (1, 19, 1)}
+    for r in got:
+        assert r.cos_centroid < 0.5  # far from centroid, not a tie artifact
+
+
+def test_centroid_outliers_rank_is_partition_stable(spark):
+    # same data, different partitioning → identical output (round-6 +
+    # id tiebreak determinism claim)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(60)
+    ]
+    emb1 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    emb2 = emb1.repartition(13)
+    from cdc_practice_spark.operators.similarity import centroid_outliers
+
+    a = sorted(map(tuple, centroid_outliers(emb1, k=4, dim=8).collect()))
+    b = sorted(map(tuple, centroid_outliers(emb2, k=4, dim=8).collect()))
+    assert a == b
