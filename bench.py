@@ -65,6 +65,10 @@ HEADLINE = [
     # computation, so exclude it from engine-vs-engine ratio readings
     # (see BENCHNOTES; tools/ab_cc.py has the real A/B).
     "cc_adversarial_graph",
+    # second graph headline: unlike cc_adversarial_graph, its DuckDB
+    # twin RUNS the triangle computation (naive 3-way join), so this is
+    # a true engine-vs-engine entry — oriented wedge join vs naive.
+    "graph_triangle_count",
 ]
 
 

@@ -92,7 +92,12 @@ def oriented_edges(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
     )
 
 
-def triangles(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+def triangles(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    stats_key: object | None = None,
+) -> DataFrame:
     """All triangles as one row ``(x, y, z)`` each, x < y < z by node id.
 
     Exactly-once emission: the wedge pivot is the triangle's lowest-
@@ -121,7 +126,18 @@ def triangles(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> D
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("a1") < F.col("a2")))
     )
-    closing = o.select(F.col("src").alias("a1"), F.col("dst").alias("a2"))
+    # The closing probe is edge-sized (m rows, two fixed-width columns);
+    # the wedge stream is the O(m^1.5)-bounded side.  When the edge set
+    # fits the broadcast budget, broadcasting it avoids shuffling every
+    # wedge for the pair-key join — the runtime gate self-disables at
+    # edge counts where the broadcast would not fit (then both sides
+    # shuffle on the pair key, the honest 100 TB plan).
+    from cdc_practice_spark.plans.hints import broadcast_if_small
+
+    closing = broadcast_if_small(
+        o.select(F.col("src").alias("a1"), F.col("dst").alias("a2")),
+        cache_key=("triangles.edges", stats_key) if stats_key is not None else None,
+    )
     tri = wedges.join(closing, ["a1", "a2"]).select("p", "a1", "a2")
     ids = F.array_sort(F.array("p", "a1", "a2"))
     return tri.select(
@@ -130,12 +146,15 @@ def triangles(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> D
 
 
 def triangle_counts(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    stats_key: object | None = None,
 ) -> DataFrame:
     """Per-node triangle participation ``(node, tri_cnt)`` — each
     triangle credits all three vertices.  One explode + one map-side-
     combined count on top of :func:`triangles`."""
-    tri = triangles(pairs, a_col, b_col)
+    tri = triangles(pairs, a_col, b_col, stats_key=stats_key)
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")

@@ -205,7 +205,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li.select("l_orderkey", F.col("l_partkey").alias("doc_b")), "l_orderkey")
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
-    per_node = triangle_counts(pairs)
+    per_node = triangle_counts(pairs, stats_key=sf_dir)
     total = per_node.agg((F.sum("tri_cnt") / 3).cast("long").alias("total_triangles"))
     return (
         per_node.select(
