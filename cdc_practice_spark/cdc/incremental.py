@@ -207,3 +207,139 @@ def delta_apply_join_view(
         .filter(F.col("cnt") > 0)
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Incremental MIN/MAX maintenance — the NON-invertible aggregate case.
+#
+# count/sum are linear: a retraction is just a signed add, so the MV
+# never looks at the base state (delta_apply_mv above).  MIN/MAX are
+# not invertible: deleting the current minimum of a group says nothing
+# about the new minimum — it must be RE-DERIVED from the group's
+# remaining rows.  The standard fix (Materialize's MIN/MAX reduction,
+# lakehouse summary-table MERGE jobs) is to split groups per batch:
+#
+#   safe groups       no retraction touched a stored extreme →
+#                     new_min = least(stored, inserted), O(delta) math
+#   endangered groups a retracted value ties the stored min or max →
+#                     rescan JUST those groups in the post-batch state
+#
+# Per-batch cost: O(|delta|) + O(Σ size of endangered groups) — and a
+# retraction only endangers a group when it removes the extreme itself,
+# so the rescan set is workload-small.  The rescan is a group-key semi
+# join (partition/bucket-prunable on a grouped layout), never a full
+# scan.  Equality with from-scratch recomputation at every split point
+# is asserted in tests/test_cdc_incremental.py.
+# ---------------------------------------------------------------------------
+
+
+def minmax_mv(
+    current: DataFrame, group_col: str, value_col: str = "value"
+) -> DataFrame:
+    """The maintained aggregate: per-group count + exact-cents MIN/MAX."""
+    return current.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(M.fixed(value_col)).alias("min_cents"),
+        F.max(M.fixed(value_col)).alias("max_cents"),
+    )
+
+
+def delta_apply_minmax_mv(
+    base_current: DataFrame,
+    base_mv: DataFrame,
+    delta_feed: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> DataFrame:
+    """Maintain ``base_mv`` (= minmax_mv of the state at T) through a
+    batch of post-T change events; returns the same rows as recomputing
+    minmax_mv from scratch on the post-batch state."""
+    w = Window.partitionBy(key)
+    latest = (
+        delta_feed.withColumn("_mx", F.max(order).over(w))
+        .filter(F.col(order) == F.col("_mx"))
+        .select(
+            F.col(key),
+            F.col(group_col),
+            F.col(value_col),
+            (F.col("__deleted") == "false").alias("_live"),
+        )
+    )
+    touched = latest.select(key).distinct()
+    old = base_current.join(touched, on=key, how="left_semi").select(
+        F.col(group_col).alias("g"), M.fixed(value_col).alias("c"), F.lit(-1).alias("w")
+    )
+    new = latest.filter(F.col("_live")).select(
+        F.col(group_col).alias("g"), M.fixed(value_col).alias("c"), F.lit(1).alias("w")
+    )
+    ins = F.when(F.col("w") == 1, F.col("c"))
+    ret = F.when(F.col("w") == -1, F.col("c"))
+    stats = (
+        old.unionByName(new)
+        .groupBy("g")
+        .agg(
+            F.sum("w").alias("dn"),
+            F.min(ins).alias("ins_min"),
+            F.max(ins).alias("ins_max"),
+            F.min(ret).alias("ret_min"),
+            F.max(ret).alias("ret_max"),
+        )
+    )
+    mv = base_mv.select(
+        F.col(group_col).alias("mg"), "n_rows", "min_cents", "max_cents"
+    )
+    merged = mv.join(stats, mv["mg"] == stats["g"], "full_outer").select(
+        F.coalesce(F.col("mg"), F.col("g")).alias(group_col),
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+            "n_new"
+        ),
+        "min_cents",
+        "max_cents",
+        "ins_min",
+        "ins_max",
+        "ret_min",
+        "ret_max",
+    )
+    # a retraction endangers a group only when it ties the stored extreme
+    # (<=/>= rather than == costs nothing and tolerates duplicates)
+    endangered_cond = (
+        F.col("ret_min").isNotNull()
+        & (
+            (F.col("ret_min") <= F.col("min_cents"))
+            | (F.col("ret_max") >= F.col("max_cents"))
+        )
+    )
+    safe = merged.filter(~F.coalesce(endangered_cond, F.lit(False))).select(
+        group_col,
+        F.col("n_new").alias("n_rows"),
+        F.least("min_cents", "ins_min").alias("min_cents"),
+        F.greatest("max_cents", "ins_max").alias("max_cents"),
+    )
+    endangered = merged.filter(F.coalesce(endangered_cond, F.lit(False))).select(
+        F.col(group_col).alias("eg")
+    )
+    # rescan ONLY the endangered groups' post-batch rows: group-semi join
+    # FIRST (partition-prunable on a grouped layout), then drop the
+    # touched keys' old rows, then add their new live rows
+    survivors = (
+        base_current.join(endangered, base_current[group_col] == endangered["eg"], "left_semi")
+        .join(touched, on=key, how="left_anti")
+        .select(F.col(group_col), M.fixed(value_col).alias("c"))
+    )
+    newly = (
+        latest.filter(F.col("_live"))
+        .join(endangered, latest[group_col] == endangered["eg"], "left_semi")
+        .select(F.col(group_col), M.fixed(value_col).alias("c"))
+    )
+    rederived = (
+        survivors.unionByName(newly)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+    return safe.unionByName(rederived).filter(F.col("n_rows") > 0)

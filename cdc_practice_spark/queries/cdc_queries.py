@@ -567,6 +567,66 @@ def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_minmax_mv",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+),
+cur AS (
+  SELECT * FROM ranked WHERE rn = 1 AND __deleted = 'false'
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(round(min(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS min_value,
+       CAST(round(max(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS max_value
+FROM cur
+GROUP BY event_type
+""",
+)
+def cdc_incremental_minmax_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MIN/MAX maintenance — the NON-invertible aggregate
+    (cdc/incremental.py::delta_apply_minmax_mv): unlike count/sum, a
+    retraction that removes a group's stored extreme cannot be undone by
+    signed arithmetic; the maintained path re-derives ONLY the endangered
+    groups from a group-key-prunable rescan, keeping every other group on
+    O(delta) math.  Same split-at-midpoint harness as cdc_incremental_mv;
+    the oracle recomputes from scratch over the full feed."""
+    from cdc_practice_spark.cdc.incremental import delta_apply_minmax_mv, minmax_mv
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    feed = _feed(spark, sf_dir)
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+    base_feed = feed.filter(F.col("kafka_offset") <= t)
+    delta_feed = feed.filter(F.col("kafka_offset") > t)
+    base_current = tracked_persist(build_current(base_feed))
+    maintained = delta_apply_minmax_mv(
+        base_current, minmax_mv(base_current, "event_type"), delta_feed, "event_type"
+    )
+
+    def _money(c: str) -> F.Column:
+        return (
+            F.round(
+                F.col(c).cast("decimal(38,0)") / F.lit(100).cast("decimal(19,0)"), 2
+            )
+            .cast("double")
+        )
+
+    return maintained.select(
+        "event_type",
+        "n_rows",
+        _money("min_cents").alias("min_value"),
+        _money("max_cents").alias("max_value"),
+    )
+
+
+@register(
     "cdc_incremental_join_view",
     oracle=f"""
 WITH {FEED_CTE},

@@ -192,3 +192,95 @@ def test_join_view_delta_equals_scratch_at_any_split(spark, sf_dir):
             view_old, a_old.drop("_k"), b_old, da, db, on="bucket"
         )
         assert snap(maintained) == scratch, f"split {t} diverged"
+
+
+# ---- MIN/MAX (non-invertible) maintenance ----------------------------------
+
+from cdc_practice_spark.cdc.incremental import (  # noqa: E402
+    delta_apply_minmax_mv,
+    minmax_mv,
+)
+
+
+def _mm_rows(df):
+    return sorted(
+        (r.event_type, r.n_rows, r.min_cents, r.max_cents)
+        for r in df.select("event_type", "n_rows", "min_cents", "max_cents").collect()
+    )
+
+
+def test_minmax_delta_apply_equals_scratch_at_any_split(feed):
+    scratch = _mm_rows(minmax_mv(build_current(feed), "event_type"))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    for t in (-1, max_off // 3, max_off // 2, max_off):
+        base_feed = feed.filter(F.col("kafka_offset") <= t)
+        delta_feed = feed.filter(F.col("kafka_offset") > t)
+        base_current = build_current(base_feed)
+        maintained = delta_apply_minmax_mv(
+            base_current,
+            minmax_mv(base_current, "event_type"),
+            delta_feed,
+            "event_type",
+        )
+        assert _mm_rows(maintained) == scratch, f"split {t} diverged"
+
+
+def test_minmax_retracting_the_extreme_rederives(spark):
+    """Deleting the key that holds a group's minimum forces the rescan
+    path: the maintained min must climb to the surviving value — the
+    case sum/count algebra cannot express."""
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "click", 5.0, "{}"),
+        (1, datetime(2024, 1, 1, 1), 2, "click", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 2), 3, "click", 20.0, "{}"),
+        # delta: key 1 (the 5.0 minimum) is deleted; key 4 inserts 15.0
+        (3, datetime(2024, 1, 1, 3), 1, "error", 5.0, "{}"),
+        (4, datetime(2024, 1, 1, 4), 4, "click", 15.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    base_feed = feed.filter(F.col("kafka_offset") <= 2)
+    base_current = build_current(base_feed)
+    maintained = delta_apply_minmax_mv(
+        base_current,
+        minmax_mv(base_current, "event_type"),
+        feed.filter(F.col("kafka_offset") > 2),
+        "event_type",
+    )
+    assert _mm_rows(maintained) == [("click", 3, 1000, 2000)]
+
+
+def test_minmax_safe_groups_skip_the_rescan(spark):
+    """An insert strictly inside the stored [min, max] and a retraction
+    of a non-extreme value keep the group on the O(delta) safe path —
+    and the result is still exact."""
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "click", 5.0, "{}"),
+        (1, datetime(2024, 1, 1, 1), 2, "click", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 2), 3, "click", 20.0, "{}"),
+        # delta: key 2 (non-extreme 10.0) updates to 12.0 — still interior
+        (3, datetime(2024, 1, 1, 3), 2, "click", 12.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    base_feed = feed.filter(F.col("kafka_offset") <= 2)
+    base_current = build_current(base_feed)
+    maintained = delta_apply_minmax_mv(
+        base_current,
+        minmax_mv(base_current, "event_type"),
+        feed.filter(F.col("kafka_offset") > 2),
+        "event_type",
+    )
+    assert _mm_rows(maintained) == [("click", 3, 500, 2000)]
