@@ -529,3 +529,57 @@ def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "source", "quality_score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         greatest({_QUALITY_SQL}, 0.01) AS w,
+         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 13)
+               AS BIGINT) + 1) / 4503599627370497.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       round(w, 6) AS weight,
+       round(-ln(u) / w, 6) AS race_key
+FROM keyed
+ORDER BY race_key, doc_id
+LIMIT 50
+""",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis exponential race): each document draws a deterministic
+    uniform u from a hash of its id, races with key -ln(u)/w (w = its
+    quality score, floored at 0.01), and the k smallest keys win —
+    inclusion probability proportional to weight, sample size exactly k.
+
+    The curation story vs corpus_mixture_resample (hash-threshold
+    proportional KEEP): resampling keeps a rate, this draws an exact-k
+    weighted subset — the 'pick 50k docs for annotation, biased to
+    quality' primitive.  Scale shape: one projection + TakeOrdered
+    (per-partition heaps, k×partitions driver merge) — zero shuffles,
+    no rand() anywhere, so resumed runs pick identical samples."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1, 13
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(4503599627370497.0)
+    )
+    w = F.greatest(T.quality_score(F.col("text")), F.lit(0.01))
+    keyed = docs.select(
+        "doc_id",
+        F.round(w, 6).alias("weight"),
+        F.round(-F.log(u) / w, 6).alias("race_key"),
+    )
+    return keyed.orderBy("race_key", "doc_id").limit(50)

@@ -262,3 +262,13 @@ def test_triangle_wedge_join_has_no_cartesian(spark, sf_dir):
     # the only BroadcastNestedLoopJoin allowed is the final 1-row
     # total_triangles crossJoin
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_weighted_sample_is_shuffle_free_topk(spark, sf_dir):
+    """corpus_weighted_sample must lower to TakeOrderedAndProject over a
+    pure projection — per-partition heaps, no Exchange anywhere (the
+    exact-k sample never globally sorts the corpus)."""
+    plan = plan_of(spark, sf_dir, "corpus_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    phys = plan[plan.index("== Physical Plan =="):]
+    assert "Exchange" not in phys
