@@ -284,3 +284,23 @@ def test_minmax_safe_groups_skip_the_rescan(spark):
         "event_type",
     )
     assert _mm_rows(maintained) == [("click", 3, 500, 2000)]
+
+
+def test_minmax_multi_batch_chaining(feed):
+    """Composability for the non-invertible tier: MV(T1) ⊕ Δ2 ⊕ Δ3 =
+    scratch(T3), each batch applied against the PREVIOUS maintained
+    state — including endangered-group rescans mid-chain."""
+    scratch = _mm_rows(minmax_mv(build_current(feed), "event_type"))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    cuts = [max_off // 4, max_off // 2, (3 * max_off) // 4, max_off]
+    prev = -1
+    state_feed = feed.filter(F.col("kafka_offset") <= prev)
+    mv = minmax_mv(build_current(state_feed), "event_type")
+    for t in cuts:
+        delta = feed.filter(
+            (F.col("kafka_offset") > prev) & (F.col("kafka_offset") <= t)
+        )
+        mv = delta_apply_minmax_mv(build_current(state_feed), mv, delta, "event_type")
+        state_feed = feed.filter(F.col("kafka_offset") <= t)
+        prev = t
+    assert _mm_rows(mv) == scratch
