@@ -38,6 +38,45 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     return deco
 
 
+def _rotate_lru() -> None:
+    """Deterministic driver-check round-robin (VERDICT r4 ask #1).
+
+    The driver's correctness gate checks a bounded prefix of the
+    registry (every recorded round checked exactly the first 50
+    registrations), so registration order decides which queries can
+    ever earn a CORRECTNESS row.  Reorder by *least-recently
+    driver-checked*: sort key is (last round the name appeared in a
+    committed CORRECTNESS_r{N}.json, registration index).  Queries
+    never checked sort first (last_round=0); after the driver writes
+    r{N}, those names move to the back automatically.  This is a pure
+    function of committed artifacts — no hand-maintained list, no
+    judgment calls — and cycles through the full registry in
+    ceil(N/50) rounds.  tools/check_oracle.py always verifies ALL
+    queries locally regardless of order.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            rows = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            last_round[name] = max(last_round.get(name, 0), rnd)
+
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
+    order = sorted(QUERIES, key=lambda n: (last_round.get(n, 0), reg_index[n]))
+    for d in (QUERIES, ORACLES):
+        items = [(n, d[n]) for n in order if n in d]
+        d.clear()
+        d.update(items)
+
+
 def load_all() -> None:
     """Import every query module so their registrations run."""
     import cdc_practice_spark.queries.analytics  # noqa: F401
@@ -59,3 +98,5 @@ def load_all() -> None:
     import cdc_practice_spark.queries.tpch_full  # noqa: F401
     import cdc_practice_spark.queries.udf_queries  # noqa: F401
     import cdc_practice_spark.queries.streaming_queries  # noqa: F401
+
+    _rotate_lru()
