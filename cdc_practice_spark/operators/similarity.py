@@ -377,9 +377,15 @@ def centroid_outliers(
             )
         )
     )
+    # Broadcast only when a measured count says the ncells×dim centroid
+    # table fits (ADVICE r4: an unconditional hint is the scale trap
+    # hints.py documents — a high-cardinality cell column would force-
+    # broadcast an arbitrarily large table).
+    from cdc_practice_spark.plans.hints import broadcast_if_small
+
     scored = (
         embeddings.join(
-            F.broadcast(cent), F.col(cell_col) == F.col("cell"), "inner"
+            broadcast_if_small(cent), F.col(cell_col) == F.col("cell"), "inner"
         )
         .select(
             F.col(cell_col),

@@ -197,16 +197,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     side uses the oriented form whose wedge join is skew-proof at scale
     (O(√m) out-degree bound — module docstring)."""
     from cdc_practice_spark.operators.triangles import triangle_counts
+    from cdc_practice_spark.plans.hints import spread_for_python
     from cdc_practice_spark.session import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # sf0.1 lineitem is a 3-row-group file → the self-join would run
+    # 3-wide; one narrow repartition unlocks full parallelism (no-op at
+    # scale — see spread_for_python)
+    li = spread_for_python(load_table(spark, sf_dir, "lineitem"))
     pairs = (
         li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
         .join(li.select("l_orderkey", F.col("l_partkey").alias("doc_b")), "l_orderkey")
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     per_node = triangle_counts(pairs, stats_key=sf_dir)
-    total = per_node.agg((F.sum("tri_cnt") / 3).cast("long").alias("total_triangles"))
+    # Integer floor-div (ADVICE r4): float division is exact only while
+    # 3*total < 2^53; `div` keeps the total exact at any graph size.
+    total = per_node.agg(
+        F.expr("sum(tri_cnt) div 3").cast("long").alias("total_triangles")
+    )
     return (
         per_node.select(
             F.col("node").cast("long").alias("node"),
