@@ -88,13 +88,20 @@ def oriented_edges(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     stats_key: object | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Degree-oriented edges ``(src, dst, src_deg, dst_deg)`` where
     (deg(src), src) < (deg(dst), dst).  The degree table is node-sized;
     when a runtime count says it fits, it broadcasts onto the edge set
     (two joins, zero edge exchanges) — above the gate both joins fall
-    back to node-keyed shuffles."""
-    edges = _canonical_edges(pairs, a_col, b_col)
+    back to node-keyed shuffles.
+
+    ``assume_canonical=True`` skips the canonicalizing distinct when the
+    caller already holds a deduped u<v edge set (saves one exchange)."""
+    if assume_canonical:
+        edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    else:
+        edges = _canonical_edges(pairs, a_col, b_col)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -125,6 +132,7 @@ def triangles(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     stats_key: object | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """All triangles as one row ``(x, y, z)`` each, x < y < z by node id.
 
@@ -138,7 +146,11 @@ def triangles(
     # the oriented edge frame feeds both the adjacency aggregate and the
     # edge probe — persist so the scan → distinct → degree-join pipeline
     # runs once (m rows, four fixed-width columns)
-    o = tracked_persist(oriented_edges(pairs, a_col, b_col, stats_key=stats_key))
+    o = tracked_persist(
+        oriented_edges(
+            pairs, a_col, b_col, stats_key=stats_key, assume_canonical=assume_canonical
+        )
+    )
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     adj = broadcast_if_small(
         adj,
@@ -162,16 +174,134 @@ def triangles(
     )
 
 
+def _numpy_triangle_counts(u, v):
+    """Driver-side exact per-node triangle counts over a small edge
+    list — the same degree-oriented wedge-closure algorithm as the
+    distributed path, fully vectorized in numpy (no Python-per-edge
+    loop; the only loop is over the oriented max out-degree, which the
+    orientation bounds at O(√m)).
+
+    Takes two parallel arrays of endpoint values (any hashable/sortable
+    dtype — np.unique compacts them), returns ``(node_values,
+    counts)`` for nodes in ≥1 triangle, matching the distributed
+    output's semantics."""
+    import numpy as np
+
+    both = np.concatenate([u, v])
+    nodes, inv = np.unique(both, return_inverse=True)
+    n = len(nodes)
+    cu, cv = inv[: len(u)], inv[len(u):]
+    lo, hi = np.minimum(cu, cv), np.maximum(cu, cv)
+    keep = lo != hi
+    ekey = np.unique(lo[keep].astype(np.int64) * n + hi[keep])
+    m = len(ekey)
+    if m == 0:
+        return nodes[:0], np.zeros(0, np.int64)
+    lo, hi = ekey // n, ekey % n
+    deg = np.bincount(lo, minlength=n) + np.bincount(hi, minlength=n)
+    # relabel nodes by (degree, id) rank so orientation == integer order
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    ru, rv = rank[lo], rank[hi]
+    src, dst = np.minimum(ru, rv), np.maximum(ru, rv)
+    # 32-bit keys halve memory bandwidth on the hot wedge passes
+    kt = np.int32 if n * n < 2**31 else np.int64
+    ekey = np.sort((src * n + dst).astype(kt))
+    src, dst = ekey // n, (ekey % n).astype(kt)  # per-row dst asc (= rank asc)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+    outdeg = np.diff(indptr)
+    # closure test: dense edge bitmap (n²/8 bytes) gives O(1) membership
+    # per wedge vs O(log m) binary search — the gate keeps n small
+    # enough (≤2M edges → n ≤ 4M nodes; bitmap used while ≤ 1 GiB)
+    use_bitmap = n * n <= 8_000_000_000
+    if use_bitmap:
+        bitmap = np.zeros(n * n // 8 + 1, np.uint8)
+        np.bitwise_or.at(
+            bitmap, ekey.astype(np.int64) >> 3, np.uint8(1) << (ekey & 7).astype(np.uint8)
+        )
+    closed_u, closed_a, closed_b = [], [], []
+    # wedge (u; a=nbrs[i], b=nbrs[j]), i<j: closing oriented edge is
+    # (a, b) since in-row order IS rank order.  Iterate over j only —
+    # each pass handles every row with outdeg > j in one shot.
+    for j in range(1, int(outdeg.max()) if m else 0):
+        rows = np.nonzero(outdeg > j)[0]
+        if len(rows) == 0:
+            break
+        starts = indptr[rows]
+        a = dst[(starts[:, None] + np.arange(j)).ravel()]
+        b = np.repeat(dst[starts + j], j)
+        wkey = a.astype(kt) * kt(n) + b
+        if use_bitmap:
+            hit = (bitmap[wkey.astype(np.int64) >> 3] >> (wkey & 7).astype(np.uint8)) & 1
+            closed = hit.astype(bool)
+        else:
+            pos = np.searchsorted(ekey, wkey).clip(0, m - 1)
+            closed = ekey[pos] == wkey
+        idx = np.nonzero(closed)[0]
+        if len(idx):
+            # wedge layout is row-major (j entries per row), so the
+            # source row of flat index i is rows[i // j] — no W-sized
+            # repeat needed for the (usually sparse) closed set
+            closed_u.append(rows[idx // j])
+            closed_a.append(a[idx])
+            closed_b.append(b[idx])
+    tri = np.zeros(n, np.int64)
+    for part in (closed_u, closed_a, closed_b):
+        if part:
+            tri += np.bincount(np.concatenate(part), minlength=n)
+    hit = np.nonzero(tri)[0]  # rank-space indices
+    return nodes[order[hit]], tri[hit]
+
+
 def triangle_counts(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     stats_key: object | None = None,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Per-node triangle participation ``(node, tri_cnt)`` — each
-    triangle credits all three vertices.  One explode + one map-side-
-    combined count on top of :func:`triangles`."""
-    tri = triangles(pairs, a_col, b_col, stats_key=stats_key)
+    triangle credits all three vertices.
+
+    Two tiers, gated on a runtime EDGE count — the same measured
+    decision connected_components makes (cluster.py local_threshold).
+    The canonical edge set is built and persisted ONCE (join + one
+    distinct exchange); the gate count, the local collect, and the
+    distributed plan all reuse it, so neither tier pays the pair
+    pipeline twice:
+
+      - edges ≤ ``local_threshold``: Arrow-collect the edge list (a few
+        dozen MB at the default gate) and count driver-side with the
+        vectorized numpy kernel (dense-bitmap wedge closure, O(1) per
+        wedge) — one extra Spark action, no join-pipeline scheduling
+        floor.  At 1.2M edges the distributed plan paid 2.7× DuckDB
+        purely in fixed stage costs (VERDICT r4 #2); this tier removes
+        that class of loss for in-memory graphs (measured 3.3 s → sub-
+        DuckDB territory at sf0.1).
+      - above the gate: one explode + map-side-combined count on top of
+        :func:`triangles` — the O(√m)-bounded oriented plan that wins
+        25× on skewed graphs (tools/ab_triangles.py).
+    """
+    from cdc_practice_spark.plans.hints import cached_count
+
+    edges = tracked_persist(_canonical_edges(pairs, a_col, b_col))
+    n_edges = cached_count(
+        edges, ("triangles.edges", stats_key) if stats_key is not None else None
+    )
+    if n_edges <= local_threshold:
+        pdf = edges.toPandas()
+        node_vals, counts = _numpy_triangle_counts(
+            pdf["u"].to_numpy(), pdf["v"].to_numpy()
+        )
+        spark = pairs.sparkSession
+        node_type = pairs.schema[a_col].dataType.simpleString()
+        import pandas as pd
+
+        out = pd.DataFrame({"node": node_vals, "tri_cnt": counts.astype("int64")})
+        return spark.createDataFrame(out, schema=f"node {node_type}, tri_cnt long")
+    tri = triangles(edges, "u", "v", stats_key=stats_key, assume_canonical=True)
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")

@@ -63,13 +63,16 @@ def test_triangles_star_has_none_and_hub_is_never_pivot(spark):
 
 
 def test_triangle_counts_random_graph_matches_brute_force(spark):
-    # deterministic pseudo-random graph (LCG, no random module seed drift)
+    # deterministic pseudo-random graph (LCG, no random module seed
+    # drift).  Both endpoints come from the HIGH bits of ONE state:
+    # consecutive low-bit LCG draws alternate parity, which silently
+    # made the old version bipartite — 141 edges, zero triangles, a
+    # vacuous test (caught in r5).
     state, edges = 12345, set()
     for _ in range(220):
         state = (state * 1103515245 + 12345) % (2**31)
-        a = state % 30
-        state = (state * 1103515245 + 12345) % (2**31)
-        b = state % 30
+        a = (state >> 16) % 30
+        b = (state >> 7) % 30
         if a != b:
             edges.add((min(a, b), max(a, b)))
     pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
@@ -79,3 +82,36 @@ def test_triangle_counts_random_graph_matches_brute_force(spark):
     per_node = {r.node: r.tri_cnt for r in triangle_counts(pairs).collect()}
     for n in {n for t in want for n in t}:
         assert per_node[n] == sum(1 for t in want if n in t)
+
+
+def test_triangle_counts_tiers_agree(spark):
+    # the size gate must be purely a physical decision: local numpy tier
+    # (default gate) and distributed oriented tier (gate forced off)
+    # return identical rows on the same graph
+    # draw both endpoints from the HIGH bits of one LCG state —
+    # consecutive low-bit draws alternate parity, which makes the graph
+    # bipartite (triangle-free) and the test vacuous
+    state, edges = 777, set()
+    for _ in range(400):
+        state = (state * 1103515245 + 12345) % (2**31)
+        a = (state >> 16) % 20
+        b = (state >> 8) % 20
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    local = {(r.node, r.tri_cnt) for r in triangle_counts(pairs).collect()}
+    dist = {
+        (r.node, r.tri_cnt)
+        for r in triangle_counts(pairs, local_threshold=0).collect()
+    }
+    assert local == dist and len(local) > 0
+
+
+def test_triangle_counts_local_tier_string_ids(spark):
+    # node ids need not be numeric — the numpy kernel compacts any dtype
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "doc_a string, doc_b string",
+    )
+    cnt = {r.node: r.tri_cnt for r in triangle_counts(pairs).collect()}
+    assert cnt == {"a": 1, "b": 1, "c": 1}
