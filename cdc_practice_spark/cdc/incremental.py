@@ -114,6 +114,81 @@ def delta_apply_mv(
     return combined
 
 
+def delta_apply_mv_onepass(
+    feed: DataFrame,
+    t: int,
+    group_col: str,
+    value_col: str = "value",
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> DataFrame:
+    """Fused demonstration form of :func:`delta_apply_mv` (VERDICT r4
+    ask #3): identical delta algebra — base MV at offset T, retract the
+    touched keys' old contributions, insert their new live ones — but
+    with every per-key fact (state at T, state at end, touched?) derived
+    in ONE key-partitioned ``max_by`` aggregation and all three signed
+    legs combined in ONE group aggregation.  Two exchanges total (key,
+    then group) vs the six the separate-frames pipeline pays; same rows.
+
+    Use :func:`delta_apply_mv` when the base state/MV are STORED tables
+    (the production shape — deltas never rescan the base feed); use this
+    when base and delta both derive from one feed in the same job, where
+    splitting the feed into two frames re-shuffles the same data twice.
+    Equivalence to from-scratch recomputation at arbitrary split points
+    is property-tested beside the separate-frames form in
+    tests/test_cdc_incremental.py.
+
+    Requires ``order`` values unique per event (Kafka coordinates are),
+    so ``max_by`` picks deterministically.
+    """
+    snap = lambda: F.struct(  # noqa: E731
+        F.col(group_col).alias("g"),
+        M.fixed(value_col).alias("c"),
+        F.col("__deleted").alias("d"),
+    )
+    per_key = feed.groupBy(key).agg(
+        # latest event at-or-before T (NULL ordering keys are skipped, so
+        # keys first seen after T yield NULL — "retract nothing")
+        F.max_by(snap(), F.when(F.col(order) <= F.lit(t), F.col(order))).alias(
+            "at_t"
+        ),
+        F.max_by(snap(), F.col(order)).alias("at_end"),
+        F.max(order).alias("mx"),
+    )
+    old_live = F.col("at_t").isNotNull() & (F.col("at_t.d") == "false")
+    touched = F.col("mx") > F.lit(t)
+    new_live = F.col("at_end.d") == "false"
+
+    def leg(cond, state: str, sign: int):
+        return F.when(
+            cond,
+            F.struct(
+                F.col(f"{state}.g").alias("g"),
+                F.lit(sign).cast("long").alias("dn"),
+                (F.lit(sign) * F.col(f"{state}.c")).alias("dc"),
+            ),
+        )
+
+    legs = (
+        per_key.select(
+            F.explode(
+                F.array(
+                    leg(old_live, "at_t", 1),  # base MV contribution
+                    leg(touched & old_live, "at_t", -1),  # retraction
+                    leg(touched & new_live, "at_end", 1),  # insertion
+                )
+            ).alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .select("s.*")
+    )
+    return (
+        legs.groupBy(F.col("g").alias(group_col))
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dc").alias("sum_cents"))
+        .filter(F.col("n_rows") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental JOIN view maintenance — the bilinear delta rule.
 #
@@ -242,6 +317,148 @@ def minmax_mv(
         F.min(M.fixed(value_col)).alias("min_cents"),
         F.max(M.fixed(value_col)).alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental TOP-K maintenance — the warehouse's q2_topk_changes shape
+# (VERDICT r4 ask #6).  Top-k generalizes MIN/MAX (k=1 of it): inserts
+# are always safe (merge into the stored prefix, take k), but a
+# retraction that removes — or TIES — a stored top-k member invalidates
+# the prefix, and the group must be re-derived from its remaining rows.
+#
+# Ordering is the deterministic (value desc, key asc); elements are
+# stored as struct(nc = -cents, id) so Spark's lexicographic
+# sort_array(asc) IS that order.  Correctness of the safe path rests on
+# the stored top-k being a PREFIX of the group's full sort order:
+# with no retraction at-or-above the kth element, hidden rows stay
+# strictly below the prefix, so top-k(stored ∪ inserts) = top-k(all).
+# Endangerment tests on value alone (ret_c >= kth_c) — conservative
+# under ties, which only costs a spurious rescan, never wrongness.
+# ---------------------------------------------------------------------------
+
+
+def topk_mv(
+    current: DataFrame,
+    group_col: str,
+    k: int,
+    value_col: str = "value",
+    key: str = "original_id",
+) -> DataFrame:
+    """The maintained view: per group, the top-k (value desc, key asc)
+    rows as a sorted array of struct(nc, id), plus the group's live row
+    count.  Built with a rank-filtered window (Spark pushes a partial
+    WindowGroupLimit below the exchange — a billion-row group ships k
+    rows per map partition) + one count aggregate."""
+    el = F.struct((-M.fixed(value_col)).alias("nc"), F.col(key).alias("id"))
+    w = Window.partitionBy(group_col).orderBy(
+        (-M.fixed(value_col)).asc(), F.col(key).asc()
+    )
+    top = (
+        current.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list(el)).alias("topk"))
+    )
+    cnt = current.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    return top.join(cnt, on=group_col)
+
+
+def delta_apply_topk_mv(
+    base_current: DataFrame,
+    base_mv: DataFrame,
+    delta_feed: DataFrame,
+    group_col: str,
+    k: int,
+    value_col: str = "value",
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> DataFrame:
+    """Maintain ``base_mv`` (= topk_mv of the state at T) through a batch
+    of post-T change events; returns the same rows as recomputing
+    topk_mv from scratch on the post-batch state.
+
+    Safe groups (no retraction at-or-above the stored kth value, and
+    hidden rows exist below the prefix) merge inserts into the stored
+    array with O(k + delta) array math; endangered groups re-derive via
+    a group-key semi join — the same two-tier shape as
+    :func:`delta_apply_minmax_mv`."""
+    key_t = base_current.schema[key].dataType.simpleString()
+    empty = F.expr(f"CAST(array() AS ARRAY<STRUCT<nc: BIGINT, id: {key_t}>>)")
+    w = Window.partitionBy(key)
+    latest = (
+        delta_feed.withColumn("_mx", F.max(order).over(w))
+        .filter(F.col(order) == F.col("_mx"))
+        .select(
+            F.col(key),
+            F.col(group_col),
+            F.col(value_col),
+            (F.col("__deleted") == "false").alias("_live"),
+        )
+    )
+    touched = latest.select(key).distinct()
+    el = F.struct((-M.fixed(value_col)).alias("nc"), F.col(key).alias("id"))
+    old = base_current.join(touched, on=key, how="left_semi").select(
+        F.col(group_col).alias("g"), el.alias("e"), F.lit(-1).alias("w")
+    )
+    ins = latest.filter(F.col("_live")).select(
+        F.col(group_col).alias("g"), el.alias("e"), F.lit(1).alias("w")
+    )
+    stats = (
+        old.unionByName(ins)
+        .groupBy("g")
+        .agg(
+            F.sum("w").alias("dn"),
+            F.count(F.when(F.col("w") == -1, 1)).alias("ret_cnt"),
+            # most-extreme retracted value (min nc == max cents)
+            F.min(F.when(F.col("w") == -1, F.col("e.nc"))).alias("ret_min_nc"),
+            F.slice(
+                F.sort_array(F.collect_list(F.when(F.col("w") == 1, F.col("e")))),
+                1,
+                k,
+            ).alias("ins_topk"),
+        )
+    )
+    mv = base_mv.select(F.col(group_col).alias("mg"), "topk", "n_rows")
+    merged = mv.join(stats, mv["mg"] == stats["g"], "full_outer").select(
+        F.coalesce(F.col("mg"), F.col("g")).alias(group_col),
+        F.coalesce(F.col("topk"), empty).alias("topk"),
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.col("dn"), F.lit(0)).alias("dn"),
+        F.coalesce(F.col("ret_cnt"), F.lit(0)).alias("ret_cnt"),
+        "ret_min_nc",
+        F.coalesce(F.col("ins_topk"), empty).alias("ins_topk"),
+    )
+    # guard: element_at index 0 (empty prefix — group new in this batch)
+    # is an ANSI error; such groups have ret_cnt = 0 and stay safe
+    kth_nc = F.when(
+        F.size("topk") > 0, F.element_at("topk", F.size("topk")).getField("nc")
+    )
+    has_hidden = F.col("n_rows") > F.size("topk")
+    endangered_cond = (F.col("ret_cnt") > 0) & (
+        ~has_hidden | (F.col("ret_min_nc") <= kth_nc)
+    )
+    safe = merged.filter(~endangered_cond).select(
+        group_col,
+        F.slice(
+            F.sort_array(F.concat(F.col("topk"), F.col("ins_topk"))), 1, k
+        ).alias("topk"),
+        (F.col("n_rows") + F.col("dn")).alias("n_rows"),
+    )
+    egroups = merged.filter(endangered_cond).select(F.col(group_col).alias("eg"))
+    post = (
+        base_current.join(
+            egroups, base_current[group_col] == egroups["eg"], "left_semi"
+        )
+        .join(touched, on=key, how="left_anti")
+        .select(F.col(group_col), F.col(value_col), F.col(key))
+        .unionByName(
+            latest.filter(F.col("_live"))
+            .join(egroups, latest[group_col] == egroups["eg"], "left_semi")
+            .select(F.col(group_col), F.col(value_col), F.col(key))
+        )
+    )
+    rederived = topk_mv(post, group_col, k, value_col=value_col, key=key)
+    return safe.unionByName(rederived).filter(F.col("n_rows") > 0)
 
 
 def delta_apply_minmax_mv(

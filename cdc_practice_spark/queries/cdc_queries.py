@@ -526,15 +526,17 @@ GROUP BY event_type
 )
 def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (cdc/incremental.py):
-    materialize the per-event_type (count, sum(value)) aggregate of the
-    CURRENT state as of the feed's midpoint offset, then maintain it with
-    retract/insert deltas from the second half — touching O(delta +
-    touched keys), never the base history.  The oracle recomputes from
+    the per-event_type (count, sum(value)) aggregate of the CURRENT
+    state as of the feed's midpoint offset, maintained through the
+    second half with retract/insert deltas.  The oracle recomputes from
     scratch over the FULL feed, so any drift in the delta algebra
-    hash-fails.  The midpoint is a driver-side scalar (one max() job —
-    same class as the ANN query-vector collects)."""
-    from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
-    from cdc_practice_spark.plans.cache import tracked_persist
+    hash-fails.  Runs the fused one-pass form (both halves live in one
+    feed here, so per-key facts come from a single aggregation); the
+    separate-frames form — stored base, O(delta + touched keys) refresh
+    — is delta_apply_mv, property-tested at arbitrary split points.
+    The midpoint is a driver-side scalar (one max() job — same class as
+    the ANN query-vector collects)."""
+    from cdc_practice_spark.cdc.incremental import delta_apply_mv_onepass
     from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
@@ -545,14 +547,12 @@ def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if stats_key not in _STATS_CACHE:
         _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
     t = _STATS_CACHE[stats_key] // 2
-    base_feed = feed.filter(F.col("kafka_offset") <= t)
-    delta_feed = feed.filter(F.col("kafka_offset") > t)
-    # base_current stands in for the STORED snapshot (two consumers: the
-    # MV materialization and the touched-key retraction lookup) — persist
-    # so the window pipeline runs once, as reading a stored table would
-    base_current = tracked_persist(build_current(base_feed))
-    base_mv = current_mv(base_current, "event_type")
-    maintained = delta_apply_mv(base_current, base_mv, delta_feed, "event_type")
+    # fused single-pass form (r5): base MV + retract/insert legs from ONE
+    # key-partitioned aggregation — two exchanges instead of six.  The
+    # separate-frames production form (stored base + delta batch,
+    # delta_apply_mv) is exercised by the split-sweep property tests and
+    # the streaming maintained-MV sink.
+    maintained = delta_apply_mv_onepass(feed, t, "event_type")
     return maintained.select(
         "event_type",
         "n_rows",
@@ -623,6 +623,81 @@ def cdc_incremental_minmax_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         _money("min_cents").alias("min_value"),
         _money("max_cents").alias("max_value"),
+    )
+
+
+@register(
+    "cdc_incremental_topk_mv",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+),
+cur AS (
+  SELECT * FROM ranked WHERE rn = 1 AND __deleted = 'false'
+),
+scored AS (
+  SELECT event_type,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100, 0) AS BIGINT) AS cents,
+         original_id
+  FROM cur
+),
+tk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents DESC, original_id) AS rnk
+  FROM scored
+)
+SELECT event_type,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(round(CAST(cents AS DECIMAL(38,0)) / 100, 2) AS DOUBLE) AS value,
+       original_id
+FROM tk WHERE rnk <= 3
+""",
+)
+def cdc_incremental_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained per-group TOP-K view (cdc/incremental.py
+    ::delta_apply_topk_mv) — the warehouse's q2_topk_changes shape under
+    retraction.  Top-3 (value desc, key asc) per event_type is
+    materialized at the feed's midpoint and maintained through the
+    second half: inserts merge into the stored prefix with O(k + delta)
+    array math; only groups whose retractions reach the stored kth
+    value re-derive, via a group-key-prunable rescan.  The oracle
+    recomputes the top-3 from scratch over the full feed, so a stale
+    prefix or a missed endangerment hash-fails."""
+    from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv, topk_mv
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    feed = _feed(spark, sf_dir)
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+    base_feed = feed.filter(F.col("kafka_offset") <= t)
+    delta_feed = feed.filter(F.col("kafka_offset") > t)
+    base_current = tracked_persist(build_current(base_feed))
+    maintained = delta_apply_topk_mv(
+        base_current,
+        topk_mv(base_current, "event_type", 3),
+        delta_feed,
+        "event_type",
+        3,
+    )
+    ex = maintained.select(
+        "event_type", F.posexplode("topk").alias("pos", "e")
+    )
+    return ex.select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.round(
+            (-F.col("e.nc")).cast("decimal(38,0)") / F.lit(100).cast("decimal(19,0)"),
+            2,
+        )
+        .cast("double")
+        .alias("value"),
+        F.col("e.id").alias("original_id"),
     )
 
 

@@ -44,6 +44,20 @@ def test_delta_apply_equals_scratch_at_any_split(feed):
         assert _mv_rows(maintained) == scratch, f"split {t} diverged"
 
 
+def test_onepass_fused_equals_scratch_and_separate_frames(feed):
+    """The fused single-aggregation form (delta_apply_mv_onepass) must
+    return exactly the separate-frames result — which itself equals
+    from-scratch — at every split point, including both degenerate
+    ends (all-base and all-delta)."""
+    from cdc_practice_spark.cdc.incremental import delta_apply_mv_onepass
+
+    scratch = _mv_rows(current_mv(build_current(feed), "event_type"))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    for t in (-1, max_off // 3, max_off // 2, max_off):
+        fused = delta_apply_mv_onepass(feed, t, "event_type")
+        assert _mv_rows(fused) == scratch, f"split {t} diverged"
+
+
 def test_delta_retracts_and_groups_vanish(spark):
     """A key whose delta moves it across groups retracts from the old
     group; a group whose only key is deleted disappears (n_rows=0
@@ -192,6 +206,106 @@ def test_join_view_delta_equals_scratch_at_any_split(spark, sf_dir):
             view_old, a_old.drop("_k"), b_old, da, db, on="bucket"
         )
         assert snap(maintained) == scratch, f"split {t} diverged"
+
+
+# ---- TOP-K (prefix) maintenance ---------------------------------------------
+
+
+def _tk_rows(df):
+    return sorted(
+        (r.event_type, r.n_rows, tuple((e.nc, e.id) for e in r.topk))
+        for r in df.select("event_type", "n_rows", "topk").collect()
+    )
+
+
+def test_topk_delta_apply_equals_scratch_at_any_split(feed):
+    from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv, topk_mv
+
+    k = 3
+    scratch = _tk_rows(topk_mv(build_current(feed), "event_type", k))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    for t in (-1, max_off // 3, max_off // 2, max_off):
+        base_feed = feed.filter(F.col("kafka_offset") <= t)
+        delta_feed = feed.filter(F.col("kafka_offset") > t)
+        base_current = build_current(base_feed)
+        maintained = delta_apply_topk_mv(
+            base_current,
+            topk_mv(base_current, "event_type", k),
+            delta_feed,
+            "event_type",
+            k,
+        )
+        assert _tk_rows(maintained) == scratch, f"split {t} diverged"
+
+
+def test_topk_retracting_a_prefix_member_rederives(spark):
+    """Deleting the #2 value must pull the hidden #4 row into the
+    prefix — the case the O(k+delta) merge cannot express."""
+    from datetime import datetime
+
+    from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv, topk_mv
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "click", 40.0, "{}"),
+        (1, datetime(2024, 1, 1, 1), 2, "click", 30.0, "{}"),
+        (2, datetime(2024, 1, 1, 2), 3, "click", 20.0, "{}"),
+        (3, datetime(2024, 1, 1, 3), 4, "click", 10.0, "{}"),
+        # delta: key 2 (the 30.0 #2) deleted → hidden 10.0 must surface
+        (4, datetime(2024, 1, 1, 4), 2, "error", 30.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    base_feed = feed.filter(F.col("kafka_offset") <= 3)
+    base_current = build_current(base_feed)
+    maintained = delta_apply_topk_mv(
+        base_current,
+        topk_mv(base_current, "event_type", 3),
+        feed.filter(F.col("kafka_offset") > 3),
+        "event_type",
+        3,
+    )
+    assert _tk_rows(maintained) == [
+        ("click", 3, ((-4000, 1), (-2000, 3), (-1000, 4)))
+    ]
+
+
+def test_topk_insert_only_stays_on_merge_path(spark):
+    """Inserts above, inside, and below the prefix merge exactly —
+    including pushing the old kth out while hidden rows stay hidden."""
+    from datetime import datetime
+
+    from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv, topk_mv
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "click", 40.0, "{}"),
+        (1, datetime(2024, 1, 1, 1), 2, "click", 30.0, "{}"),
+        (2, datetime(2024, 1, 1, 2), 3, "click", 20.0, "{}"),
+        (3, datetime(2024, 1, 1, 3), 4, "click", 10.0, "{}"),
+        # delta: 35.0 lands at #2, pushing 20.0 out of the top-3
+        (4, datetime(2024, 1, 1, 4), 5, "click", 35.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    base_feed = feed.filter(F.col("kafka_offset") <= 3)
+    base_current = build_current(base_feed)
+    maintained = delta_apply_topk_mv(
+        base_current,
+        topk_mv(base_current, "event_type", 3),
+        feed.filter(F.col("kafka_offset") > 3),
+        "event_type",
+        3,
+    )
+    assert _tk_rows(maintained) == [
+        ("click", 5, ((-4000, 1), (-3500, 5), (-3000, 2)))
+    ]
 
 
 # ---- MIN/MAX (non-invertible) maintenance ----------------------------------
