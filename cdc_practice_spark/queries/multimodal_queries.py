@@ -339,6 +339,49 @@ def multimodal_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_decode_jpeg",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 9 + 10 AS INTEGER) AS width,
+         CAST(doc_id % 5 + 9 AS INTEGER) AS height
+  FROM documents
+),
+grid AS (
+  SELECT x.g AS x, y.g AS y
+  FROM (SELECT unnest(generate_series(0, 17)) AS g) x,
+       (SELECT unnest(generate_series(0, 12)) AS g) y
+)
+SELECT d.asset_id, d.width, d.height,
+       round(avg((d.asset_id + 7 * (g.x // 8) + 13 * (g.y // 8)) % 256), 6)
+         AS mean_pixel
+FROM dims d
+JOIN grid g ON g.x < d.width AND g.y < d.height
+GROUP BY d.asset_id, d.width, d.height
+""",
+)
+def multimodal_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed codec #3 under the oracle gate: valid baseline
+    JFIF grayscale JPEGs in (canonical Huffman entropy coding, zigzag
+    run-length AC coding, DC prediction across a multi-block grid),
+    decoded pixels out via the in-repo huffman+IDCT kernel
+    (operators/multimodal.py:decode_jpeg_numpy).  The synth tiles each
+    8×8 block with a constant — DC-only blocks round-trip bit-exactly
+    under the flat quant table — so the oracle recomputes every decoded
+    pixel as value(x//8, y//8); a wrong zigzag, extend(), DC predictor,
+    IDCT scale, or block-crop fails the hash.  Non-constant AC paths
+    are pinned by tests/test_multimodal_jpeg.py against an independent
+    double-loop IDCT."""
+    from cdc_practice_spark.operators.multimodal import synth_jpeg_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_images(synth_jpeg_assets(docs))
+    return decoded.select(
+        "asset_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
+    )
+
+
+@register(
     "multimodal_audio_spectral",
     oracle="""
 WITH dims AS (
