@@ -147,6 +147,69 @@ def streaming_replay_current_bucketed(spark: SparkSession, sf_dir: str) -> DataF
 ORACLES["streaming_replay_current_bucketed"] = ORACLES["cdc_current_snapshot"]
 
 
+@register("streaming_killresume_replay", oracle=None)
+def streaming_killresume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 exactly-once under the DRIVER's harness, not just pytest
+    (VERDICT r4 ask #4): the upsert stream is STOPPED mid-replay — after
+    the first committed micro-batch, before the rest — then resumed from
+    the checkpoint to completion.  The final state must equal the batch
+    snapshot exactly (no lost batch, no double-applied batch), so it
+    shares cdc_current_snapshot's oracle.  The stop lands at a
+    nondeterministic batch boundary; the FINAL state is deterministic
+    regardless — that invariance is exactly the delivery contract."""
+    import time as _time
+
+    from cdc_practice_spark.streaming.pipeline import stream_current_upsert
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="killresume_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=4)
+    state_root = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    q = stream_current_upsert(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root,
+        ckpt,
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if done and os.path.exists(os.path.join(state_root, "_MANIFEST")):
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = stream_current_upsert(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root,
+        ckpt,
+    )
+    q2.awaitTermination()
+
+    from cdc_practice_spark.streaming.pipeline import load_bucketed_state
+
+    state = load_bucketed_state(spark, state_root)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "event_type",
+        "props_k",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+ORACLES["streaming_killresume_replay"] = ORACLES["cdc_current_snapshot"]
+
+
 def split_documents_into_files(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> None:
