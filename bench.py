@@ -28,9 +28,10 @@ HEADLINE = [
     "cdc_current_snapshot",
     "cdc_history",
     "cdc_user_stats",
-    # CDC scale tiers (r4): temporal join, delta-maintained MV
+    # CDC scale tiers (r4/r5): temporal join, delta-maintained MVs
     "cdc_scd2_asof_join",
     "cdc_incremental_mv",
+    "cdc_incremental_topk_mv",
     # relational analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
