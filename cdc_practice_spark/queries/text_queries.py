@@ -242,6 +242,101 @@ def vocab_df_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS dl
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens
+),
+tf AS (
+  SELECT d.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf, any_value(l.dl) AS dl
+  FROM documents d
+  JOIN lens l USING (doc_id),
+  LATERAL unnest({_TOKS.replace('text', 'd.text')}) AS t(term)
+  WHERE t.term IN {str(_BM25_TERMS)}
+  GROUP BY d.doc_id, t.term
+),
+df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * tf.dl / corpus.avgdl))) AS score
+  FROM tf JOIN df USING (term), corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene idf variant, k1=1.2,
+    b=0.75) for a fixed query over the corpus — the IR scoring tier a
+    training pipeline uses for quality-biased sampling and search-based
+    decontamination.
+
+    Plan shape: the query-term IN filter lands directly on the exploded
+    terms, so only matching postings survive the map side; one exchange
+    on (doc, term) builds tf with the doc length carried as first(dl)
+    (no separate doc-length join), the |q|-row df table and the 1-row
+    (N, avgdl) scalar broadcast back, and the final per-doc sum ends in
+    a TakeOrdered top-20 — no global sort.  At 100 TB: posting-list
+    construction is the word-count shape, everything after it is
+    query-term-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(T.tokens(F.col("text")), lambda t: t != "")
+    lens = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    terms = (
+        docs.select("doc_id", F.size(toks).cast("long").alias("dl"),
+                    F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "contrib",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.round("score", 6).cast("double").alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @register(
     "corpus_quality_filter",
     oracle=f"""
