@@ -272,3 +272,29 @@ def test_weighted_sample_is_shuffle_free_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     phys = plan[plan.index("== Physical Plan =="):]
     assert "Exchange" not in phys
+
+
+def test_bm25_broadcast_and_take_ordered(spark, sf_dir):
+    """BM25: the df table and the (N, avgdl) scalar broadcast back onto
+    the postings (never a shuffle of tf rows on term), and the top-20
+    compiles to TakeOrderedAndProject — no global sort."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan  # scalar join is 1-row broadcast
+
+
+def test_fused_incremental_mv_two_exchanges(spark, sf_dir):
+    """The r5 fused one-pass MV refresh must keep exactly two exchanges:
+    the key-partitioned max_by aggregation and the group aggregation —
+    the six-exchange separate-frames shape must not creep back."""
+    plan = plan_of(spark, sf_dir, "cdc_incremental_mv", "formatted")
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") <= 2, body.count("Exchange")
+
+
+def test_topk_mv_uses_window_group_limit(spark, sf_dir):
+    """topk_mv's rank filter must lower to a partial WindowGroupLimit
+    below the exchange so a huge group ships k rows per map partition."""
+    plan = plan_of(spark, sf_dir, "cdc_incremental_topk_mv")
+    assert "WindowGroupLimit" in plan
