@@ -376,6 +376,58 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_rp_lsh_recall",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(10 AS BIGINT) AS k,
+       TRUE AS recall_ok,
+       TRUE AS sublinear_ok
+FROM embeddings
+""",
+)
+def ann_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN under the oracle gate (operators/
+    similarity.py::rp_lsh_topk) — the SURVEY's LSH-bucketed variant
+    beside IVF and PQ: 8 hyperplane banks × 8-bit sign signatures (one
+    Arrow GEMM index pass), query bucket + Hamming-1 multiprobe
+    candidates, exact-cosine rerank.
+
+    Like ann_pq_recall, a random-projection ranking isn't
+    SQL-replicable, so the oracle gates DECISIONS: recall@10 vs the
+    exact brute-force top-10 must be ≥ 0.5, AND the candidate set must
+    be strictly smaller than the corpus (the sublinearity witness —
+    an LSH that degenerates to scanning everything flips it).  The
+    whole pipeline is deterministic (fixed seed, sign cuts, round-6
+    rerank, id tiebreaks), so both booleans are stable; measured
+    recall on the fixtures is 6/8/9 of 10 at sf0.001/0.01/0.1 touching
+    ≤30% of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    lsh = S.rp_lsh_topk(emb, qv, k=10).select(
+        F.col("vec_id").alias("l_id"), "n_candidates"
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    lsh = tracked_persist(lsh)
+    exact = S.brute_force_topk(emb, qv, k=10).select("vec_id")
+    overlap = exact.join(lsh, exact["vec_id"] == F.col("l_id"), "left_semi").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    n_cand = lsh.agg(F.max("n_candidates").alias("n_cand"))
+    n_vec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        n_vec.crossJoin(overlap)
+        .crossJoin(n_cand)
+        .select(
+            "n_vectors",
+            F.lit(10).cast("long").alias("k"),
+            (F.col("n_overlap") >= 5).alias("recall_ok"),
+            (F.col("n_cand") < F.col("n_vectors")).alias("sublinear_ok"),
+        )
+    )
+
+
+@register(
     "embedding_centroid_outliers",
     oracle=f"""
 WITH cent AS (

@@ -220,3 +220,52 @@ def test_centroid_outliers_rank_is_partition_stable(spark):
     a = sorted(map(tuple, centroid_outliers(emb1, k=4, dim=8).collect()))
     b = sorted(map(tuple, centroid_outliers(emb2, k=4, dim=8).collect()))
     assert a == b
+
+
+def test_rp_lsh_recall_floor_sublinear_and_deterministic(emb, qvec):
+    """LSH-bucketed ANN: recall@10 ≥ the decision threshold, candidates
+    strictly fewer than the corpus (sublinearity), self-hit recovered,
+    and two runs return identical rows (fixed seed, sign cuts)."""
+    got = S.rp_lsh_topk(emb, qvec, k=10).collect()
+    ids = {r.vec_id for r in got}
+    exact_ids = {r.vec_id for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    assert len(ids & exact_ids) >= 5
+    assert 0 in ids  # the query vector hashes into its own bucket
+    n_total = emb.count()
+    assert 0 < got[0].n_candidates < n_total
+    again = S.rp_lsh_topk(emb, qvec, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in again
+    ]
+
+
+def test_rp_lsh_scores_are_exact_cosine(emb, qvec):
+    """Rerank honesty: returned cosines equal the brute-force score for
+    the same id — LSH only prunes candidates, never changes scores."""
+    got = {r.vec_id: r.cosine for r in S.rp_lsh_topk(emb, qvec, k=10).collect()}
+    exact = {
+        r.vec_id: r.cosine
+        for r in S.brute_force_topk(emb, qvec, k=600).collect()
+    }
+    for vid, cos in got.items():
+        assert cos == exact[vid]
+
+
+def test_rp_lsh_signature_kernel_matches_driver_math(emb):
+    """The Arrow GEMM signature pass must agree with a direct numpy
+    recomputation on a sample — a bit-order or sign-convention drift
+    between index side and query side silently zeroes recall."""
+    import numpy as np
+
+    planes = S.rp_lsh_planes(64, 8, 2, seed=7)
+    sigs = {
+        (r.vec_id, r.table): r.sig
+        for r in S.rp_lsh_signatures(emb.limit(20), planes).collect()
+    }
+    raw = {r.vec_id: np.asarray(list(r.embedding), float) for r in emb.limit(20).collect()}
+    for (vid, t), sig in sigs.items():
+        bits = (raw[vid] @ planes[t].T) > 0
+        want = 0
+        for j in range(8):
+            want = (want << 1) | int(bits[j])
+        assert sig == want, (vid, t)
