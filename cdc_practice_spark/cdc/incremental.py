@@ -461,6 +461,202 @@ def delta_apply_topk_mv(
     return safe.unionByName(rederived).filter(F.col("n_rows") > 0)
 
 
+# ---------------------------------------------------------------------------
+# Incremental DISTINCT-COUNT maintenance — the other non-invertible
+# aggregate family.  COUNT(DISTINCT v) can't be maintained by signed
+# arithmetic on the MV alone (retracting a value says nothing about
+# whether OTHER rows still carry it), and unlike MIN/MAX there is no
+# "endangered group" shortcut — every retraction might be the value's
+# last.  The exact fix (Materialize's reduction stack, any
+# support-counted IVM) is one level of auxiliary state: a SUPPORT table
+# counting rows per (group, value).  The distinct count then moves only
+# when a support count crosses zero:
+#
+#   born  (g, v): 0 → >0   ⇒ +1 distinct
+#   died  (g, v): >0 → 0   ⇒ −1 distinct
+#
+# Per-batch cost: O(|delta|) for the signed pair aggregation +
+# O(|touched pairs|) point reads of the stored support (key-equality
+# join — bucket/Bloom-prunable) + O(|touched groups|) MV combine.  The
+# support table itself is maintained by the same bucketed MERGE the
+# snapshot sink uses (only touched pairs are written back).  NULLs
+# follow SQL COUNT(DISTINCT): they never enter the support table but
+# still count toward n_rows.
+# ---------------------------------------------------------------------------
+
+
+def distinct_mv(
+    current: DataFrame, group_col: str, distinct_col: str
+) -> DataFrame:
+    """The maintained aggregate: per-group live row count + exact
+    COUNT(DISTINCT distinct_col) over a current snapshot."""
+    return current.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(distinct_col)).alias("n_distinct"),
+    )
+
+
+def support_mv(
+    current: DataFrame, group_col: str, distinct_col: str
+) -> DataFrame:
+    """The auxiliary state: rows-per-(group, value) support counts.
+    Size is O(distinct pairs), not O(rows); NULL values are absent by
+    SQL COUNT(DISTINCT) semantics."""
+    return (
+        current.filter(F.col(distinct_col).isNotNull())
+        .groupBy(group_col, distinct_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def delta_apply_distinct_mv(
+    base_current: DataFrame,
+    base_support: DataFrame,
+    base_mv: DataFrame,
+    delta_feed: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> DataFrame:
+    """Maintain ``base_mv`` (= distinct_mv of the state at T, with
+    ``base_support`` its support table) through a batch of post-T change
+    events; returns the same rows as recomputing distinct_mv from
+    scratch on the post-batch state.
+
+    Plan shape: one window over the delta (latest event per key), one
+    touched-key semi join against the snapshot, one signed pair
+    aggregation, one point-read join of the touched pairs' stored
+    support counts, one group combine — nothing scans the untouched
+    support or the base feed."""
+    w = Window.partitionBy(key)
+    latest = (
+        delta_feed.withColumn("_mx", F.max(order).over(w))
+        .filter(F.col(order) == F.col("_mx"))
+        .select(
+            F.col(key),
+            F.col(group_col),
+            F.col(distinct_col),
+            (F.col("__deleted") == "false").alias("_live"),
+        )
+    )
+    touched = latest.select(key).distinct()
+    old = base_current.join(touched, on=key, how="left_semi").select(
+        F.col(group_col).alias("g"),
+        F.col(distinct_col).alias("v"),
+        F.lit(-1).alias("w"),
+    )
+    new = latest.filter(F.col("_live")).select(
+        F.col(group_col).alias("g"),
+        F.col(distinct_col).alias("v"),
+        F.lit(1).alias("w"),
+    )
+    contrib = old.unionByName(new)
+    # live-row-count delta per group (NULL values included)
+    ndelta = contrib.groupBy("g").agg(F.sum("w").alias("dn"))
+    # support delta per touched (group, value) pair, NULLs excluded
+    pair = (
+        contrib.filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("dw"))
+        .filter(F.col("dw") != 0)
+    )
+    sup = base_support.select(
+        F.col(group_col).alias("g"), F.col(distinct_col).alias("v"), "cnt"
+    )
+    # O(touched pairs) point reads: only changed pairs probe the store
+    pairs = pair.join(sup, on=["g", "v"], how="left").select(
+        "g",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c0"),
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("dw")).alias("c1"),
+    )
+    born = (F.col("c0") == 0) & (F.col("c1") > 0)
+    died = (F.col("c0") > 0) & (F.col("c1") <= 0)
+    ddelta = pairs.groupBy("g").agg(
+        F.sum(
+            F.when(born, 1).when(died, -1).otherwise(0)
+        ).alias("dd")
+    )
+    gdelta = ndelta.join(ddelta, on="g", how="left").select(
+        "g", "dn", F.coalesce(F.col("dd"), F.lit(0)).alias("dd")
+    )
+    mv = base_mv.select(F.col(group_col).alias("mg"), "n_rows", "n_distinct")
+    return (
+        mv.join(gdelta, mv["mg"] == gdelta["g"], "full_outer")
+        .select(
+            F.coalesce(F.col("mg"), F.col("g")).alias(group_col),
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("n_distinct"), F.lit(0))
+                + F.coalesce(F.col("dd"), F.lit(0))
+            ).alias("n_distinct"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+def delta_apply_support_mv(
+    base_current: DataFrame,
+    base_support: DataFrame,
+    delta_feed: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> DataFrame:
+    """The updated support table after a change batch — what a
+    production refresh MERGEs back into the stored support (only the
+    touched pairs move; here the full table is materialized so the
+    multi-batch chaining tests can feed it forward).  Shares the delta
+    algebra of :func:`delta_apply_distinct_mv`; a streaming sink would
+    fuse the two into one maintenance job."""
+    w = Window.partitionBy(key)
+    latest = (
+        delta_feed.withColumn("_mx", F.max(order).over(w))
+        .filter(F.col(order) == F.col("_mx"))
+        .select(
+            F.col(key),
+            F.col(group_col),
+            F.col(distinct_col),
+            (F.col("__deleted") == "false").alias("_live"),
+        )
+    )
+    touched = latest.select(key).distinct()
+    old = base_current.join(touched, on=key, how="left_semi").select(
+        F.col(group_col).alias("g"),
+        F.col(distinct_col).alias("v"),
+        F.lit(-1).alias("w"),
+    )
+    new = latest.filter(F.col("_live")).select(
+        F.col(group_col).alias("g"),
+        F.col(distinct_col).alias("v"),
+        F.lit(1).alias("w"),
+    )
+    pair = (
+        old.unionByName(new)
+        .filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("dw"))
+        .filter(F.col("dw") != 0)
+    )
+    sup = base_support.select(
+        F.col(group_col).alias("g"), F.col(distinct_col).alias("v"), "cnt"
+    )
+    merged = sup.join(pair, on=["g", "v"], how="full_outer").select(
+        "g",
+        "v",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("dw"), F.lit(0))
+        ).alias("cnt"),
+    )
+    return merged.filter(F.col("cnt") > 0).select(
+        F.col("g").alias(group_col), F.col("v").alias(distinct_col), "cnt"
+    )
+
+
 def delta_apply_minmax_mv(
     base_current: DataFrame,
     base_mv: DataFrame,

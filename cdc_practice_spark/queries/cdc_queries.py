@@ -702,6 +702,63 @@ def cdc_incremental_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_distinct_mv",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+),
+cur AS (
+  SELECT * FROM ranked WHERE rn = 1 AND __deleted = 'false'
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT props_k) AS n_distinct
+FROM cur
+GROUP BY event_type
+""",
+)
+def cdc_incremental_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained COUNT(DISTINCT) view (cdc/incremental.py
+    ::delta_apply_distinct_mv) — the support-counted non-invertible
+    aggregate: per event_type, the exact distinct count of props_k over
+    the current state.  The MV plus its (group, value) support table are
+    materialized at the feed's midpoint and maintained through the
+    second half; the distinct count moves only when a support count
+    crosses zero (born/died), detected with O(touched pairs) point
+    reads.  The oracle recomputes COUNT(DISTINCT) from scratch over the
+    full feed, so a missed zero-crossing or an unretracted pair
+    hash-fails."""
+    from cdc_practice_spark.cdc.incremental import (
+        delta_apply_distinct_mv,
+        distinct_mv,
+        support_mv,
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    feed = _feed(spark, sf_dir)
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+    base_feed = feed.filter(F.col("kafka_offset") <= t)
+    delta_feed = feed.filter(F.col("kafka_offset") > t)
+    base_current = tracked_persist(build_current(base_feed))
+    maintained = delta_apply_distinct_mv(
+        base_current,
+        support_mv(base_current, "event_type", "props_k"),
+        distinct_mv(base_current, "event_type", "props_k"),
+        delta_feed,
+        "event_type",
+        "props_k",
+    )
+    return maintained.select("event_type", "n_rows", "n_distinct")
+
+
+@register(
     "cdc_incremental_join_view",
     oracle=f"""
 WITH {FEED_CTE},

@@ -9,11 +9,12 @@ md5-derived hashing, identical regexes, identical fold order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_practice_spark.functions import text as T
 from cdc_practice_spark.queries.registry import register
+from cdc_practice_spark.queries.similarity_queries import _COS_SQL
 from cdc_practice_spark.session import load_table
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
@@ -282,21 +283,10 @@ ORDER BY round(score, 6) DESC, doc_id
 LIMIT 20
 """,
 )
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson/Lucene idf variant, k1=1.2,
-    b=0.75) for a fixed query over the corpus — the IR scoring tier a
-    training pipeline uses for quality-biased sampling and search-based
-    decontamination.
-
-    Plan shape: the query-term IN filter lands directly on the exploded
-    terms, so only matching postings survive the map side; one exchange
-    on (doc, term) builds tf with the doc length carried as first(dl)
-    (no separate doc-length join), the |q|-row df table and the 1-row
-    (N, avgdl) scalar broadcast back, and the final per-doc sum ends in
-    a TakeOrdered top-20 — no global sort.  At 100 TB: posting-list
-    construction is the word-count shape, everything after it is
-    query-term-sized."""
-    docs = load_table(spark, sf_dir, "documents")
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score) BM25 scores of the fixed query terms — the shared
+    sparse-retrieval leg of text_bm25_topk and hybrid_retrieval_rrf.
+    Plan shape documented at text_bm25_topk."""
     toks = F.filter(T.tokens(F.col("text")), lambda t: t != "")
     lens = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
     corpus = lens.agg(
@@ -313,7 +303,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     k1, b = _BM25_K1, _BM25_B
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
@@ -328,6 +318,23 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene idf variant, k1=1.2,
+    b=0.75) for a fixed query over the corpus — the IR scoring tier a
+    training pipeline uses for quality-biased sampling and search-based
+    decontamination.
+
+    Plan shape: the query-term IN filter lands directly on the exploded
+    terms, so only matching postings survive the map side; one exchange
+    on (doc, term) builds tf with the doc length carried as first(dl)
+    (no separate doc-length join), the |q|-row df table and the 1-row
+    (N, avgdl) scalar broadcast back, and the final per-doc sum ends in
+    a TakeOrdered top-20 — no global sort.  At 100 TB: posting-list
+    construction is the word-count shape, everything after it is
+    query-term-sized."""
+    scored = _bm25_scored(load_table(spark, sf_dir, "documents"))
     return (
         scored.select(
             "doc_id", F.round("score", 6).cast("double").alias("bm25")
@@ -335,6 +342,121 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+_RRF_K = 60  # Cormack/Clarke/Buettcher's constant; rank-only, score-free
+_RRF_N = 50  # per-leg candidate depth
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS dl
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens
+),
+tf AS (
+  SELECT d.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf, any_value(l.dl) AS dl
+  FROM documents d
+  JOIN lens l USING (doc_id),
+  LATERAL unnest({_TOKS.replace('text', 'd.text')}) AS t(term)
+  WHERE t.term IN {str(_BM25_TERMS)}
+  GROUP BY d.doc_id, t.term
+),
+df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * tf.dl / corpus.avgdl))), 6) AS score
+  FROM tf JOIN df USING (term), corpus
+  GROUP BY tf.doc_id
+),
+sparse_leg AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm QUALIFY r <= {_RRF_N}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dn AS (
+  SELECT vec_id AS doc_id, {{cos}} AS cosine FROM embeddings, q
+),
+dense_leg AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+  FROM dn QUALIFY r <= {_RRF_N}
+),
+fused AS (
+  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K} + s.r), 0)
+               + coalesce(1.0 / ({_RRF_K} + d.r), 0), 6) AS rrf,
+         s.r AS sparse_rank, d.r AS dense_rank
+  FROM sparse_leg s FULL OUTER JOIN dense_leg d USING (doc_id)
+)
+SELECT doc_id, rrf, sparse_rank, dense_rank
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""".replace("{cos}", _COS_SQL.format(a="embedding", b="qv")),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (RRF, k=60): the BM25 leg ranks the fixed query terms over
+    ``documents``, the dense leg ranks cosine-vs-query-vector over
+    ``embeddings`` (doc_id ≡ vec_id), and each document scores
+    Σ 1/(k + rank) over the legs it appears in — the standard score-free
+    fusion every RAG/retrieval pipeline runs (rank-only, so the two
+    legs' incomparable score scales never meet).
+
+    Plan shape: each leg ends in a TakeOrdered top-N (no global sort);
+    ranks are assigned by a window over the N-row result (k-sized, one
+    partition by construction — not a data-sized single-partition
+    window); the fusion joins two N-row frames.  At 100 TB the legs ARE
+    the retrieval engines (posting-list BM25, partition-pruned ANN);
+    fusion cost is rank-depth-sized, independent of corpus size.  Both
+    engines rank on round-6 scores with doc-id tiebreaks, so ranks —
+    and the hash — are reproducible."""
+    from cdc_practice_spark.operators import similarity as S
+    from cdc_practice_spark.queries.similarity_queries import _query_vec
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    sparse = (
+        _bm25_scored(docs)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_N)
+        .withColumn("r", F.row_number().over(wr))
+        .select("doc_id", "r")
+    )
+    dense = (
+        S.brute_force_topk(emb, _query_vec(spark, sf_dir), k=_RRF_N)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "r")
+    )
+    s, d = sparse.alias("s"), dense.alias("d")
+    fused = s.join(d, on="doc_id", how="full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("s.r")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("d.r")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("s.r").alias("sparse_rank"),
+        F.col("d.r").alias("dense_rank"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
 
 
 @register(

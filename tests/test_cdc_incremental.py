@@ -418,3 +418,108 @@ def test_minmax_multi_batch_chaining(feed):
         state_feed = feed.filter(F.col("kafka_offset") <= t)
         prev = t
     assert _mm_rows(mv) == scratch
+
+
+# ---- COUNT(DISTINCT) maintenance (support-counted) ----
+
+from cdc_practice_spark.cdc.incremental import (  # noqa: E402
+    delta_apply_distinct_mv,
+    delta_apply_support_mv,
+    distinct_mv,
+    support_mv,
+)
+
+
+def _dc_rows(df):
+    return sorted(
+        (r.event_type, r.n_rows, r.n_distinct)
+        for r in df.select("event_type", "n_rows", "n_distinct").collect()
+    )
+
+
+def test_distinct_delta_apply_equals_scratch_at_any_split(feed):
+    scratch = _dc_rows(distinct_mv(build_current(feed), "event_type", "props_k"))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    for t in (-1, max_off // 3, max_off // 2, max_off):
+        base_feed = feed.filter(F.col("kafka_offset") <= t)
+        delta_feed = feed.filter(F.col("kafka_offset") > t)
+        base_current = build_current(base_feed)
+        maintained = delta_apply_distinct_mv(
+            base_current,
+            support_mv(base_current, "event_type", "props_k"),
+            distinct_mv(base_current, "event_type", "props_k"),
+            delta_feed,
+            "event_type",
+            "props_k",
+        )
+        assert _dc_rows(maintained) == scratch, f"split {t} diverged"
+
+
+def test_distinct_zero_crossings_and_nulls(spark):
+    """The value-level cases signed MV arithmetic cannot express:
+    retracting the LAST copy of a value kills it (died), re-inserting a
+    value that still has other holders must NOT double-count, and NULL
+    values count toward n_rows but never toward n_distinct."""
+    from datetime import datetime
+
+    rows = [
+        # base: k=1 held by keys 1 and 2; k=2 held only by key 3;
+        # key 4 has NULL props_k
+        (0, datetime(2024, 1, 1, 0), 1, "click", 5.0, '{"k": 1}'),
+        (1, datetime(2024, 1, 1, 1), 2, "click", 6.0, '{"k": 1}'),
+        (2, datetime(2024, 1, 1, 2), 3, "click", 7.0, '{"k": 2}'),
+        (3, datetime(2024, 1, 1, 3), 4, "click", 8.0, "{}"),
+        # delta: key 3 deleted (last copy of k=2 dies); key 1 moves to
+        # k=3 (k=3 born; k=1 survives via key 2)
+        (4, datetime(2024, 1, 1, 4), 3, "error", 7.0, '{"k": 2}'),
+        (5, datetime(2024, 1, 1, 5), 1, "click", 5.5, '{"k": 3}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    base_feed = feed.filter(F.col("kafka_offset") <= 3)
+    base_current = build_current(base_feed)
+    maintained = delta_apply_distinct_mv(
+        base_current,
+        support_mv(base_current, "event_type", "props_k"),
+        distinct_mv(base_current, "event_type", "props_k"),
+        feed.filter(F.col("kafka_offset") > 3),
+        "event_type",
+        "props_k",
+    )
+    # live rows: keys 1 (k=3), 2 (k=1), 4 (NULL) → n_rows 3, distinct {1,3}
+    assert _dc_rows(maintained) == [("click", 3, 2)]
+
+
+def test_distinct_multi_batch_chaining_with_maintained_support(feed):
+    """The support table itself is maintained batch-over-batch (never
+    rebuilt from state), and the MV chained on top still equals
+    from-scratch at the end — the production refresh loop."""
+    scratch = _dc_rows(distinct_mv(build_current(feed), "event_type", "props_k"))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    cuts = [max_off // 4, max_off // 2, (3 * max_off) // 4, max_off]
+    prev = -1
+    state_feed = feed.filter(F.col("kafka_offset") <= prev)
+    cur = build_current(state_feed)
+    mv = distinct_mv(cur, "event_type", "props_k")
+    sup = support_mv(cur, "event_type", "props_k")
+    for t in cuts:
+        delta = feed.filter(
+            (F.col("kafka_offset") > prev) & (F.col("kafka_offset") <= t)
+        )
+        cur = build_current(state_feed)
+        mv = delta_apply_distinct_mv(
+            cur, sup, mv, delta, "event_type", "props_k"
+        )
+        sup = delta_apply_support_mv(cur, sup, delta, "event_type", "props_k")
+        state_feed = feed.filter(F.col("kafka_offset") <= t)
+        prev = t
+    assert _dc_rows(mv) == scratch
+    # the maintained support must equal the from-scratch support too
+    scratch_sup = sorted(
+        map(tuple, support_mv(build_current(feed), "event_type", "props_k").collect())
+    )
+    assert sorted(map(tuple, sup.collect())) == scratch_sup
