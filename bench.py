@@ -57,6 +57,7 @@ HEADLINE = [
     "ngram_lm_score",
     "pack_sequences_greedy",
     "ann_cosine_topk",
+    "hybrid_retrieval_rrf",
     "embedding_topk_pairs",
     "embedding_quantize_int8",
     "semantic_dedup_keep",

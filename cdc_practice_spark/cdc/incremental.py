@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_practice_spark.functions import money as M
+from cdc_practice_spark.plans.cache import tracked_persist
 
 
 def current_mv(
@@ -77,6 +78,10 @@ def delta_apply_mv(
             (F.col("__deleted") == "false").alias("_live"),
         )
     )
+    # O(touched keys)-sized and consumed by every leg below — persist so
+    # the delta window runs once, not once per consumer (measured 3× on
+    # the maintenance path; the caller releases via release_tracked)
+    latest = tracked_persist(latest)
     touched = latest.select(key).distinct()
     # retract the touched keys' OLD contributions (keys absent from the
     # snapshot — first seen in the delta — retract nothing: inner join)
@@ -224,6 +229,7 @@ def signed_delta_current(
         delta_feed.withColumn("_mx", F.max(order).over(w))
         .filter(F.col(order) == F.col("_mx"))
     )
+    latest = tracked_persist(latest)  # delta window runs once, not 2×
     touched = latest.select(key).distinct()
     retract = (
         base_current.join(touched, on=key, how="left_semi")
@@ -395,6 +401,7 @@ def delta_apply_topk_mv(
             (F.col("__deleted") == "false").alias("_live"),
         )
     )
+    latest = tracked_persist(latest)  # consumed by 3 legs + the rescan
     touched = latest.select(key).distinct()
     el = F.struct((-M.fixed(value_col)).alias("nc"), F.col(key).alias("id"))
     old = base_current.join(touched, on=key, how="left_semi").select(
@@ -428,6 +435,9 @@ def delta_apply_topk_mv(
         "ret_min_nc",
         F.coalesce(F.col("ins_topk"), empty).alias("ins_topk"),
     )
+    # group-cardinality rows consumed by the safe leg AND both rescan
+    # semi joins — persist so the stats chain runs once, not 3×
+    merged = tracked_persist(merged)
     # guard: element_at index 0 (empty prefix — group new in this batch)
     # is an ANSI error; such groups have ret_cnt = 0 and stay safe
     kth_nc = F.when(
@@ -540,6 +550,7 @@ def delta_apply_distinct_mv(
             (F.col("__deleted") == "false").alias("_live"),
         )
     )
+    latest = tracked_persist(latest)
     touched = latest.select(key).distinct()
     old = base_current.join(touched, on=key, how="left_semi").select(
         F.col(group_col).alias("g"),
@@ -551,7 +562,10 @@ def delta_apply_distinct_mv(
         F.col(distinct_col).alias("v"),
         F.lit(1).alias("w"),
     )
-    contrib = old.unionByName(new)
+    # O(delta) signed contributions feed BOTH the row-count and the
+    # support-pair aggregations — persist so the touched-key semi join
+    # runs once
+    contrib = tracked_persist(old.unionByName(new))
     # live-row-count delta per group (NULL values included)
     ndelta = contrib.groupBy("g").agg(F.sum("w").alias("dn"))
     # support delta per touched (group, value) pair, NULLs excluded
@@ -624,6 +638,7 @@ def delta_apply_support_mv(
             (F.col("__deleted") == "false").alias("_live"),
         )
     )
+    latest = tracked_persist(latest)  # delta window runs once, not 2×
     touched = latest.select(key).distinct()
     old = base_current.join(touched, on=key, how="left_semi").select(
         F.col(group_col).alias("g"),
@@ -657,6 +672,153 @@ def delta_apply_support_mv(
     )
 
 
+def delta_apply_topk_mv_onepass(
+    feed: DataFrame,
+    t: int,
+    group_col: str,
+    k: int,
+    value_col: str = "value",
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> DataFrame:
+    """Fused one-feed form of :func:`delta_apply_topk_mv` (same algebra,
+    same rows) for the harness where base and delta live in ONE feed:
+    every per-key fact — state at T, state at end, touched? — comes from
+    a single ``max_by`` aggregation, replacing the separate
+    build_current window, the delta-latest window, and the touched-key
+    semi join (the delta_apply_mv_onepass pattern).  The separate-frames
+    form stays the production shape for stored base state; equivalence
+    of both to from-scratch recomputation is property-tested at every
+    split point in tests/test_cdc_incremental.py.
+
+    Measured at sf0.1: the separate-frames harness runs ~20 AQE jobs
+    (every exchange is a job, each paying the scheduling floor); this
+    form halves the exchange count — the job floor, not the data, is
+    the entire local cost."""
+    snap = lambda: F.struct(  # noqa: E731
+        F.col(group_col).alias("g"),
+        M.fixed(value_col).alias("c"),
+        F.col("__deleted").alias("d"),
+    )
+    per_key = tracked_persist(
+        feed.groupBy(key).agg(
+            F.max_by(snap(), F.when(F.col(order) <= F.lit(t), F.col(order))).alias(
+                "at_t"
+            ),
+            F.max_by(snap(), F.col(order)).alias("at_end"),
+            F.max(order).alias("mx"),
+        )
+    )
+    old_live = F.col("at_t").isNotNull() & (F.col("at_t.d") == "false")
+    touched = F.col("mx") > F.lit(t)
+    new_live = F.col("at_end.d") == "false"
+    key_t = feed.schema[key].dataType.simpleString()
+    empty = F.expr(f"CAST(array() AS ARRAY<STRUCT<nc: BIGINT, id: {key_t}>>)")
+
+    # base state at T → stored MV (prefix + live count), exactly topk_mv
+    base_rows = per_key.filter(old_live).select(
+        F.col(key), F.col("at_t.g").alias("g"), F.col("at_t.c").alias("c")
+    )
+    el = F.struct((-F.col("c")).alias("nc"), F.col(key).alias("id"))
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col(key).asc())
+    top = (
+        base_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(el)).alias("topk"))
+    )
+    cnt = base_rows.groupBy("g").agg(F.count(F.lit(1)).alias("n_rows"))
+    mv = top.join(cnt, on="g", how="outer").withColumnRenamed("g", "mg")
+
+    # signed delta stats per group, straight off the per-key facts
+    eln = lambda s: F.struct(  # noqa: E731
+        (-F.col(f"{s}.c")).alias("nc"), F.col(key).alias("id")
+    )
+    legs = (
+        per_key.filter(touched)
+        .select(
+            F.explode(
+                F.array(
+                    F.when(
+                        old_live,
+                        F.struct(
+                            F.col("at_t.g").alias("g"),
+                            eln("at_t").alias("e"),
+                            F.lit(-1).alias("w"),
+                        ),
+                    ),
+                    F.when(
+                        new_live,
+                        F.struct(
+                            F.col("at_end.g").alias("g"),
+                            eln("at_end").alias("e"),
+                            F.lit(1).alias("w"),
+                        ),
+                    ),
+                )
+            ).alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .select("s.*")
+    )
+    stats = legs.groupBy("g").agg(
+        F.sum("w").alias("dn"),
+        F.count(F.when(F.col("w") == -1, 1)).alias("ret_cnt"),
+        F.min(F.when(F.col("w") == -1, F.col("e.nc"))).alias("ret_min_nc"),
+        F.slice(
+            F.sort_array(F.collect_list(F.when(F.col("w") == 1, F.col("e")))),
+            1,
+            k,
+        ).alias("ins_topk"),
+    )
+    merged = tracked_persist(
+        mv.join(stats, mv["mg"] == stats["g"], "full_outer").select(
+            F.coalesce(F.col("mg"), F.col("g")).alias(group_col),
+            F.coalesce(F.col("topk"), empty).alias("topk"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.col("dn"), F.lit(0)).alias("dn"),
+            F.coalesce(F.col("ret_cnt"), F.lit(0)).alias("ret_cnt"),
+            "ret_min_nc",
+            F.coalesce(F.col("ins_topk"), empty).alias("ins_topk"),
+        )
+    )
+    kth_nc = F.when(
+        F.size("topk") > 0, F.element_at("topk", F.size("topk")).getField("nc")
+    )
+    has_hidden = F.col("n_rows") > F.size("topk")
+    endangered_cond = (F.col("ret_cnt") > 0) & (
+        ~has_hidden | (F.col("ret_min_nc") <= kth_nc)
+    )
+    safe = merged.filter(~endangered_cond).select(
+        group_col,
+        F.slice(
+            F.sort_array(F.concat(F.col("topk"), F.col("ins_topk"))), 1, k
+        ).alias("topk"),
+        (F.col("n_rows") + F.col("dn")).alias("n_rows"),
+    )
+    egroups = merged.filter(endangered_cond).select(F.col(group_col).alias("eg"))
+    # endangered groups re-derive from the post-batch state — which the
+    # per-key facts already hold (at_end), no base-table rescan
+    post = (
+        per_key.filter(new_live)
+        .select(F.col(key), F.col("at_end.g").alias("g"), F.col("at_end.c").alias("c"))
+        .join(egroups, F.col("g") == F.col("eg"), "left_semi")
+    )
+    rtop = (
+        post.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(el)).alias("topk"))
+    )
+    rcnt = post.groupBy("g").agg(F.count(F.lit(1)).alias("n_rows"))
+    rederived = (
+        rtop.join(rcnt, on="g")
+        .withColumnRenamed("g", group_col)
+        .select(group_col, "topk", "n_rows")
+    )
+    return safe.unionByName(rederived).filter(F.col("n_rows") > 0)
+
+
 def delta_apply_minmax_mv(
     base_current: DataFrame,
     base_mv: DataFrame,
@@ -680,6 +842,7 @@ def delta_apply_minmax_mv(
             (F.col("__deleted") == "false").alias("_live"),
         )
     )
+    latest = tracked_persist(latest)  # consumed by 3 legs + the rescan
     touched = latest.select(key).distinct()
     old = base_current.join(touched, on=key, how="left_semi").select(
         F.col(group_col).alias("g"), M.fixed(value_col).alias("c"), F.lit(-1).alias("w")
@@ -715,6 +878,8 @@ def delta_apply_minmax_mv(
         "ret_min",
         "ret_max",
     )
+    # group-cardinality; shared by the safe leg and both rescan semi joins
+    merged = tracked_persist(merged)
     # a retraction endangers a group only when it ties the stored extreme
     # (<=/>= rather than == costs nothing and tolerates duplicates)
     endangered_cond = (

@@ -665,9 +665,12 @@ def cdc_incremental_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     array math; only groups whose retractions reach the stored kth
     value re-derive, via a group-key-prunable rescan.  The oracle
     recomputes the top-3 from scratch over the full feed, so a stale
-    prefix or a missed endangerment hash-fails."""
-    from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv, topk_mv
-    from cdc_practice_spark.plans.cache import tracked_persist
+    prefix or a missed endangerment hash-fails.  Runs the fused
+    one-feed form (both halves live in one feed here — per-key facts
+    from ONE max_by aggregation, half the exchanges); the
+    separate-frames production form is delta_apply_topk_mv,
+    property-tested at arbitrary split points."""
+    from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv_onepass
     from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
@@ -675,16 +678,7 @@ def cdc_incremental_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if stats_key not in _STATS_CACHE:
         _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
     t = _STATS_CACHE[stats_key] // 2
-    base_feed = feed.filter(F.col("kafka_offset") <= t)
-    delta_feed = feed.filter(F.col("kafka_offset") > t)
-    base_current = tracked_persist(build_current(base_feed))
-    maintained = delta_apply_topk_mv(
-        base_current,
-        topk_mv(base_current, "event_type", 3),
-        delta_feed,
-        "event_type",
-        3,
-    )
+    maintained = delta_apply_topk_mv_onepass(feed, t, "event_type", 3)
     ex = maintained.select(
         "event_type", F.posexplode("topk").alias("pos", "e")
     )

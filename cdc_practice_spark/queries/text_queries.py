@@ -247,42 +247,6 @@ _BM25_TERMS = ("spark", "join", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-WITH lens AS (
-  SELECT doc_id, CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS dl
-  FROM documents
-),
-corpus AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens
-),
-tf AS (
-  SELECT d.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf, any_value(l.dl) AS dl
-  FROM documents d
-  JOIN lens l USING (doc_id),
-  LATERAL unnest({_TOKS.replace('text', 'd.text')}) AS t(term)
-  WHERE t.term IN {str(_BM25_TERMS)}
-  GROUP BY d.doc_id, t.term
-),
-df AS (
-  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
-),
-scored AS (
-  SELECT tf.doc_id,
-         sum(ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-             * (tf.tf * ({_BM25_K1} + 1.0))
-             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                + {_BM25_B} * tf.dl / corpus.avgdl))) AS score
-  FROM tf JOIN df USING (term), corpus
-  GROUP BY tf.doc_id
-)
-SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
-FROM scored
-ORDER BY round(score, 6) DESC, doc_id
-LIMIT 20
-""",
-)
 def _bm25_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, score) BM25 scores of the fixed query terms — the shared
     sparse-retrieval leg of text_bm25_topk and hybrid_retrieval_rrf.
@@ -320,6 +284,42 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS dl
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM lens
+),
+tf AS (
+  SELECT d.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf, any_value(l.dl) AS dl
+  FROM documents d
+  JOIN lens l USING (doc_id),
+  LATERAL unnest({_TOKS.replace('text', 'd.text')}) AS t(term)
+  WHERE t.term IN {str(_BM25_TERMS)}
+  GROUP BY d.doc_id, t.term
+),
+df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * tf.dl / corpus.avgdl))) AS score
+  FROM tf JOIN df USING (term), corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 20
+""",
+)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (Robertson/Lucene idf variant, k1=1.2,
     b=0.75) for a fixed query over the corpus — the IR scoring tier a

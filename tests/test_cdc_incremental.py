@@ -523,3 +523,18 @@ def test_distinct_multi_batch_chaining_with_maintained_support(feed):
         map(tuple, support_mv(build_current(feed), "event_type", "props_k").collect())
     )
     assert sorted(map(tuple, sup.collect())) == scratch_sup
+
+
+def test_topk_onepass_equals_scratch_at_any_split(feed):
+    """The fused one-feed top-k form must equal from-scratch topk_mv at
+    every split point, including both degenerate ends."""
+    from cdc_practice_spark.cdc.incremental import (
+        delta_apply_topk_mv_onepass,
+        topk_mv,
+    )
+
+    scratch = _tk_rows(topk_mv(build_current(feed), "event_type", 3))
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    for t in (-1, max_off // 3, max_off // 2, max_off):
+        fused = delta_apply_topk_mv_onepass(feed, t, "event_type", 3)
+        assert _tk_rows(fused) == scratch, f"split {t} diverged"
