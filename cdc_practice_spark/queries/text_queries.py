@@ -703,6 +703,118 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap — the standard RAG window
+
+
+@register(
+    "rag_chunk_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk FROM documents
+),
+c AS (
+  SELECT doc_id, u.s AS start, list_slice(tk, u.s + 1, u.s + {_CHUNK}) AS chunk
+  FROM toks, LATERAL unnest(range(0, len(tk), {_STRIDE})) AS u(s)
+  WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(start / {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+""",
+)
+def rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, 48-token
+    stride = 16-token overlap) — the RAG/embedding-prep step that turns
+    a corpus into retrievable passages without losing sentence context
+    at chunk boundaries.
+
+    Pure JVM: tokenize once, generate the start offsets with
+    ``sequence`` (no join, no UDF), explode, ``slice`` out each window.
+    Row growth is ~n_tokens/stride per doc — map-side only, no shuffle
+    at all; at 100 TB this is exactly the shape you want feeding an
+    embedding batch scorer (chunks land partition-local to their
+    documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(T.tokens(F.col("text")), lambda t: t != "")
+    with_t = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") > 0)
+    return with_t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tk") - 1, F.lit(_STRIDE))
+        ).alias("start"),
+        "tk",
+    ).select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("long").alias("chunk_idx"),
+        F.size(F.slice("tk", F.col("start") + 1, _CHUNK)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.array_join(F.slice("tk", F.col("start") + 1, _CHUNK), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+_TOKEN_BUDGET = 800  # per-source token budget for the curated mix
+
+
+@register(
+    "corpus_token_budget_mix",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality_score,
+         CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, quality_score, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, quality_score, n_tokens, cum_tokens
+FROM cum
+WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+""",
+)
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware corpus curation: each source contributes its
+    highest-quality documents until the source's TOKEN budget (not a
+    document cap) is spent — how real training mixes are specified
+    ('x billion tokens of web, y of code').  A document is admitted if
+    any budget remains before it (the crossing document is kept, so
+    every source reaches its budget).
+
+    One quality+token projection, one per-source window cumsum, one
+    filter.  Unlike the rank-cap query there is no WindowGroupLimit
+    shortcut for a running sum — the per-source sort is the honest cost
+    at scale (spill-safe sort-based window); when budget ≪ corpus, the
+    production two-phase trick is to pre-cap with a rank bound
+    (budget / min_doc_tokens) and cumsum only the survivors."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(T.tokens(F.col("text")), lambda t: t != "")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.quality_score(F.col("text")).alias("quality_score"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET
+    ).select("doc_id", "source", "quality_score", "n_tokens", "cum_tokens")
+
+
 @register(
     "corpus_cap_per_source",
     oracle=f"""

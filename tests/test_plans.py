@@ -298,3 +298,21 @@ def test_topk_mv_uses_window_group_limit(spark, sf_dir):
     below the exchange so a huge group ships k rows per map partition."""
     plan = plan_of(spark, sf_dir, "cdc_incremental_topk_mv")
     assert "WindowGroupLimit" in plan
+
+
+def test_rag_chunking_is_shuffle_free(spark, sf_dir):
+    """Sliding-window chunking must stay map-side only: tokenize →
+    generate offsets → slice, with NO exchange anywhere — chunk rows
+    land partition-local to their documents."""
+    plan = plan_of(spark, sf_dir, "rag_chunk_overlap", "formatted")
+    body = plan.split("\n\n")[0]
+    assert "Exchange" not in body, body
+
+
+def test_token_budget_mix_single_source_exchange(spark, sf_dir):
+    """The token-budget cumsum pays exactly one exchange (hash on
+    source for the per-source window) — the quality/token projection
+    must not add its own."""
+    plan = plan_of(spark, sf_dir, "corpus_token_budget_mix", "formatted")
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") <= 1, body
