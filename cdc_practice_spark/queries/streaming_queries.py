@@ -409,6 +409,42 @@ def streaming_maintained_mv_replay(spark: SparkSession, sf_dir: str) -> DataFram
 ORACLES["streaming_maintained_mv_replay"] = ORACLES["cdc_incremental_mv"]
 
 
+@register("streaming_distinct_mv_replay", oracle=None)
+def streaming_distinct_mv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained COUNT(DISTINCT) sink (streaming/pipeline.py::
+    stream_maintained_distinct_mv) replayed over 3 micro-batches:
+    per-epoch support-table zero-crossing maintenance over the bucketed
+    snapshot must land on the same per-group exact distinct count the
+    batch pipeline computes — same oracle as cdc_incremental_distinct_mv
+    (assigned below)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_distinct_mv,
+        read_events_stream,
+        stream_maintained_distinct_mv,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="dmv_replay_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=3)
+    q = stream_maintained_distinct_mv(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root=os.path.join(work, "state"),
+        sup_root=os.path.join(work, "sup"),
+        mv_root=os.path.join(work, "mv"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return load_distinct_mv(spark, os.path.join(work, "mv")).select(
+        "event_type", "n_rows", "n_distinct"
+    )
+
+
+ORACLES["streaming_distinct_mv_replay"] = ORACLES["cdc_incremental_distinct_mv"]
+
+
 @register("streaming_scd2_replay", oracle=None)
 def streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The append-only streaming SCD2 sink (streaming/scd2_sink.py)

@@ -322,6 +322,49 @@ def load_mv(spark: SparkSession, mv_root: str) -> DataFrame:
         return spark.read.parquet(fh.read().strip())
 
 
+# -- pre-epoch snapshot helpers (crash-replay safety, shared by the
+# maintained-view sinks): each state piece a delta retracts against must
+# be pinned to the PREVIOUS epoch before the first swap of this epoch,
+# so a replay after any crash point recomputes identical v{epoch}
+# outputs instead of double-applying against post-batch state. --
+
+
+def _pre_epoch_manifest(state_root: str, epoch_id: int) -> dict[str, str]:
+    pre_path = os.path.join(state_root, f"_MANIFEST.pre_v{epoch_id}")
+    if os.path.exists(pre_path):
+        with open(pre_path) as fh:
+            return json.load(fh)
+    manifest_pre = _read_manifest(state_root)
+    tmp = pre_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest_pre, fh)
+    os.replace(tmp, pre_path)
+    return manifest_pre
+
+
+def _pre_epoch_pointer(root: str, epoch_id: int, name: str = "_MV_POINTER") -> str:
+    pre_path = os.path.join(root, f"{name}.pre_v{epoch_id}")
+    if not os.path.exists(pre_path):
+        pointer = os.path.join(root, name)
+        content = ""
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                content = fh.read().strip()
+        tmp = pre_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, pre_path)
+    with open(pre_path) as fh:
+        return fh.read().strip()
+
+
+def _swap_pointer(root: str, target: str, name: str = "_MV_POINTER") -> None:
+    tmp = os.path.join(root, f"{name}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(target)
+    os.replace(tmp, os.path.join(root, name))
+
+
 def stream_maintained_mv(
     spark: SparkSession,
     events_stream: DataFrame,
@@ -355,39 +398,16 @@ def stream_maintained_mv(
         # state-manifest swap but before the MV pointer swap, a naive
         # replay would read the POST-batch state and double-apply — so
         # the pre-batch manifest is snapshotted (atomically) before the
-        # first swap and re-used verbatim on replay.
-        pre_path = os.path.join(state_root, f"_MANIFEST.pre_v{epoch_id}")
-        if os.path.exists(pre_path):
-            with open(pre_path) as fh:
-                manifest_pre = json.load(fh)
-        else:
-            manifest_pre = _read_manifest(state_root)
-            tmp = pre_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(manifest_pre, fh)
-            os.replace(tmp, pre_path)
+        # first swap and re-used verbatim on replay; same for the MV
+        # pointer (_pre_epoch_manifest/_pre_epoch_pointer above).
+        manifest_pre = _pre_epoch_manifest(state_root, epoch_id)
         pre_paths = [
             manifest_pre[str(b)] for b in touched if str(b) in manifest_pre
         ]
         base_current = (
             spark.read.parquet(*pre_paths) if pre_paths else empty_state(spark)
         )
-        # ... and the MV pointer gets the same pre-epoch snapshot (a crash
-        # between the MV swap and the checkpoint commit would otherwise
-        # replay against the post-batch MV).
-        mv_pre_path = os.path.join(mv_root, f"_MV_POINTER.pre_v{epoch_id}")
-        if not os.path.exists(mv_pre_path):
-            pointer = os.path.join(mv_root, "_MV_POINTER")
-            content = ""
-            if os.path.exists(pointer):
-                with open(pointer) as fh:
-                    content = fh.read().strip()
-            tmp = mv_pre_path + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.write(content)
-            os.replace(tmp, mv_pre_path)
-        with open(mv_pre_path) as fh:
-            mv_path_pre = fh.read().strip()
+        mv_path_pre = _pre_epoch_pointer(mv_root, epoch_id)
         base_mv = (
             spark.read.parquet(mv_path_pre)
             if mv_path_pre
@@ -420,12 +440,121 @@ def stream_maintained_mv(
         #    the pre-epoch manifest/pointer snapshots above pin both
         #    retraction sources to the previous epoch's state, and the
         #    rewrites land in the same v{epoch} dirs
-        with open(os.path.join(mv_root, "_MV_POINTER.tmp"), "w") as fh:
-            fh.write(mv_out)
-        os.replace(
-            os.path.join(mv_root, "_MV_POINTER.tmp"),
-            os.path.join(mv_root, "_MV_POINTER"),
+        _swap_pointer(mv_root, mv_out)
+
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_distinct_mv(
+    spark: SparkSession,
+    mv_root: str,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Current maintained distinct-count MV or empty."""
+    pointer = os.path.join(mv_root, "_MV_POINTER")
+    if not os.path.exists(pointer):
+        return spark.createDataFrame(
+            [], f"{group_col} string, n_rows long, n_distinct long"
         )
+    with open(pointer) as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
+def stream_maintained_distinct_mv(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_root: str,
+    sup_root: str,
+    mv_root: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    distinct_col: str = "props_k",
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """foreachBatch sink maintaining the bucketed snapshot PLUS an exact
+    per-group COUNT(DISTINCT) MV and its (group, value) support table —
+    the streaming face of cdc/incremental.py::delta_apply_distinct_mv.
+    Three state pieces, all pinned to the pre-epoch version before any
+    swap (crash-replay-safe, same discipline as stream_maintained_mv);
+    swap order: snapshot manifest → support pointer → MV pointer last.
+
+    The support table is rewritten whole per epoch here (pointer swap);
+    it is O(distinct pairs), not O(rows), and at warehouse scale it
+    would ride the same bucketed MERGE as the snapshot — the delta
+    functions only ever read the touched pairs from it."""
+    from cdc_practice_spark.cdc.incremental import (
+        delta_apply_distinct_mv,
+        delta_apply_support_mv,
+    )
+
+    os.makedirs(state_root, exist_ok=True)
+    os.makedirs(sup_root, exist_ok=True)
+    os.makedirs(mv_root, exist_ok=True)
+    feed = change_feed_from_events(events_stream)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        touched = sorted(
+            r.b
+            for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return
+        manifest_pre = _pre_epoch_manifest(state_root, epoch_id)
+        pre_paths = [
+            manifest_pre[str(b)] for b in touched if str(b) in manifest_pre
+        ]
+        base_current = (
+            spark.read.parquet(*pre_paths) if pre_paths else empty_state(spark)
+        )
+        sup_path_pre = _pre_epoch_pointer(sup_root, epoch_id, "_SUP_POINTER")
+        base_support = (
+            spark.read.parquet(sup_path_pre)
+            if sup_path_pre
+            else spark.createDataFrame(
+                [], f"{group_col} string, {distinct_col} int, cnt long"
+            )
+        )
+        mv_path_pre = _pre_epoch_pointer(mv_root, epoch_id)
+        base_mv = (
+            spark.read.parquet(mv_path_pre)
+            if mv_path_pre
+            else spark.createDataFrame(
+                [], f"{group_col} string, n_rows long, n_distinct long"
+            )
+        )
+        new_mv = delta_apply_distinct_mv(
+            base_current, base_support, base_mv, batch_df, group_col, distinct_col
+        )
+        mv_out = os.path.join(mv_root, f"v{epoch_id}")
+        new_mv.write.mode("overwrite").parquet(mv_out)
+        new_support = delta_apply_support_mv(
+            base_current, base_support, batch_df, group_col, distinct_col
+        )
+        sup_out = os.path.join(sup_root, f"v{epoch_id}")
+        new_support.write.mode("overwrite").parquet(sup_out)
+        new_state = merge_batch(base_current, batch_df).withColumn(
+            "_bucket", _bucket_col(n_buckets)
+        )
+        out = os.path.join(state_root, f"v{epoch_id}")
+        new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        manifest = _read_manifest(state_root)
+        for b in touched:
+            bucket_dir = os.path.join(out, f"_bucket={b}")
+            if os.path.isdir(bucket_dir):
+                manifest[str(b)] = bucket_dir
+            else:
+                manifest.pop(str(b), None)
+        _swap_manifest(state_root, manifest)
+        _snapshot_manifest(state_root, manifest, epoch_id)
+        _swap_pointer(sup_root, sup_out, "_SUP_POINTER")
+        _swap_pointer(mv_root, mv_out)
 
     return (
         feed.writeStream.foreachBatch(apply_batch)

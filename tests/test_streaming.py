@@ -671,3 +671,64 @@ def test_stream_scd2_append_equals_batch(spark, sf_dir):
     assert dirs == ["e99"]
     assert snap(read_scd2(spark, out_root)) == want
     assert spark.read.parquet(os.path.join(out_root, "e99")).count() == len(want)
+
+
+def test_stream_maintained_distinct_mv_replay_does_not_double_apply(spark, sf_dir):
+    """Same forced crash-replay hazard for the COUNT(DISTINCT) sink,
+    which has THREE state pieces (snapshot manifest, support pointer,
+    MV pointer): the last epoch's checkpoint commit is deleted and the
+    stream restarted.  The pre-epoch snapshots of all three must make
+    the replay idempotent — a support table read post-batch would
+    double-count zero-crossings."""
+    from cdc_practice_spark.cdc.incremental import distinct_mv, support_mv
+    from cdc_practice_spark.streaming.pipeline import (
+        load_distinct_mv,
+        read_events_stream,
+        stream_maintained_distinct_mv,
+    )
+
+    work = tempfile.mkdtemp(prefix="dmvreplay_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+
+    def run_once():
+        q = stream_maintained_distinct_mv(
+            spark,
+            read_events_stream(spark, src),
+            state_root=os.path.join(work, "state"),
+            sup_root=os.path.join(work, "sup"),
+            mv_root=os.path.join(work, "mv"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
+
+    run_once()
+    commits = sorted(os.listdir(os.path.join(work, "ckpt", "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(work, "ckpt", "commits", last))
+    crc = os.path.join(work, "ckpt", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+
+    got = {
+        r.event_type: (r.n_rows, r.n_distinct)
+        for r in load_distinct_mv(spark, os.path.join(work, "mv")).collect()
+    }
+    batch_current = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    want = {
+        r.event_type: (r.n_rows, r.n_distinct)
+        for r in distinct_mv(batch_current, "event_type", "props_k").collect()
+    }
+    assert got == want
+    # the maintained support table must also match from-scratch
+    with open(os.path.join(work, "sup", "_SUP_POINTER")) as fh:
+        sup = spark.read.parquet(fh.read().strip())
+    got_sup = sorted(map(tuple, sup.collect()))
+    want_sup = sorted(
+        map(tuple, support_mv(batch_current, "event_type", "props_k").collect())
+    )
+    assert got_sup == want_sup
