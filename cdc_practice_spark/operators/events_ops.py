@@ -141,3 +141,91 @@ def asof_join(
     out_cols.append(F.col("_matched_t").alias("asof_time"))
     out_cols += [F.col(f"_c_{c}").alias(f"asof_{c}") for c in right_payload]
     return carried.select(*out_cols)
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Global running sum WITHOUT a single-partition window — the
+    distributed two-pass prefix-sum every sweep-line algorithm needs:
+
+      pass 1: range-partition on the global order, per-partition running
+              sum (window partitioned by the PHYSICAL partition id —
+              parallel, spill-safe);
+      pass 2: per-partition totals (≤ n_partitions rows) collect to the
+              driver, exclusive-prefix there, and broadcast back as
+              offsets.
+
+    A naive ``Window.orderBy(...)`` with no partition key funnels the
+    whole table through ONE task — the exact anti-pattern this replaces;
+    cost here is one range exchange + an index-sized driver pass.
+    Output: input columns + ``out_col``."""
+    ranged = df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    ranged = tracked_persist(ranged)
+    totals = sorted(
+        (r._pid, r._tot)
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_tot"))
+        .collect()
+    )
+    off, offsets = 0, []
+    for pid, tot in totals:
+        offsets.append((pid, off))
+        off += tot or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_run", F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), on="_pid")
+        .withColumn(out_col, F.col("_run") + F.col("_off"))
+        .drop("_pid", "_run", "_off")
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "session_start_us",
+    end_col: str = "session_end_us",
+) -> DataFrame:
+    """Sweep-line peak concurrency over closed intervals [start, end]:
+    +1 boundary at start, −1 at end + 1, distributed running sum over
+    the boundary order (ts, delta — retirements before arrivals at the
+    same instant), then max + first time the max is reached.  One row:
+    (peak_concurrency, first_peak_ts_us, n_sessions)."""
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    b = intervals.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select(
+            (F.col(end_col) + 1).alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    running = tracked_persist(
+        distributed_running_sum(b, ["ts", "delta"], "delta", "conc")
+    )
+    n_sessions = intervals.count()
+    peak = running.agg(F.max("conc").alias("p")).collect()[0].p
+    first = (
+        running.filter(F.col("conc") == peak)
+        .agg(F.min("ts").alias("t"))
+        .collect()[0]
+        .t
+    )
+    spark = intervals.sparkSession
+    return spark.createDataFrame(
+        [(int(peak), int(first), int(n_sessions))],
+        "peak_concurrency long, first_peak_ts_us long, n_sessions long",
+    )

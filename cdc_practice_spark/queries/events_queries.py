@@ -250,3 +250,64 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "session_peak_concurrency",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         min(ts_us) AS s, max(ts_us) AS e
+  FROM sessioned GROUP BY user_id, session_seq
+),
+bounds AS (
+  SELECT s AS ts, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT e + 1 AS ts, -1 AS delta FROM sessions
+),
+swept AS (
+  SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS conc
+  FROM bounds
+)
+SELECT (SELECT max(conc) FROM swept) AS peak_concurrency,
+       (SELECT min(ts) FROM swept
+        WHERE conc = (SELECT max(conc) FROM swept)) AS first_peak_ts_us,
+       (SELECT count(*) FROM sessions) AS n_sessions
+""",
+)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously active sessions (capacity-planning
+    staple): 30-minute-gap sessions become [start, end] intervals, a
+    sweep-line of ±1 boundaries is prefix-summed, and the answer is the
+    max with the first instant it is reached.
+
+    The scale point is the prefix sum: there is NO single-partition
+    global window anywhere — operators/events_ops.py::
+    distributed_running_sum range-partitions the boundary stream,
+    running-sums within each partition in parallel, and closes the gap
+    with an index-sized (≤ n_partitions rows) driver prefix of
+    per-partition totals broadcast back.  The DuckDB oracle sweeps the
+    same boundaries with an ordinary global window."""
+    from cdc_practice_spark.operators.events_ops import (
+        peak_concurrency,
+        session_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = session_stats(ev, gap_minutes=30)
+    return peak_concurrency(sessions)

@@ -135,3 +135,55 @@ def test_asof_join_tolerance(spark):
         left, right, "user_id", "ts", "ts", ["rid"], tolerance_seconds=3600
     ).head()
     assert r.asof_rid is None  # 3h gap > 1h tolerance
+
+
+def test_distributed_running_sum_equals_global_window(spark):
+    """The two-pass prefix sum must equal a naive single-partition
+    global window — including negative deltas, duplicate order keys,
+    and partition counts that don't divide the data evenly."""
+    import random
+
+    from pyspark.sql import Window
+
+    from cdc_practice_spark.operators.events_ops import distributed_running_sum
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 500), rng.choice([-1, 1])) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "ts long, delta int")
+    w = Window.orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = [
+        (r.ts, r.delta, r.run)
+        for r in df.withColumn("run", F.sum("delta").over(w))
+        .orderBy("ts", "delta")
+        .collect()
+    ]
+    for nparts in (1, 5, 32):
+        got = [
+            (r.ts, r.delta, r.running)
+            for r in distributed_running_sum(
+                df, ["ts", "delta"], "delta", n_partitions=nparts
+            )
+            .orderBy("ts", "delta")
+            .collect()
+        ]
+        # duplicate (ts, delta) keys make per-row pairing ambiguous, but
+        # the multiset of (key, running) triples is order-determined
+        assert sorted(got) == sorted(want), f"n_partitions={nparts}"
+
+
+def test_peak_concurrency_hand_case(spark):
+    """Three overlapping intervals with a known peak of 3, and touching
+    intervals (end == next start) counted as concurrent (closed
+    intervals)."""
+    from cdc_practice_spark.operators.events_ops import peak_concurrency
+
+    iv = spark.createDataFrame(
+        [(0, 10), (5, 15), (9, 12), (20, 30), (30, 40)],
+        "session_start_us long, session_end_us long",
+    )
+    row = peak_concurrency(iv).collect()[0]
+    assert row.peak_concurrency == 3
+    assert row.first_peak_ts_us == 9
+    assert row.n_sessions == 5
