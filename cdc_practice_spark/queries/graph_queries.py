@@ -245,3 +245,60 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     pr = pagerank_fixed(edges, n_iter=3)
     return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+WITH RECURSIVE g_edges AS (
+  SELECT DISTINCT l_partkey AS src,
+         CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+  FROM lineitem
+),
+sym AS (
+  SELECT src, dst FROM g_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM g_edges
+),
+bfs(node, d) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT e.dst, bfs.d + 1
+  FROM bfs JOIN sym e ON e.src = bfs.node
+  WHERE bfs.d < 3
+),
+settled AS (
+  SELECT node, min(d) AS distance FROM bfs GROUP BY node
+)
+SELECT CAST(distance AS BIGINT) AS distance,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM settled
+GROUP BY distance
+""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BFS hop distances from part 1 over the undirected
+    part↔supplier sourcing graph (operators/bfs.py): "what can a
+    failure at this node reach within k hops" — the supply-chain blast
+    radius question.  Frontier expansion, one hash join per round,
+    per-round cost frontier-sized; capped at 3 hops so the DuckDB
+    recursive-CTE oracle (min-distance over a depth-capped closure)
+    terminates on this cyclic graph.  Output: per-distance node counts
+    with min/max node witnesses, so a wrong frontier anywhere
+    hash-fails."""
+    from cdc_practice_spark.operators.bfs import bfs_hops
+    from cdc_practice_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+    ).distinct()
+    d = bfs_hops(edges, source=1, max_hops=3)
+    return d.groupBy("distance").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
