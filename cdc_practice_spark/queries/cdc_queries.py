@@ -753,6 +753,72 @@ def cdc_incremental_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_gdpr_erasure",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+),
+cur AS (
+  SELECT * FROM ranked WHERE rn = 1 AND __deleted = 'false'
+),
+surviving AS (
+  SELECT * FROM cur WHERE original_id % 97 <> 0
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM surviving
+GROUP BY event_type
+""",
+)
+def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as RETRACTION through the standard
+    maintenance path: the erasure set (every 97th user) becomes a batch
+    of synthetic DELETE events appended after the feed's end, and the
+    per-group (count, sum) MV is refreshed with the SAME delta_apply_mv
+    every other change batch uses — erasure is not a special code path,
+    it is a delta.  Cost is O(|erasure set| + touched groups), never a
+    corpus rewrite of the aggregate side; the snapshot rewrite itself
+    rides the bucketed MERGE (only touched buckets).  The oracle
+    recomputes the aggregate over the corpus with the erased users
+    excluded, so an unretracted contribution hash-fails."""
+    from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    feed = _feed(spark, sf_dir)
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    mx = _STATS_CACHE[stats_key]
+    current = tracked_persist(build_current(feed))
+    erase = current.filter(F.col("original_id") % 97 == 0).select(
+        "original_id",
+        "event_type",
+        "value",
+        F.lit("true").alias("__deleted"),
+        (F.lit(mx) + 1 + F.col("original_id")).alias("kafka_offset"),
+    )
+    maintained = delta_apply_mv(
+        current, current_mv(current, "event_type"), erase, "event_type"
+    )
+    return maintained.select(
+        "event_type",
+        "n_rows",
+        F.round(
+            F.col("sum_cents").cast("decimal(38,0)")
+            / F.lit(100).cast("decimal(19,0)"),
+            2,
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
     "cdc_incremental_join_view",
     oracle=f"""
 WITH {FEED_CTE},
