@@ -445,6 +445,52 @@ def streaming_distinct_mv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_distinct_mv_replay"] = ORACLES["cdc_incremental_distinct_mv"]
 
 
+@register("streaming_topk_mv_replay", oracle=None)
+def streaming_topk_mv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained TOP-K sink (streaming/pipeline.py::
+    stream_maintained_topk_mv) replayed over 3 micro-batches: per-epoch
+    prefix-merge / endangered-group re-derive over the bucketed
+    snapshot must land on the same per-group top-3 the batch pipeline
+    computes — same oracle as cdc_incremental_topk_mv (assigned
+    below)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_topk_mv,
+        read_events_stream,
+        stream_maintained_topk_mv,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="tkmv_replay_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=3)
+    q = stream_maintained_topk_mv(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root=os.path.join(work, "state"),
+        mv_root=os.path.join(work, "mv"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        k=3,
+    )
+    q.awaitTermination()
+    mv = load_topk_mv(spark, os.path.join(work, "mv"))
+    ex = mv.select("event_type", F.posexplode("topk").alias("pos", "e"))
+    return ex.select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.round(
+            (-F.col("e.nc")).cast("decimal(38,0)") / F.lit(100).cast("decimal(19,0)"),
+            2,
+        )
+        .cast("double")
+        .alias("value"),
+        F.col("e.id").alias("original_id"),
+    )
+
+
+ORACLES["streaming_topk_mv_replay"] = ORACLES["cdc_incremental_topk_mv"]
+
+
 @register("streaming_scd2_replay", oracle=None)
 def streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The append-only streaming SCD2 sink (streaming/scd2_sink.py)

@@ -450,6 +450,106 @@ def stream_maintained_mv(
     )
 
 
+def load_topk_mv(spark: SparkSession, mv_root: str) -> DataFrame:
+    """Current maintained top-k MV (group, topk array, n_rows) or
+    empty."""
+    pointer = os.path.join(mv_root, "_MV_POINTER")
+    if not os.path.exists(pointer):
+        return spark.createDataFrame(
+            [],
+            "event_type string, topk array<struct<nc: bigint, id: long>>, "
+            "n_rows long",
+        )
+    with open(pointer) as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
+def stream_maintained_topk_mv(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_root: str,
+    mv_root: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    k: int = 3,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """foreachBatch sink maintaining the bucketed snapshot plus a
+    per-group TOP-K view (cdc/incremental.py::delta_apply_topk_mv):
+    inserts merge into the stored prefix with O(k + delta) array math;
+    only groups whose retractions reach the stored kth value re-derive,
+    and the rescan reads exactly the touched buckets the merge rewrites
+    anyway.  Same crash-pinned pre-epoch discipline as the other
+    maintained-view sinks."""
+    from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv
+
+    os.makedirs(state_root, exist_ok=True)
+    os.makedirs(mv_root, exist_ok=True)
+    feed = change_feed_from_events(events_stream)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        touched = sorted(
+            r.b
+            for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return
+        manifest_pre = _pre_epoch_manifest(state_root, epoch_id)
+        pre_paths = [
+            manifest_pre[str(b)] for b in touched if str(b) in manifest_pre
+        ]
+        base_touched = (
+            spark.read.parquet(*pre_paths) if pre_paths else empty_state(spark)
+        )
+        # Unlike count/sum/distinct (whose retractions read TOUCHED KEYS
+        # only — always inside touched buckets), top-k's endangered-group
+        # rescan reads a whole GROUP's surviving rows, which span ALL
+        # buckets of the key-hashed layout.  The MV delta therefore reads
+        # the full pre-batch snapshot; only the state MERGE is
+        # touched-bucket-scoped.  At warehouse scale a group-keyed
+        # secondary layout (or the groups' own partition pruning) bounds
+        # this rescan — the bucketed-by-key layout cannot.
+        all_paths = list(manifest_pre.values())
+        base_full = (
+            spark.read.parquet(*all_paths) if all_paths else empty_state(spark)
+        )
+        mv_path_pre = _pre_epoch_pointer(mv_root, epoch_id)
+        base_mv = (
+            spark.read.parquet(mv_path_pre)
+            if mv_path_pre
+            else load_topk_mv(spark, os.path.join(mv_root, "_none_"))
+        )
+        new_mv = delta_apply_topk_mv(
+            base_full, base_mv, batch_df, group_col, k
+        )
+        mv_out = os.path.join(mv_root, f"v{epoch_id}")
+        new_mv.write.mode("overwrite").parquet(mv_out)
+        new_state = merge_batch(base_touched, batch_df).withColumn(
+            "_bucket", _bucket_col(n_buckets)
+        )
+        out = os.path.join(state_root, f"v{epoch_id}")
+        new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        manifest = _read_manifest(state_root)
+        for b in touched:
+            bucket_dir = os.path.join(out, f"_bucket={b}")
+            if os.path.isdir(bucket_dir):
+                manifest[str(b)] = bucket_dir
+            else:
+                manifest.pop(str(b), None)
+        _swap_manifest(state_root, manifest)
+        _snapshot_manifest(state_root, manifest, epoch_id)
+        _swap_pointer(mv_root, mv_out)
+
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def load_distinct_mv(
     spark: SparkSession,
     mv_root: str,

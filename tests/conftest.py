@@ -22,3 +22,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """The tracked_persist contract (plans/cache.py): whoever
+    materializes an operator's result releases its internal caches.
+    Tests materialize, so release after every test — otherwise cached
+    subtrees from one test get substituted by Spark's CacheManager into
+    a LATER test's plans (observed: a maintenance test's persisted
+    delta frame changed a plan test's Exchange count)."""
+    yield
+    from cdc_practice_spark.plans.cache import release_tracked
+
+    release_tracked()

@@ -732,3 +732,54 @@ def test_stream_maintained_distinct_mv_replay_does_not_double_apply(spark, sf_di
         map(tuple, support_mv(batch_current, "event_type", "props_k").collect())
     )
     assert got_sup == want_sup
+
+
+def test_stream_maintained_topk_mv_replay_does_not_double_apply(spark, sf_dir):
+    """Forged crash-replay for the TOP-K sink: delete the last epoch's
+    checkpoint commit, restart, and the maintained prefix must still
+    equal the batch top-3 — a rescan against post-batch state would
+    re-derive from already-applied rows."""
+    from cdc_practice_spark.cdc.incremental import topk_mv
+    from cdc_practice_spark.streaming.pipeline import (
+        load_topk_mv,
+        read_events_stream,
+        stream_maintained_topk_mv,
+    )
+
+    work = tempfile.mkdtemp(prefix="tkreplay_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+
+    def run_once():
+        q = stream_maintained_topk_mv(
+            spark,
+            read_events_stream(spark, src),
+            state_root=os.path.join(work, "state"),
+            mv_root=os.path.join(work, "mv"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            k=3,
+        )
+        q.awaitTermination()
+
+    run_once()
+    commits = sorted(os.listdir(os.path.join(work, "ckpt", "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(work, "ckpt", "commits", last))
+    crc = os.path.join(work, "ckpt", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+
+    def rows(df):
+        return sorted(
+            (r.event_type, tuple((e.nc, e.id) for e in r.topk), r.n_rows)
+            for r in df.collect()
+        )
+
+    got = rows(load_topk_mv(spark, os.path.join(work, "mv")))
+    batch_current = build_current(
+        change_feed_from_events(load_table(spark, sf_dir, "events"))
+    )
+    want = rows(topk_mv(batch_current, "event_type", 3))
+    assert got == want
