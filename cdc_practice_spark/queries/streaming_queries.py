@@ -528,3 +528,83 @@ def streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["streaming_scd2_replay"] = ORACLES["cdc_scd2_dimension"]
+
+
+def _time_travel_oracle() -> str:
+    """cdc_current_snapshot's oracle restricted to the FIRST micro-batch's
+    event_id prefix — split_events_into_files chunks by event_id range
+    with step = ceil(n / n_files), so 'state AS OF epoch 0' is exactly
+    the current state over event_id < step."""
+    from cdc_practice_spark.queries.cdc_queries import FEED_CTE
+
+    prefix_feed = FEED_CTE.replace(
+        "FROM events",
+        "FROM events WHERE event_id < (SELECT step FROM _step)",
+    )
+    return f"""
+WITH _step AS (
+  SELECT CAST(ceil(count(*) / 3.0) AS BIGINT) AS step FROM events
+),
+{prefix_feed},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT original_id,
+       original_id AS user_id,
+       value,
+       event_type,
+       props_k,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       epoch_us(registered_at) AS last_updated_at_us
+FROM ranked
+WHERE rn = 1 AND __deleted = 'false'
+"""
+
+
+@register("streaming_state_time_travel", oracle=None)
+def streaming_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the bucketed streaming state, under the oracle
+    gate (previously pytest-only): replay 3 micro-batches, then read the
+    snapshot AS OF the FIRST epoch via its retained manifest — no byte
+    copied, old bucket dirs are immutable.  The oracle recomputes the
+    current state over the first chunk's event_id prefix (the file split
+    is a deterministic event_id range), so a manifest pointing at a
+    post-epoch bucket hash-fails."""
+    from cdc_practice_spark.streaming.pipeline import (
+        list_state_versions,
+        load_bucketed_state_at,
+        read_events_stream,
+        stream_current_upsert_bucketed,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="timetravel_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=3)
+    state_root = os.path.join(work, "state")
+    q = stream_current_upsert_bucketed(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root=state_root,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    first = list_state_versions(state_root)[0]
+    state = load_bucketed_state_at(spark, state_root, first)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "event_type",
+        "props_k",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+ORACLES["streaming_state_time_travel"] = _time_travel_oracle()
