@@ -1511,3 +1511,110 @@ def spectral_features(assets: DataFrame) -> DataFrame:
             "n_bins int, parseval_ok boolean"
         ),
     )
+
+
+PHASH_SCHEMA = "asset_id long, width int, height int, phash long"
+
+
+def phash_images(assets: DataFrame) -> DataFrame:
+    """Perceptual block-hash over REAL decoded pixels (blockhash.io
+    shape, integer-exact): grayscale = r+g+b, 4×4 block grid
+    (block of pixel x = (4x)//w), bit(i,j) = block-sum·total-count >
+    total-sum·block-count (i.e. block mean above the image mean,
+    cross-multiplied so there is never a float), hash =
+    Σ bit(i,j) << (i·4+j).  Empty blocks (w or h < 4) are bit 0 on both
+    engines by the same inequality.  One mapInPandas decode pass — the
+    hash rides the SAME Arrow batch as the pixel decode, no second scan.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["content"]):
+                w, h, arr = decode_bmp_numpy(bytes(b))
+                gray = arr.astype(np.int64).sum(axis=2)  # h×w
+                bi = (np.arange(w, dtype=np.int64) * 4) // w
+                bj = (np.arange(h, dtype=np.int64) * 4) // h
+                sums = np.zeros((4, 4), dtype=np.int64)
+                cnts = np.zeros((4, 4), dtype=np.int64)
+                np.add.at(sums, (bj[:, None], bi[None, :]), gray)
+                np.add.at(cnts, (bj[:, None], bi[None, :]), 1)
+                ts, tc = int(gray.sum()), int(gray.size)
+                bits = sums * tc > ts * cnts
+                ph = 0
+                for i in range(4):
+                    for j in range(4):
+                        if bits[j, i]:
+                            ph |= 1 << (i * 4 + j)
+                ids.append(int(aid))
+                ws.append(w)
+                hs.append(h)
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate IMAGE pairs: same dimensions, perceptual-hash
+    hamming ≤ ``max_hamming``.  Never all-pairs: the 16-bit hash splits
+    into four 4-bit bands, and ≤2 bit errors can damage at most 2 bands,
+    so every qualifying pair shares an exact band (pigeonhole — the
+    SimHash band-join guarantee); candidates come from a
+    (width, height, band, value) equi-join, then exact bit_count
+    verification.  Output: (asset_a, asset_b, width, height, hamming).
+    """
+    b = hashes.select(
+        "asset_id",
+        "width",
+        "height",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("phash", k * 4).bitwiseAND(F.lit(15)).alias("val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("asset_id", "width", "height", "phash", "bv.band", "bv.val")
+    left = b.alias("a")
+    right = b.alias("bb")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("a.width") == F.col("bb.width"),
+                F.col("a.height") == F.col("bb.height"),
+                F.col("a.band") == F.col("bb.band"),
+                F.col("a.val") == F.col("bb.val"),
+                F.col("a.asset_id") < F.col("bb.asset_id"),
+            ],
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("bb.asset_id").alias("asset_b"),
+            F.col("a.width").alias("width"),
+            F.col("a.height").alias("height"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("bb.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

@@ -417,3 +417,78 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return spectral_features(synth_audio_assets(docs))
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 8 + 2 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.asset_id, d.w, d.h,
+         ((d.asset_id + 7 * x.g + 13 * y.g) % 256
+          + (d.asset_id + 7 * x.g + 13 * y.g + 31) % 256
+          + (d.asset_id + 7 * x.g + 13 * y.g + 62) % 256) AS gray,
+         CAST((x.g * 4) // d.w AS INTEGER) AS bi,
+         CAST((y.g * 4) // d.h AS INTEGER) AS bj
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, 8)) AS g) x ON x.g < d.w
+  JOIN (SELECT unnest(generate_series(0, 6)) AS g) y ON y.g < d.h
+),
+blocks AS (
+  SELECT asset_id, w, h, bi, bj,
+         CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM px GROUP BY asset_id, w, h, bi, bj
+),
+tot AS (
+  SELECT asset_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tc
+  FROM blocks GROUP BY asset_id
+),
+hashes AS (
+  SELECT b.asset_id, b.w, b.h,
+         CAST(sum(CASE WHEN b.s * t.tc > t.ts * b.c
+                       THEN 1 << (b.bi * 4 + b.bj) ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM blocks b JOIN tot t USING (asset_id)
+  GROUP BY b.asset_id, b.w, b.h
+),
+pairs AS (
+  SELECT a.w AS width, a.h AS height,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hd
+  FROM hashes a
+  JOIN hashes b ON a.w = b.w AND a.h = b.h AND a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+)
+SELECT width, height,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(hd) AS BIGINT) AS sum_hamming
+FROM pairs
+GROUP BY width, height
+""",
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection — the multimodal face of the dedup
+    tier: REAL BMP pixel decode → integer block-hash (4×4 block means vs
+    image mean, cross-multiplied, no floats) → banded candidate join
+    (pigeonhole: ≤2 bit errors leave ≥2 of 4 bands exact) → exact
+    bit_count verify, aggregated per dimension class.  The oracle
+    recomputes every pixel, every block bit, and every qualifying pair
+    from the deterministic pixel formula in pure SQL — a single wrong
+    pixel, bit, or missed candidate hash-fails."""
+    from cdc_practice_spark.operators.multimodal import (
+        phash_images,
+        phash_near_pairs,
+        synth_image_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = phash_images(synth_image_assets(docs))
+    pairs = phash_near_pairs(hashes, max_hamming=2)
+    return pairs.groupBy("width", "height").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").cast("long").alias("sum_hamming"),
+    )

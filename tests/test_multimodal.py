@@ -274,3 +274,42 @@ def test_gif_lzw_roundtrip_exercises_width_bumps():
     ys, xs = np.meshgrid(np.arange(5), np.arange(8), indexing="ij")
     expect = ((42 + 7 * xs + 13 * ys) % 256).astype(np.uint8)
     assert (w, h) == (8, 5) and (arr == expect[..., None]).all()
+
+
+def test_phash_near_dup_planted_pair(spark):
+    """Two images differing in ONE pixel must land within hamming ≤ 2
+    and pair up; a structurally different image (inverted gradient) and
+    a different-dims image must not pair with them."""
+    import pandas as pd
+
+    from cdc_practice_spark.operators.multimodal import (
+        decode_bmp_numpy,
+        phash_images,
+        phash_near_pairs,
+        synth_bmp,
+    )
+
+    base = synth_bmp(5, 8, 6)
+    # variant: flip one pixel's blue channel byte in the raw payload
+    variant = bytearray(base)
+    variant[54] = (variant[54] + 120) % 256  # first stored pixel, B channel
+    variant = bytes(variant)
+    # sanity: still a valid BMP, exactly one byte differs
+    w, h, arr = decode_bmp_numpy(variant)
+    assert (w, h) == (8, 6)
+    inverted = synth_bmp(200, 8, 6)  # far-away brightness pattern
+    other_dims = synth_bmp(5, 4, 3)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3, 4],
+                "content": [base, variant, inverted, other_dims],
+            }
+        )
+    )
+    hashes = phash_images(assets)
+    pairs = phash_near_pairs(hashes, max_hamming=2)
+    got = {(r.asset_a, r.asset_b): r.hamming for r in pairs.collect()}
+    assert (1, 2) in got  # the planted near-dup
+    assert got[(1, 2)] <= 2
+    assert all(4 not in p for p in got)  # dims block: never a candidate
