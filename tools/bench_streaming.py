@@ -87,6 +87,25 @@ def main() -> None:
             "events_per_sec": round(n_events / wall2, 1),
         }
 
+        # maintained-MV sink (snapshot + per-group count/sum view, the
+        # r5 streaming IVM tier — pays the extra per-epoch MV delta)
+        from cdc_practice_spark.streaming.pipeline import stream_maintained_mv
+
+        t0 = time.perf_counter()
+        q3 = stream_maintained_mv(
+            spark,
+            read_events_stream(spark, src, max_files_per_trigger=1),
+            state_root=os.path.join(work, "state_mv"),
+            mv_root=os.path.join(work, "mv"),
+            checkpoint_dir=os.path.join(work, "ckpt_mv"),
+        )
+        q3.awaitTermination()
+        wall3 = time.perf_counter() - t0
+        results["maintained_mv"] = {
+            "wall_sec": round(wall3, 3),
+            "events_per_sec": round(n_events / wall3, 1),
+        }
+
         print(
             json.dumps(
                 {
