@@ -316,3 +316,22 @@ def test_token_budget_mix_single_source_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_token_budget_mix", "formatted")
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") <= 1, body
+
+
+def test_phash_near_dup_no_cartesian(spark, sf_dir):
+    """The perceptual-hash pair join must stay a banded equi-join —
+    never a cartesian/nested-loop pair enumeration."""
+    plan = plan_of(spark, sf_dir, "multimodal_phash_near_dup", "formatted")
+    body = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in body
+
+
+def test_hybrid_rrf_no_cartesian_and_take_ordered(spark, sf_dir):
+    """Each retrieval leg must end in TakeOrdered (no global sort of
+    the corpus) and the fusion must not degrade to a cartesian pair
+    join (the only nested-loop allowed is the 1-row corpus-stats
+    broadcast inside the BM25 leg)."""
+    plan = plan_of(spark, sf_dir, "hybrid_retrieval_rrf", "formatted")
+    body = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in body
+    assert "TakeOrderedAndProject" in body
