@@ -1566,55 +1566,104 @@ def phash_images(assets: DataFrame) -> DataFrame:
     )
 
 
-def phash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-duplicate IMAGE pairs: same dimensions, perceptual-hash
-    hamming ≤ ``max_hamming``.  Never all-pairs: the 16-bit hash splits
-    into four 4-bit bands, and ≤2 bit errors can damage at most 2 bands,
-    so every qualifying pair shares an exact band (pigeonhole — the
-    SimHash band-join guarantee); candidates come from a
-    (width, height, band, value) equi-join, then exact bit_count
-    verification.  Output: (asset_a, asset_b, width, height, hamming).
-    """
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    key_cols: tuple[str, ...] = ("width", "height"),
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate pairs over a 16-bit perceptual hash: same
+    ``key_cols`` block, hamming ≤ ``max_hamming``.  Never all-pairs:
+    the hash splits into four 4-bit bands, and ≤2 bit errors can damage
+    at most 2 bands, so every qualifying pair shares an exact band
+    (pigeonhole — the SimHash band-join guarantee); candidates come
+    from a (keys, band, value) equi-join, then exact bit_count
+    verification.  Output: (asset_a, asset_b, *key_cols, hamming).
+    Serves both the image (width/height keys) and audio (n_samples key)
+    fingerprints."""
     b = hashes.select(
         "asset_id",
-        "width",
-        "height",
-        "phash",
+        *key_cols,
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.shiftright("phash", k * 4).bitwiseAND(F.lit(15)).alias("val"),
+                        F.shiftright(hash_col, k * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("val"),
                     )
                     for k in range(4)
                 ]
             )
         ).alias("bv"),
-    ).select("asset_id", "width", "height", "phash", "bv.band", "bv.val")
+    ).select("asset_id", *key_cols, hash_col, "bv.band", "bv.val")
     left = b.alias("a")
     right = b.alias("bb")
+    cond = [F.col(f"a.{k}") == F.col(f"bb.{k}") for k in key_cols] + [
+        F.col("a.band") == F.col("bb.band"),
+        F.col("a.val") == F.col("bb.val"),
+        F.col("a.asset_id") < F.col("bb.asset_id"),
+    ]
     cand = (
-        left.join(
-            right,
-            on=[
-                F.col("a.width") == F.col("bb.width"),
-                F.col("a.height") == F.col("bb.height"),
-                F.col("a.band") == F.col("bb.band"),
-                F.col("a.val") == F.col("bb.val"),
-                F.col("a.asset_id") < F.col("bb.asset_id"),
-            ],
-        )
+        left.join(right, on=cond)
         .select(
             F.col("a.asset_id").alias("asset_a"),
             F.col("bb.asset_id").alias("asset_b"),
-            F.col("a.width").alias("width"),
-            F.col("a.height").alias("height"),
+            *[F.col(f"a.{k}").alias(k) for k in key_cols],
             F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("bb.phash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"bb.{hash_col}"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
     return cand
+
+
+AHASH_SCHEMA = "asset_id long, n_samples int, ahash long"
+
+
+def ahash_audio(assets: DataFrame) -> DataFrame:
+    """Audio fingerprint over REAL decoded PCM samples, the energy-
+    envelope analog of :func:`phash_images`: 16 frames (frame of sample
+    i = (16·i)//n), bit(f) = frame-energy·total-count >
+    total-energy·frame-count (cross-multiplied int64 — sample² ≤ 2³⁰,
+    frames ≤ 500 samples, no overflow, no floats), hash =
+    Σ bit(f) << f.  One mapInPandas decode pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, hashes = [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["content"]):
+                _rate, samples = decode_wav_numpy(bytes(b))
+                s = samples.astype(np.int64)
+                n = s.size
+                fidx = (np.arange(n, dtype=np.int64) * 16) // n
+                e = np.zeros(16, dtype=np.int64)
+                c = np.zeros(16, dtype=np.int64)
+                np.add.at(e, fidx, s * s)
+                np.add.at(c, fidx, 1)
+                te, tc = int(e.sum()), n
+                bits = e * tc > te * c
+                ah = 0
+                for f in range(16):
+                    if bits[f]:
+                        ah |= 1 << f
+                ids.append(int(aid))
+                ns.append(n)
+                hashes.append(ah)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )

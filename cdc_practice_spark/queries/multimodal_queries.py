@@ -492,3 +492,73 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("hamming").cast("long").alias("sum_hamming"),
     )
+
+
+@register(
+    "multimodal_audio_near_dup",
+    oracle="""
+WITH lens AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 480 + 20 AS INTEGER) AS n
+  FROM documents
+),
+sm AS (
+  SELECT l.asset_id, l.n,
+         ((l.asset_id * 31 + i.g * 17) % 65536 - 32768) AS s,
+         CAST((i.g * 16) // l.n AS INTEGER) AS f
+  FROM lens l
+  JOIN (SELECT unnest(generate_series(0, 499)) AS g) i ON i.g < l.n
+),
+frames AS (
+  SELECT asset_id, n, f,
+         CAST(sum(s * s) AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS c
+  FROM sm GROUP BY asset_id, n, f
+),
+tot AS (
+  SELECT asset_id, CAST(sum(e) AS BIGINT) AS te, CAST(sum(c) AS BIGINT) AS tc
+  FROM frames GROUP BY asset_id
+),
+hashes AS (
+  SELECT fr.asset_id, fr.n,
+         CAST(sum(CASE WHEN fr.e * t.tc > t.te * fr.c
+                       THEN 1 << fr.f ELSE 0 END) AS BIGINT) AS ahash
+  FROM frames fr JOIN tot t USING (asset_id)
+  GROUP BY fr.asset_id, fr.n
+),
+pairs AS (
+  SELECT a.n AS n_samples,
+         CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hd
+  FROM hashes a
+  JOIN hashes b ON a.n = b.n AND a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+)
+SELECT n_samples,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(hd) AS BIGINT) AS sum_hamming
+FROM pairs
+GROUP BY n_samples
+""",
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection — the energy-envelope twin of the
+    image perceptual hash: REAL PCM decode → 16-frame integer energy
+    fingerprint (frame energy vs track mean, cross-multiplied — no
+    floats) → 4-band pigeonhole candidates blocked on track length →
+    exact bit_count verify, aggregated per length class.  The oracle
+    recomputes every sample, every frame bit, and every qualifying pair
+    from the deterministic sample formula in pure SQL."""
+    from cdc_practice_spark.operators.multimodal import (
+        ahash_audio,
+        phash_near_pairs,
+        synth_audio_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = ahash_audio(synth_audio_assets(docs))
+    pairs = phash_near_pairs(
+        hashes, max_hamming=2, key_cols=("n_samples",), hash_col="ahash"
+    )
+    return pairs.groupBy("n_samples").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").cast("long").alias("sum_hamming"),
+    )
