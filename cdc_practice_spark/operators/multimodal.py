@@ -1667,3 +1667,56 @@ def ahash_audio(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "content").mapInPandas(
         run, schema=AHASH_SCHEMA
     )
+
+
+VHASH_SCHEMA = "asset_id long, width int, height int, n_frames int, vhash long"
+
+
+def vhash_videos(assets: DataFrame) -> DataFrame:
+    """Video fingerprint over REAL demuxed frames: the 4×4 spatial
+    block-hash (see :func:`phash_images`) of the TEMPORAL-SUM grayscale
+    image — per pixel, gray = Σ_frames (r+g+b); bits compare block sums
+    against the whole-image mean with cross-multiplied int64s (no
+    floats).  One mapInPandas demux+decode pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, nfs, hashes = [], [], [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["content"]):
+                w, h, frames = decode_avi_numpy(bytes(b))
+                acc = np.zeros((h, w), dtype=np.int64)
+                for arr in frames:
+                    acc += arr.astype(np.int64).sum(axis=2)
+                bi = (np.arange(w, dtype=np.int64) * 4) // w
+                bj = (np.arange(h, dtype=np.int64) * 4) // h
+                sums = np.zeros((4, 4), dtype=np.int64)
+                cnts = np.zeros((4, 4), dtype=np.int64)
+                np.add.at(sums, (bj[:, None], bi[None, :]), acc)
+                np.add.at(cnts, (bj[:, None], bi[None, :]), 1)
+                ts, tc = int(acc.sum()), int(acc.size)
+                bits = sums * tc > ts * cnts
+                vh = 0
+                for i in range(4):
+                    for j in range(4):
+                        if bits[j, i]:
+                            vh |= 1 << (i * 4 + j)
+                ids.append(int(aid))
+                ws.append(w)
+                hs.append(h)
+                nfs.append(len(frames))
+                hashes.append(vh)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "vhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema=VHASH_SCHEMA
+    )

@@ -562,3 +562,86 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("hamming").cast("long").alias("sum_hamming"),
     )
+
+
+@register(
+    "multimodal_video_near_dup",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS h,
+         CAST(doc_id % 5 + 1 AS INTEGER) AS nf
+  FROM documents
+),
+tg AS (
+  SELECT d.asset_id, d.w, d.h, d.nf, x.g AS x, y.g AS y,
+         CAST(sum((d.asset_id + 7 * x.g + 13 * y.g + 97 * f.g) % 256
+              + (d.asset_id + 7 * x.g + 13 * y.g + 97 * f.g + 31) % 256
+              + (d.asset_id + 7 * x.g + 13 * y.g + 97 * f.g + 62) % 256)
+           AS BIGINT) AS gray,
+         CAST((x.g * 4) // d.w AS INTEGER) AS bi,
+         CAST((y.g * 4) // d.h AS INTEGER) AS bj
+  FROM dims d
+  JOIN (SELECT unnest(generate_series(0, 7)) AS g) x ON x.g < d.w
+  JOIN (SELECT unnest(generate_series(0, 5)) AS g) y ON y.g < d.h
+  JOIN (SELECT unnest(generate_series(0, 4)) AS g) f ON f.g < d.nf
+  GROUP BY d.asset_id, d.w, d.h, d.nf, x.g, y.g
+),
+blocks AS (
+  SELECT asset_id, w, h, nf, bi, bj,
+         CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM tg GROUP BY asset_id, w, h, nf, bi, bj
+),
+tot AS (
+  SELECT asset_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tc
+  FROM blocks GROUP BY asset_id
+),
+hashes AS (
+  SELECT b.asset_id, b.w, b.h, b.nf,
+         CAST(sum(CASE WHEN b.s * t.tc > t.ts * b.c
+                       THEN 1 << (b.bi * 4 + b.bj) ELSE 0 END) AS BIGINT)
+           AS vhash
+  FROM blocks b JOIN tot t USING (asset_id)
+  GROUP BY b.asset_id, b.w, b.h, b.nf
+),
+pairs AS (
+  SELECT a.w AS width, a.h AS height, a.nf AS n_frames,
+         CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hd
+  FROM hashes a
+  JOIN hashes b
+    ON a.w = b.w AND a.h = b.h AND a.nf = b.nf AND a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.vhash, b.vhash)) <= 2
+)
+SELECT width, height, n_frames,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(hd) AS BIGINT) AS sum_hamming
+FROM pairs
+GROUP BY width, height, n_frames
+""",
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection completing the modality triple:
+    REAL AVI demux + frame decode → spatial block-hash of the
+    temporal-sum grayscale (integer cross-multiplied bits) → 4-band
+    pigeonhole candidates blocked on (dims, frame count) → exact
+    bit_count verify, per shape class.  The oracle recomputes every
+    pixel of every frame from the deterministic formula in SQL."""
+    from cdc_practice_spark.operators.multimodal import (
+        phash_near_pairs,
+        synth_video_assets,
+        vhash_videos,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = vhash_videos(synth_video_assets(docs))
+    pairs = phash_near_pairs(
+        hashes,
+        max_hamming=2,
+        key_cols=("width", "height", "n_frames"),
+        hash_col="vhash",
+    )
+    return pairs.groupBy("width", "height", "n_frames").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").cast("long").alias("sum_hamming"),
+    )
