@@ -692,9 +692,19 @@ def delta_apply_topk_mv_onepass(
     split point in tests/test_cdc_incremental.py.
 
     Measured at sf0.1: the separate-frames harness runs ~20 AQE jobs
-    (every exchange is a job, each paying the scheduling floor); this
-    form halves the exchange count — the job floor, not the data, is
-    the entire local cost."""
+    (every exchange is a job, each paying the scheduling floor); the r5
+    form halved that by deriving per-key facts from ONE max_by
+    aggregation, but still rebuilt the stored MV and the delta stats as
+    FOUR parallel per-group legs (topk window, count agg, stats agg)
+    merged by two chained FullOuter sort-merge joins — a 98-node plan.
+    This form collapses all of it into ONE exchange on the group key:
+    every per-key fact explodes into ≤3 tagged rows (w=0 the base row at
+    T, w=−1 a retraction, w=+1 an insertion); a single window ranks the
+    base rows (they sort first, so row_number among them is exact); a
+    single aggregation then yields the stored prefix, the live count,
+    AND every delta statistic per group — no join anywhere before the
+    endangered-group re-derive, which is itself fused to one
+    window+aggregate (~2× fewer jobs again; the floor IS the cost)."""
     snap = lambda: F.struct(  # noqa: E731
         F.col(group_col).alias("g"),
         M.fixed(value_col).alias("c"),
@@ -712,75 +722,55 @@ def delta_apply_topk_mv_onepass(
     old_live = F.col("at_t").isNotNull() & (F.col("at_t.d") == "false")
     touched = F.col("mx") > F.lit(t)
     new_live = F.col("at_end.d") == "false"
-    key_t = feed.schema[key].dataType.simpleString()
-    empty = F.expr(f"CAST(array() AS ARRAY<STRUCT<nc: BIGINT, id: {key_t}>>)")
 
-    # base state at T → stored MV (prefix + live count), exactly topk_mv
-    base_rows = per_key.filter(old_live).select(
-        F.col(key), F.col("at_t.g").alias("g"), F.col("at_t.c").alias("c")
-    )
-    el = F.struct((-F.col("c")).alias("nc"), F.col(key).alias("id"))
-    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col(key).asc())
-    top = (
-        base_rows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy("g")
-        .agg(F.sort_array(F.collect_list(el)).alias("topk"))
-    )
-    cnt = base_rows.groupBy("g").agg(F.count(F.lit(1)).alias("n_rows"))
-    mv = top.join(cnt, on="g", how="outer").withColumnRenamed("g", "mg")
+    def tagged(s: str, w: int) -> F.Column:
+        return F.struct(
+            F.col(f"{s}.g").alias("g"),
+            (-F.col(f"{s}.c")).alias("nc"),
+            F.col(key).alias("id"),
+            F.lit(w).alias("w"),
+        )
 
-    # signed delta stats per group, straight off the per-key facts
-    eln = lambda s: F.struct(  # noqa: E731
-        (-F.col(f"{s}.c")).alias("nc"), F.col(key).alias("id")
-    )
-    legs = (
-        per_key.filter(touched)
-        .select(
+    rows = (
+        per_key.select(
             F.explode(
                 F.array(
-                    F.when(
-                        old_live,
-                        F.struct(
-                            F.col("at_t.g").alias("g"),
-                            eln("at_t").alias("e"),
-                            F.lit(-1).alias("w"),
-                        ),
-                    ),
-                    F.when(
-                        new_live,
-                        F.struct(
-                            F.col("at_end.g").alias("g"),
-                            eln("at_end").alias("e"),
-                            F.lit(1).alias("w"),
-                        ),
-                    ),
+                    F.when(old_live, tagged("at_t", 0)),
+                    F.when(touched & old_live, tagged("at_t", -1)),
+                    F.when(touched & new_live, tagged("at_end", 1)),
                 )
             ).alias("s")
         )
         .filter(F.col("s").isNotNull())
         .select("s.*")
     )
-    stats = legs.groupBy("g").agg(
-        F.sum("w").alias("dn"),
-        F.count(F.when(F.col("w") == -1, 1)).alias("ret_cnt"),
-        F.min(F.when(F.col("w") == -1, F.col("e.nc"))).alias("ret_min_nc"),
-        F.slice(
-            F.sort_array(F.collect_list(F.when(F.col("w") == 1, F.col("e")))),
-            1,
-            k,
-        ).alias("ins_topk"),
+    # base rows (w=0) sort FIRST, then by value desc / key asc — so
+    # row_number ≤ k over this single window marks exactly the stored
+    # top-k prefix at T, while the leg rows ride the same exchange
+    wall = Window.partitionBy("g").orderBy(
+        (F.col("w") != 0).asc(), F.col("nc").asc(), F.col("id").asc()
     )
+    el = F.struct(F.col("nc").alias("nc"), F.col("id").alias("id"))
+    in_top = (F.col("w") == 0) & (F.row_number().over(wall) <= k)
+    # persisted: safe AND endangered branches read it (A/B'd — without
+    # the cache the window+agg subtree re-runs per branch and the
+    # per-key semi-join probe re-materializes, +15% wall)
     merged = tracked_persist(
-        mv.join(stats, mv["mg"] == stats["g"], "full_outer").select(
-            F.coalesce(F.col("mg"), F.col("g")).alias(group_col),
-            F.coalesce(F.col("topk"), empty).alias("topk"),
-            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
-            F.coalesce(F.col("dn"), F.lit(0)).alias("dn"),
-            F.coalesce(F.col("ret_cnt"), F.lit(0)).alias("ret_cnt"),
-            "ret_min_nc",
-            F.coalesce(F.col("ins_topk"), empty).alias("ins_topk"),
+        rows.withColumn("_tp", in_top)
+        .groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("_tp"), el))).alias("topk"),
+            F.count(F.when(F.col("w") == 0, 1)).alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("w") != 0, F.col("w"))), F.lit(0)).alias(
+                "dn"
+            ),
+            F.count(F.when(F.col("w") == -1, 1)).alias("ret_cnt"),
+            F.min(F.when(F.col("w") == -1, F.col("nc"))).alias("ret_min_nc"),
+            F.slice(
+                F.sort_array(F.collect_list(F.when(F.col("w") == 1, el))), 1, k
+            ).alias("ins_topk"),
         )
+        .withColumnRenamed("g", group_col)
     )
     kth_nc = F.when(
         F.size("topk") > 0, F.element_at("topk", F.size("topk")).getField("nc")
@@ -798,23 +788,26 @@ def delta_apply_topk_mv_onepass(
     )
     egroups = merged.filter(endangered_cond).select(F.col(group_col).alias("eg"))
     # endangered groups re-derive from the post-batch state — which the
-    # per-key facts already hold (at_end), no base-table rescan
+    # per-key facts already hold (at_end), no base-table rescan; prefix
+    # and count come from ONE window+aggregate (no rtop⋈rcnt join)
     post = (
         per_key.filter(new_live)
-        .select(F.col(key), F.col("at_end.g").alias("g"), F.col("at_end.c").alias("c"))
+        .select(
+            F.col(key).alias("id"),
+            F.col("at_end.g").alias("g"),
+            (-F.col("at_end.c")).alias("nc"),
+        )
         .join(egroups, F.col("g") == F.col("eg"), "left_semi")
     )
-    rtop = (
-        post.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy("g")
-        .agg(F.sort_array(F.collect_list(el)).alias("topk"))
-    )
-    rcnt = post.groupBy("g").agg(F.count(F.lit(1)).alias("n_rows"))
+    wpost = Window.partitionBy("g").orderBy(F.col("nc").asc(), F.col("id").asc())
     rederived = (
-        rtop.join(rcnt, on="g")
+        post.withColumn("_tp", F.row_number().over(wpost) <= k)
+        .groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("_tp"), el))).alias("topk"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
         .withColumnRenamed("g", group_col)
-        .select(group_col, "topk", "n_rows")
     )
     return safe.unionByName(rederived).filter(F.col("n_rows") > 0)
 

@@ -76,6 +76,8 @@ def connected_components(
     strict: bool = True,
     local_threshold: int = 200_000,
     pointer_jumping: bool = True,
+    jump_start: int = 2,
+    jumps_per_round: int = 1,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id reachable.
@@ -113,66 +115,78 @@ def connected_components(
         spark = pairs.sparkSession
         pairs.unpersist()
         return spark.createDataFrame(sorted(comp.items()), out_schema)
+    # Per-round cost is the whole game here (each round is floor-bound,
+    # not data-bound), so the loop body is stripped to TWO key-partitioned
+    # operators plus the optional shortcut joins:
+    #
+    #   - SELF-LOOPS folded into the (symmetrized) edge set: with
+    #     (v, v) ∈ E, new_label(v) = min over N(v)∪{v} of label(u) is ONE
+    #     join + ONE aggregate — the old shape's separate
+    #     labels⋈neighbor_min left join (which existed only to carry the
+    #     node's own label and the convergence delta) disappears.
+    #   - edges are PERSISTED pre-partitioned on the probe key (dst),
+    #     not checkpointed: localCheckpoint erases outputPartitioning,
+    #     which silently re-exchanged the static edge set every round.
+    #   - shuffle-hash hint on the label side: the per-round join never
+    #     pays an edge sort (labels are the small side; at real scale
+    #     AQE picks the same plan from runtime sizes).
+    #   - convergence rides the checkpoint materialization as an
+    #     observe() metric: the label multiset only moves downward, so
+    #     sum(xxhash64(node, component)) is a type-generic fixpoint
+    #     detector — equal sums across consecutive rounds ⇔ no label
+    #     changed (up to a ~2⁻⁶⁴ per-round hash-cancellation, which the
+    #     strict contract accepts and documents).  No second join, no
+    #     count job.
+    #
     # No .distinct() on the symmetrized edges: input pairs are deduped
     # with doc_a < doc_b, so symmetrization cannot create duplicates —
     # and min-label propagation is tolerant of duplicate edges anyway.
-    # Dropping it removes a full exchange+aggregate stage.
+    # The self-loop leg IS deduped (one exchange, once) to keep the
+    # per-round join volume down.
     #
-    # truncated_checkpoint (NOT persist) everywhere the loop
-    # re-references a frame: persist caches rows but keeps the logical
-    # plan, and each round references `labels` twice — the plan tree
-    # DOUBLES per round, and on many-round graphs plan stringification
-    # alone OOMs the driver.  Checkpointing cuts lineage to a
-    # materialized RDD per round; the *truncated* variant additionally
-    # resets the preserved size estimate, which otherwise compounds
-    # exponentially across rounds (see plans/cache.py).  On a multi-node
-    # cluster, swap for reliable checkpoint(dir) — localCheckpoint
-    # storage dies with an executor.
-    #
-    # Each round's checkpoint supersedes the previous one: free round
-    # i-1's cached blocks as soon as round i materializes (free_list
-    # plumbing) instead of letting one block set per round pile up until
-    # driver GC.  The final labels frame escapes to the caller, so its
-    # freer is deferred to release_tracked().
-    edges_frees: list = []
-    edges = truncated_checkpoint(
+    # truncated_checkpoint (NOT persist) on the per-round labels: persist
+    # caches rows but keeps the logical plan, and each round references
+    # `labels` multiple times — the plan tree grows geometrically and
+    # plan stringification alone OOMs the driver on many-round graphs.
+    # Checkpointing cuts lineage to a materialized RDD per round; the
+    # *truncated* variant additionally resets the preserved size estimate
+    # (see plans/cache.py).  On a multi-node cluster, swap for reliable
+    # checkpoint(dir) — localCheckpoint storage dies with an executor.
+    # Round i-1's blocks are freed as soon as round i materializes.
+    nodes = (
+        pairs.select("src")
+        .unionByName(pairs.select(F.col("dst").alias("src")))
+        .distinct()
+    )
+    edges = tracked_persist(
         pairs.unionByName(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ),
-        free_list=edges_frees,
+        )
+        .unionByName(nodes.select("src", F.col("src").alias("dst")))
+        .repartition("dst")
     )
     # Fold the FIRST propagation hop into initialization: label(v) =
-    # min(v, min neighbor id) is exactly round 1 of the loop over
-    # identity labels, computed here without the per-round persist+count
-    # cycle (saves one full round — near-dup graphs usually converge on
-    # the very next check).
-    init_nbr = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    # min over N(v)∪{v} (self-loop included) is exactly round 1 of the
+    # loop over identity labels.
+    from pyspark.sql import Observation
+
     label_frees: list = []
+    obs0 = Observation("cc_round_init")
     labels = truncated_checkpoint(
-        init_nbr.select(
-            F.col("src").alias("node"),
-            F.least(F.col("src"), F.col("nbr_min")).alias("component"),
-        ),
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .withColumnRenamed("src", "node")
+        .observe(obs0, F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("sig")),
         free_list=label_frees,
     )
-    changed = 0
+    prev_sig = obs0.get["sig"]
+    changed = 0 if max_iter == 0 else 1
     for i in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+        upd = (
+            edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["node"])
             .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # one join carries BOTH the update and the convergence signal:
-        # labels only ever decrease, so `changed` counts rows where the
-        # new label is lower — no second old-vs-new join per round.
-        upd = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["src"], "left"
-        ).select(
-            "node",
-            F.col("component").alias("_old"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("src", "node")
         )
         # Adaptive pointer-jumping: one-hop propagation alone needs
         # diameter rounds — fine for near-dup clusters (tiny diameters;
@@ -187,54 +201,69 @@ def connected_components(
         # unchanged.
         # (``pointer_jumping=False`` disables the shortcut — the A/B knob
         # tools/ab_cc.py measures; production callers leave it on.)
-        if pointer_jumping and i >= 2:
-            ptr = upd.select(
-                F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-            )
-            upd = upd.join(
-                ptr, upd["component"] == ptr["p_node"], "left"
-            ).select(
-                "node",
-                "_old",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("p_comp"), F.col("component")),
-                ).alias("component"),
-            )
+        #
+        # ``jump_start``/``jumps_per_round`` tune the tradeoff: the
+        # default (start after 2 plain rounds, 1 shortcut/round) wins on
+        # tiny-diameter near-dup graphs where convergence is immediate
+        # and a shortcut join is pure overhead; a caller that KNOWS its
+        # graph is deep (the adversarial stress query) jumps from round
+        # 0 with 2 chained shortcuts — each extra shortcut multiplies
+        # the propagated distance again (d → ~4(d+1) per round instead
+        # of ~2(d+1)), so round count drops from log2 to log4 of the
+        # diameter while each round only adds one more label-table-sized
+        # join inside the same job.
+        if pointer_jumping and i >= jump_start:
+            for _ in range(jumps_per_round):
+                ptr = upd.select(
+                    F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+                )
+                upd = upd.join(
+                    ptr, upd["component"] == ptr["p_node"], "left"
+                ).select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("p_comp"), F.col("component")),
+                    ).alias("component"),
+                )
+        # (Batching k rounds per checkpoint was A/B'd and REJECTED: the
+        # un-materialized intermediate round is referenced ~3× by the
+        # next round's joins, and join branches do not CSE — the chain
+        # re-EXECUTES the shared subtree per reference, 3× wall time at
+        # k=2.  One checkpoint per round is the floor.)
         # convergence signal rides the checkpoint materialization as an
-        # observe() metric — no separate count job per round
-        from pyspark.sql import Observation
-
+        # observe() metric — no separate count job and no old-vs-new
+        # join: labels only move downward, so the multiset fixpoint test
+        # "no label changed" ⇔ equal xxhash64 sums across rounds
         obs = Observation(f"cc_round_{i}")
         upd = upd.observe(
-            obs,
-            F.coalesce(
-                F.sum((F.col("component") < F.col("_old")).cast("long")), F.lit(0)
-            ).alias("changed"),
+            obs, F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("sig")
         )
         new_frees: list = []
         upd = truncated_checkpoint(upd, free_list=new_frees)
-        changed = int(obs.get["changed"])
+        sig = obs.get["sig"]
+        changed = 0 if sig == prev_sig else 1
+        prev_sig = sig
         # round i is materialized (localCheckpoint is eager) — round
         # i-1's labels blocks are unreachable now; free them.
         for free in label_frees:
             free()
         label_frees = new_frees
-        labels = upd.drop("_old")
+        labels = upd
         if changed == 0:
             break
     from cdc_practice_spark.plans.cache import track_free
 
-    for free in edges_frees:
-        free()
     for free in label_frees:
         track_free(free)
+    edges.unpersist()
     pairs.unpersist()
     if changed != 0:
         msg = (
             f"connected_components: max_iter={max_iter} exhausted with "
-            f"{changed} labels still changing — component ids are NOT "
-            f"converged (cluster diameter > max_iter); raise max_iter"
+            f"labels still changing on the final round — component ids "
+            f"are NOT converged (cluster diameter > max_iter); raise "
+            f"max_iter"
         )
         if strict:
             raise RuntimeError(msg)

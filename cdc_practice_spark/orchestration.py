@@ -79,39 +79,91 @@ def _ledger_path(job: JobSpec) -> str:
     return os.path.join(job.run_root, f"{job.name}.runs.jsonl")
 
 
+# open fd per acquired lock — the kernel flock lives exactly as long as
+# this process holds the fd, so a crash releases it with no staleness
+# heuristic at all
+_LOCK_FDS: dict[str, int] = {}
+
+
 def _acquire_lock(job: JobSpec) -> int:
-    """Atomic O_EXCL acquire; stale takeover when the recorded holder
-    PID is dead (the crashed-run-must-not-wedge guarantee)."""
+    """max_active_runs=1 without TOCTOU: a kernel ``flock`` serializes
+    every mutation of the lock file, so two concurrent triggers can
+    never both "take over" a stale lock (the r5-ADVICE race: reader A
+    unlinks, re-creates with its PID; reader B's queued unlink then
+    deletes A's FRESH lock and B acquires too).  Protocol per attempt:
+
+      1. open(O_CREAT, no O_EXCL) + flock(LOCK_EX | LOCK_NB) — the only
+         writer path; a live flock holder fails here immediately.
+      2. verify the flocked fd still names the lock PATH (fstat inode ==
+         stat inode): a holder releasing concurrently unlinks the file,
+         and flocking an unlinked inode while a third process creates a
+         fresh one would split ownership — on mismatch, retry.
+      3. under the flock, read any recorded PID.  A live foreign PID is
+         treated as an active cooperative run even though it holds no
+         flock (crashed mid-downgrade, or an external supervisor wrote
+         it) — conservative ConcurrentRunError.  A dead or absent PID is
+         safely superseded: we already hold the kernel lock, so the
+         takeover is just ftruncate+write, never unlink of someone
+         else's fresh lock.
+
+    There is no empty-file "stale" window either: an unparseable PID
+    under a live flock never reaches us (step 1 fails first), and an
+    unparseable PID with no flock means a writer died mid-write — dead
+    by definition, superseded under our flock."""
+    import fcntl
+
     os.makedirs(job.run_root, exist_ok=True)
     path = _lock_path(job)
-    for _ in range(2):  # second pass after a stale-lock removal
+    if path in _LOCK_FDS:
+        # same-process re-entrancy (flock via a SECOND fd of the same
+        # file would contend with our own first fd): we already hold the
+        # kernel lock — matching the previous semantics, where a live
+        # same-pid holder reacquired
+        return os.getpid()
+    for _ in range(8):  # re-loop only on the unlink-vs-open inode race
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            # live kernel holder — read its advisory PID for the message
+            try:
+                holder = open(path).read().strip() or "?"
+            except OSError:
+                holder = "?"
             os.close(fd)
-            return os.getpid()
-        except FileExistsError:
-            try:
-                holder = int(open(path).read().strip() or "-1")
-            except (OSError, ValueError):
-                holder = -1
-            if holder > 0 and _pid_alive(holder) and holder != os.getpid():
-                raise ConcurrentRunError(
-                    f"job {job.name!r}: run already active (pid {holder})"
-                )
-            # stale (dead holder or unreadable): take over
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+            raise ConcurrentRunError(
+                f"job {job.name!r}: run already active (pid {holder})"
+            )
+        if not os.path.exists(path) or os.fstat(fd).st_ino != os.stat(path).st_ino:
+            os.close(fd)  # lost the unlink-vs-open race; retry on the new file
+            continue
+        try:
+            holder = int(os.read(fd, 64).decode().strip() or "-1")
+        except ValueError:
+            holder = -1
+        if holder > 0 and _pid_alive(holder) and holder != os.getpid():
+            os.close(fd)  # closes fd ⇒ drops our flock
+            raise ConcurrentRunError(
+                f"job {job.name!r}: run already active (pid {holder})"
+            )
+        os.ftruncate(fd, 0)
+        os.lseek(fd, 0, os.SEEK_SET)
+        os.write(fd, str(os.getpid()).encode())
+        os.fsync(fd)
+        _LOCK_FDS[path] = fd  # keep open: the flock IS the lock
+        return os.getpid()
     raise ConcurrentRunError(f"job {job.name!r}: lock contention")
 
 
 def _release_lock(job: JobSpec) -> None:
+    path = _lock_path(job)
+    fd = _LOCK_FDS.pop(path, None)
     try:
-        os.unlink(_lock_path(job))
+        os.unlink(path)
     except FileNotFoundError:
         pass
+    if fd is not None:
+        os.close(fd)  # after unlink: new acquirers see the fresh inode
 
 
 def _append_ledger(job: JobSpec, record: dict) -> None:

@@ -91,6 +91,40 @@ def track_free(fn: Callable[[], None]) -> None:
     _TRACKED_FREES.append(fn)
 
 
+class tracked_scope:
+    """Context manager releasing ONLY the persists/freers registered
+    inside the ``with`` block — the per-micro-batch cache lifetime a
+    ``foreachBatch`` sink needs.  The sink both materializes (writes) and
+    outlives its delta computation, so the module-wide contract ("whoever
+    materializes releases") would otherwise leak one cache set per
+    trigger into ``_TRACKED`` until the stream ends.  Entries are drained
+    LIFO down to the entry-time watermark, so persists registered by the
+    surrounding session (bench loop, test fixture) are untouched.
+
+    Single-writer assumption: scopes are per stream-execution thread; two
+    concurrent streams interleaving registrations could release each
+    other's caches early — a recompute, never a correctness issue
+    (unpersist of an in-use frame only drops cached blocks)."""
+
+    def __init__(self, blocking: bool = False) -> None:
+        self._blocking = blocking
+
+    def __enter__(self) -> "tracked_scope":
+        self._n0 = len(_TRACKED)
+        self._m0 = len(_TRACKED_FREES)
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        while len(_TRACKED) > self._n0:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist(self._blocking)
+            except Exception:
+                pass  # session already stopped — nothing to release
+        while len(_TRACKED_FREES) > self._m0:
+            _TRACKED_FREES.pop()()
+
+
 def release_tracked(blocking: bool = False) -> int:
     """Unpersist every tracked DataFrame; returns how many were released."""
     n = 0

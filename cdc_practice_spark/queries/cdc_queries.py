@@ -19,6 +19,7 @@ from cdc_practice_spark.cdc import (
     build_user_stats,
     change_feed_from_events,
 )
+from cdc_practice_spark.plans.cache import tracked_persist
 from cdc_practice_spark.queries.registry import register
 from cdc_practice_spark.session import load_table, memo_view
 
@@ -400,6 +401,253 @@ def cdc_schema_drift_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.element_at("_rescued", "source_region")).alias(
             "n_region_vals"
         ),
+    )
+
+
+@register(
+    "cdc_multitable_routing",
+    oracle="""
+WITH acc AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+  FROM events WHERE event_type <> 'purchase'
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM acc
+),
+acc_cur AS (
+  SELECT 'bank_accounts' AS tbl, user_id AS k, value AS v, CAST(n AS BIGINT) AS n
+  FROM ranked WHERE rn = 1 AND __deleted = 'false'
+),
+txn AS (
+  SELECT 'transactions' AS tbl, event_id AS k, value AS v, CAST(1 AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT * FROM acc_cur UNION ALL SELECT * FROM txn
+""",
+)
+def cdc_multitable_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table capture routing — the general shape behind the
+    reference's one-table allowlist (mysql-connector-config-clean.json:
+    14-15 captures only bankdb.bank_accounts): ONE wire stream carries
+    TWO source tables under Debezium's topic-per-table layout
+    (dbserver1.bankdb.bank_accounts upserts keyed by user;
+    dbserver1.bankdb.transactions append-only keyed by txn id, with its
+    own payload schema), and the engine routes by topic, parses each
+    branch with ITS table's StructType, and maintains each table's
+    snapshot semantics — latest-live-per-key for the mutable table, all
+    rows for the append-only one.  Output: both snapshots unioned as
+    (tbl, k, v, n), full-hash-checked against a DuckDB recomputation.
+
+    Plan: the wire frame is persisted once (one to_json pass); each
+    table branch is filter + from_json + its own window/projection —
+    the streaming twin (streaming/pipeline.py::stream_multitable_upsert)
+    runs the same one-read-N-merges shape per micro-batch."""
+    from cdc_practice_spark.sources.kafka import parse_debezium
+
+    ev = load_table(spark, sf_dir, "events")
+    is_txn = F.col("event_type") == "purchase"
+    wire = tracked_persist(
+        ev.select(
+            F.when(is_txn, "dbserver1.bankdb.transactions")
+            .otherwise("dbserver1.bankdb.bank_accounts")
+            .alias("topic"),
+            F.lit(0).alias("partition"),
+            F.col("event_id").alias("offset"),
+            F.when(
+                is_txn,
+                F.to_json(
+                    F.struct(
+                        F.col("event_id").alias("txn_id"),
+                        F.col("user_id").alias("account_ref"),
+                        F.col("value").alias("amount"),
+                        F.col("ts").cast("string").alias("at"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.to_json(
+                    F.struct(
+                        F.col("user_id").alias("id"),
+                        F.col("user_id").alias("user_id"),
+                        F.col("value").cast("string").alias("account"),
+                        F.col("ts").cast("string").alias("registered_at"),
+                        F.when(F.col("event_type") == "error", "true")
+                        .otherwise("false")
+                        .alias("__deleted"),
+                    )
+                )
+            )
+            .alias("value"),
+        )
+    )
+    # branch 1: the mutable table — standard change-event schema,
+    # latest-live-per-key snapshot
+    acc = parse_debezium(
+        wire.filter(F.col("topic") == "dbserver1.bankdb.bank_accounts")
+    )
+    w = Window.partitionBy("id")
+    acc_cur = (
+        acc.withColumn("_mx", F.max("kafka_offset").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("kafka_offset") == F.col("_mx"))
+            & (F.col("__deleted") == "false")
+        )
+        .select(
+            F.lit("bank_accounts").alias("tbl"),
+            F.col("id").alias("k"),
+            F.col("account").cast("double").alias("v"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    )
+    # branch 2: the append-only table — its own payload schema, no
+    # upsert semantics (every txn row is current)
+    txn = (
+        wire.filter(F.col("topic") == "dbserver1.bankdb.transactions")
+        .select(
+            F.from_json(
+                F.col("value"),
+                "txn_id long, account_ref long, amount double, at string",
+            ).alias("d")
+        )
+        .select(
+            F.lit("transactions").alias("tbl"),
+            F.col("d.txn_id").alias("k"),
+            F.col("d.amount").alias("v"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    return acc_cur.unionByName(txn)
+
+
+@register(
+    "cdc_schema_evolution",
+    oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS t FROM events),
+feed AS (
+  SELECT event_id AS kafka_offset,
+         user_id AS original_id,
+         value,
+         ts AS registered_at,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted,
+         CASE WHEN event_id > (SELECT t FROM t)
+              THEN CASE WHEN user_id % 2 = 0 THEN 'checking' ELSE 'savings' END
+         END AS account_type
+  FROM events
+),
+typed AS (
+  SELECT *,
+         CASE WHEN __deleted = 'true' THEN 'DELETE'
+              WHEN lag(__deleted) OVER w IS NULL
+                OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
+              ELSE 'UPDATE' END AS change_type,
+         lag(__deleted) OVER w AS prev_deleted
+  FROM feed
+  WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
+),
+carried AS (
+  SELECT * EXCLUDE (prev_deleted),
+         CASE WHEN change_type = 'DELETE'
+               AND (prev_deleted IS NULL OR prev_deleted = 'true') THEN NULL
+              ELSE last_value(CASE WHEN change_type = 'INSERT'
+                                   THEN registered_at END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY original_id ORDER BY kafka_offset
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         END AS original_registered_at
+  FROM typed
+)
+SELECT original_id, kafka_offset, value, account_type, change_type,
+       epoch_us(registered_at) AS change_timestamp_us,
+       epoch_us(original_registered_at) AS original_registered_at_us
+FROM carried
+""",
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed schema evolution mid-feed — the reference-implied semantic
+    Debezium's schema-history topic exists for
+    (mysql-connector-config-clean.json:17,20): the upstream table is
+    ALTERed at the feed's midpoint (``ALTER TABLE bank_accounts ADD
+    account_type STRING``), so wire events after offset T carry the new
+    column and events before it don't.  The engine learns the DDL and
+    re-parses the ONE topic with the widened StructType
+    (schemas.evolve_schema → parse_debezium(schema=...)): pre-ALTER
+    history rows null-backfill the new column, post-ALTER rows carry the
+    typed value, and change_type / registered_at-carry semantics are
+    untouched — the full widened history is hash-checked against a
+    DuckDB recomputation straight from ``events``, so a parse path that
+    drops the column, backfills wrongly, or perturbs the carry fails.
+
+    Plan: to_json → from_json(widened) in one projection, then the
+    standard one-exchange history windows — schema evolution costs
+    nothing at any scale because it is schema-on-read, not a rewrite."""
+    from pyspark.sql.types import StringType, StructField
+
+    from cdc_practice_spark.cdc.history import (
+        with_change_type,
+        with_registered_at_carry,
+    )
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, evolve_schema
+    from cdc_practice_spark.sources.kafka import parse_debezium
+
+    ev = load_table(spark, sf_dir, "events")
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+    # The wire after the mid-feed ALTER: to_json drops null fields, so
+    # only post-ALTER events carry account_type — byte-for-byte how a
+    # mixed-vintage binlog topic looks.
+    wire = ev.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("user_id").alias("user_id"),
+                F.col("value").cast("string").alias("account"),
+                F.col("ts").cast("string").alias("registered_at"),
+                F.when(F.col("event_type") == "error", "true")
+                .otherwise("false")
+                .alias("__deleted"),
+                F.when(
+                    F.col("event_id") > t,
+                    F.when(F.col("user_id") % 2 == 0, "checking").otherwise(
+                        "savings"
+                    ),
+                ).alias("account_type"),
+            )
+        ).alias("value"),
+    )
+    evolved = evolve_schema(
+        CHANGE_EVENT_SCHEMA, [StructField("account_type", StringType())]
+    )
+    parsed = parse_debezium(wire, schema=evolved)
+    feed = parsed.select(
+        "kafka_offset",
+        F.col("id").alias("original_id"),
+        F.col("account").cast("double").alias("value"),
+        F.to_timestamp("registered_at").cast("timestamp_ntz").alias(
+            "registered_at"
+        ),
+        "__deleted",
+        "account_type",
+    )
+    carried = with_registered_at_carry(with_change_type(feed))
+    return carried.select(
+        "original_id",
+        "kafka_offset",
+        "value",
+        "account_type",
+        "change_type",
+        _us("registered_at").alias("change_timestamp_us"),
+        _us("original_registered_at").alias("original_registered_at_us"),
     )
 
 

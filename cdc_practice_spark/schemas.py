@@ -58,3 +58,25 @@ EVENTS_SCHEMA = StructType(
 
 # JSON payload carried in events.props — parsed via from_json (S3/S5).
 PROPS_SCHEMA = StructType([StructField("k", IntegerType())])
+
+
+def evolve_schema(base: StructType, additions: list[StructField]) -> StructType:
+    """Widen a wire schema with typed columns learned from the source's
+    DDL history — the engine-side half of Debezium's schema-history
+    topic (mysql-connector-config-clean.json:17,20).  When the upstream
+    table is ALTERed, the capture layer records the DDL; the engine
+    promotes the new columns into its ``from_json`` StructType, and
+    events written BEFORE the ALTER parse with NULL for the new columns
+    (null backfill) — no reprocessing, no second topic.
+
+    Additions must be genuinely new: widening must never silently
+    retype an existing column (that is a breaking change, not an
+    evolution — it needs an explicit migration)."""
+    existing = {f.name for f in base.fields}
+    for f in additions:
+        if f.name in existing:
+            raise ValueError(
+                f"evolve_schema: column {f.name!r} already exists — "
+                f"retyping is a migration, not an evolution"
+            )
+    return StructType(list(base.fields) + list(additions))

@@ -79,3 +79,51 @@ def write_jdbc_append(
     for k, v in jdbc_write_options(url, table, **kwargs).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_jdbc_epoch_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    epoch_id: int,
+    epoch_col: str = "_epoch",
+    max_connections: int = 8,
+    **kwargs,
+) -> None:
+    """Exactly-once-through-replay JDBC append: rows are tagged with the
+    micro-batch epoch, and any rows of the SAME epoch already in the
+    table are deleted first — so a ``foreachBatch`` retry or a
+    checkpoint-resume replay of epoch k converges to exactly one copy of
+    its rows, whether the previous attempt wrote none, some, or all of
+    them.  This is the database-sink twin of the parquet sinks' write-
+    to-v{epoch}-then-swap discipline (streaming/pipeline.py): the epoch
+    tag IS the transaction id, delete-before-insert IS the rollback.
+
+    The reference commits per event and dedups via a SELECT probe
+    (simple_kafka_etl.py:81-88,182); here idempotency is per micro-batch
+    and needs no probe on the hot path — the delete touches only rows of
+    the replayed epoch (an index on ``epoch_col`` keeps it O(epoch) in a
+    real warehouse)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(
+                f"DELETE FROM {table} WHERE {epoch_col} = {int(epoch_id)}"
+            )
+        except Exception:
+            pass  # table not created yet — the first append below creates it
+        finally:
+            st.close()
+    finally:
+        conn.close()
+    write_jdbc_append(
+        df.withColumn(epoch_col, F.lit(int(epoch_id))),
+        url,
+        table,
+        max_connections,
+        **kwargs,
+    )

@@ -47,7 +47,9 @@ def read_kafka_stream(
     return parse_debezium(reader.load())
 
 
-def parse_debezium(kafka_df: DataFrame, rescue: bool = False) -> DataFrame:
+def parse_debezium(
+    kafka_df: DataFrame, rescue: bool = False, schema=None
+) -> DataFrame:
     """Kafka record → flattened change event:
       - tombstone skip = value IS NOT NULL (P1, simple_kafka_etl.py:68-70)
       - envelope unwrap = from_json + star-expand (S3,
@@ -56,20 +58,28 @@ def parse_debezium(kafka_df: DataFrame, rescue: bool = False) -> DataFrame:
         simple_kafka_etl.py:81-84).
 
     ``rescue=True`` adds a ``_rescued`` map<string,string> of top-level
-    JSON fields NOT in CHANGE_EVENT_SCHEMA.  Debezium tracks source DDL
+    JSON fields NOT in the parse schema.  Debezium tracks source DDL
     in a schema-history topic (mysql-connector-config-clean.json:17,20);
     a fixed-StructType ``from_json`` silently drops a column added by
     ALTER TABLE upstream — with rescue, the new column's values land in
     ``_rescued`` (empty map when the event matches the schema exactly)
     instead of vanishing.  Cost: one extra map-typed from_json in the
     same projection — no shuffle, no second scan; leave it off for
-    schema-stable feeds."""
-    known = F.array(*[F.lit(f.name) for f in CHANGE_EVENT_SCHEMA.fields])
+    schema-stable feeds.
+
+    ``schema`` overrides CHANGE_EVENT_SCHEMA — pass the WIDENED
+    StructType from ``schemas.evolve_schema`` to promote a rescued
+    column to a typed one once the DDL is known: events from before the
+    ALTER parse with NULL for the added columns (null backfill), events
+    after carry the typed values.  Rescue composes: with both, only
+    fields outside the widened schema land in ``_rescued``."""
+    schema = schema if schema is not None else CHANGE_EVENT_SCHEMA
+    known = F.array(*[F.lit(f.name) for f in schema.fields])
     cols = [
         F.col("topic").alias("kafka_topic"),
         F.col("partition").alias("kafka_partition"),
         F.col("offset").alias("kafka_offset"),
-        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("d"),
+        F.from_json(F.col("value").cast("string"), schema).alias("d"),
     ]
     out = ["kafka_topic", "kafka_partition", "kafka_offset", "d.*"]
     if rescue:

@@ -23,7 +23,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from cdc_practice_spark.cdc.feed import change_feed_from_events
+from cdc_practice_spark.plans.cache import tracked_scope
 from cdc_practice_spark.streaming.upsert import empty_state, merge_batch
+
+
+def _scoped(fn):
+    """Wrap a ``foreachBatch`` body so caches registered DURING the batch
+    (``tracked_persist`` calls inside the ``delta_apply_*`` /
+    ``merge_batch`` helpers) are released when the batch's writes finish.
+    The sink is the materializer here (plans/cache.py contract: whoever
+    materializes releases); without the scope every trigger leaks one
+    cache set into the module tracker until the whole stream ends —
+    unbounded cached-block growth in a long-running stream."""
+
+    def wrapped(batch_df: DataFrame, epoch_id: int) -> None:
+        with tracked_scope():
+            fn(batch_df, epoch_id)
+
+    return wrapped
 
 # Raw fixture schema (ts as int64 nanos — see session.load_table).
 EVENTS_FILE_SCHEMA = (
@@ -104,7 +121,7 @@ def stream_current_upsert_full_rewrite(
         )
 
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.writeStream.foreachBatch(_scoped(apply_batch))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -181,6 +198,44 @@ def load_bucketed_state(
     return spark.read.parquet(*paths)
 
 
+def apply_bucketed_merge(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_root: str,
+    epoch_id: int,
+    n_buckets: int = 16,
+) -> None:
+    """One bucketed MERGE step (the body every bucketed sink shares):
+    read the touched buckets, merge the batch, rewrite only those
+    buckets, swap + snapshot the manifest.  Idempotent per epoch —
+    replays rewrite the same v{epoch} dirs."""
+    touched = sorted(
+        r.b
+        for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )  # ≤ n_buckets rows — index-sized, not data-sized
+    if not touched:
+        return
+    existing = load_bucketed_state(spark, state_root, touched)
+    new_state = merge_batch(existing, batch_df).withColumn(
+        "_bucket", _bucket_col(n_buckets)
+    )
+    out = os.path.join(state_root, f"v{epoch_id}")
+    new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+    manifest = _read_manifest(state_root)
+    for b in touched:
+        bucket_dir = os.path.join(out, f"_bucket={b}")
+        # a touched bucket can still end up empty (all its keys
+        # deleted) — point it at nothing by dropping the entry
+        if os.path.isdir(bucket_dir):
+            manifest[str(b)] = bucket_dir
+        else:
+            manifest.pop(str(b), None)
+    _swap_manifest(state_root, manifest)
+    _snapshot_manifest(state_root, manifest, epoch_id)  # time travel
+
+
 def stream_current_upsert_bucketed(
     spark: SparkSession,
     events_stream: DataFrame,
@@ -195,34 +250,59 @@ def stream_current_upsert_bucketed(
     feed = change_feed_from_events(events_stream)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        touched = sorted(
-            r.b
-            for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )  # ≤ n_buckets rows — index-sized, not data-sized
-        if not touched:
-            return
-        existing = load_bucketed_state(spark, state_root, touched)
-        new_state = merge_batch(existing, batch_df).withColumn(
-            "_bucket", _bucket_col(n_buckets)
-        )
-        out = os.path.join(state_root, f"v{epoch_id}")
-        new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
-        manifest = _read_manifest(state_root)
-        for b in touched:
-            bucket_dir = os.path.join(out, f"_bucket={b}")
-            # a touched bucket can still end up empty (all its keys
-            # deleted) — point it at nothing by dropping the entry
-            if os.path.isdir(bucket_dir):
-                manifest[str(b)] = bucket_dir
-            else:
-                manifest.pop(str(b), None)
-        _swap_manifest(state_root, manifest)
-        _snapshot_manifest(state_root, manifest, epoch_id)  # time travel
+        apply_bucketed_merge(spark, batch_df, state_root, epoch_id, n_buckets)
 
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.writeStream.foreachBatch(_scoped(apply_batch))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_multitable_upsert(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    routes: dict[str, "object"],
+    state_roots: dict[str, str],
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Multi-table capture routing (the general shape behind the
+    reference's one-table allowlist, mysql-connector-config-clean.json:
+    14-15): ONE wire stream carries events of several source tables
+    (Debezium's topic-per-table layout); each micro-batch is read once,
+    routed by predicate into per-table sub-feeds, and each sub-feed
+    MERGEs into its own bucketed snapshot — the same
+    ``apply_bucketed_merge`` the single-table sink runs, one state
+    directory per table.
+
+    ``routes``: table name → Column predicate over the normalized feed
+    (e.g. a topic match).  The batch is persisted for the duration of
+    the routing loop so N tables cost one stream read + N filtered
+    merges, not N stream reads; per-table merges touch only their own
+    buckets, so the total IO is the same as N independent single-table
+    sinks — without re-consuming the topic N times."""
+    for root in state_roots.values():
+        os.makedirs(root, exist_ok=True)
+    feed = change_feed_from_events(events_stream)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for table, pred in routes.items():
+                apply_bucketed_merge(
+                    spark,
+                    batch_df.filter(pred),
+                    state_roots[table],
+                    epoch_id,
+                    n_buckets,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_scoped(apply_batch))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -412,7 +492,10 @@ def stream_maintained_mv(
             spark.read.parquet(mv_path_pre)
             if mv_path_pre
             else spark.createDataFrame(
-                [], f"{group_col} string, n_rows long, sum_cents long"
+                [],
+                f"{group_col} "
+                f"{batch_df.schema[group_col].dataType.simpleString()}, "
+                "n_rows long, sum_cents long",
             )
         )
         # 1. MV delta against the PRE-batch snapshot: only touched
@@ -443,22 +526,30 @@ def stream_maintained_mv(
         _swap_pointer(mv_root, mv_out)
 
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.writeStream.foreachBatch(_scoped(apply_batch))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
 
 
-def load_topk_mv(spark: SparkSession, mv_root: str) -> DataFrame:
-    """Current maintained top-k MV (group, topk array, n_rows) or
-    empty."""
+def load_topk_mv(
+    spark: SparkSession,
+    mv_root: str,
+    group_col: str = "event_type",
+    group_type: str = "string",
+    key_type: str = "bigint",
+) -> DataFrame:
+    """Current maintained top-k MV (group, topk array, n_rows) or empty.
+    The empty fallback schema is parameterized (not hardcoded to the
+    default event_type/long) so sinks maintaining a non-default group or
+    key column get a first-epoch frame the delta functions can join."""
     pointer = os.path.join(mv_root, "_MV_POINTER")
     if not os.path.exists(pointer):
         return spark.createDataFrame(
             [],
-            "event_type string, topk array<struct<nc: bigint, id: long>>, "
-            "n_rows long",
+            f"{group_col} {group_type}, "
+            f"topk array<struct<nc: bigint, id: {key_type}>>, n_rows long",
         )
     with open(pointer) as fh:
         return spark.read.parquet(fh.read().strip())
@@ -516,10 +607,19 @@ def stream_maintained_topk_mv(
             spark.read.parquet(*all_paths) if all_paths else empty_state(spark)
         )
         mv_path_pre = _pre_epoch_pointer(mv_root, epoch_id)
+        # first-epoch fallback typed from the SINK's parameters and the
+        # batch's actual column types — a hardcoded event_type/long
+        # schema would mis-join for non-default group/key columns
         base_mv = (
             spark.read.parquet(mv_path_pre)
             if mv_path_pre
-            else load_topk_mv(spark, os.path.join(mv_root, "_none_"))
+            else load_topk_mv(
+                spark,
+                os.path.join(mv_root, "_none_"),
+                group_col=group_col,
+                group_type=batch_df.schema[group_col].dataType.simpleString(),
+                key_type=batch_df.schema["original_id"].dataType.simpleString(),
+            )
         )
         new_mv = delta_apply_topk_mv(
             base_full, base_mv, batch_df, group_col, k
@@ -543,7 +643,7 @@ def stream_maintained_topk_mv(
         _swap_pointer(mv_root, mv_out)
 
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.writeStream.foreachBatch(_scoped(apply_batch))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -613,12 +713,17 @@ def stream_maintained_distinct_mv(
         base_current = (
             spark.read.parquet(*pre_paths) if pre_paths else empty_state(spark)
         )
+        # first-epoch fallbacks typed from the batch's actual columns —
+        # hardcoded string/int defaults would mis-join (or fail) for
+        # non-default group/distinct columns
+        gt = batch_df.schema[group_col].dataType.simpleString()
+        dt = batch_df.schema[distinct_col].dataType.simpleString()
         sup_path_pre = _pre_epoch_pointer(sup_root, epoch_id, "_SUP_POINTER")
         base_support = (
             spark.read.parquet(sup_path_pre)
             if sup_path_pre
             else spark.createDataFrame(
-                [], f"{group_col} string, {distinct_col} int, cnt long"
+                [], f"{group_col} {gt}, {distinct_col} {dt}, cnt long"
             )
         )
         mv_path_pre = _pre_epoch_pointer(mv_root, epoch_id)
@@ -626,7 +731,7 @@ def stream_maintained_distinct_mv(
             spark.read.parquet(mv_path_pre)
             if mv_path_pre
             else spark.createDataFrame(
-                [], f"{group_col} string, n_rows long, n_distinct long"
+                [], f"{group_col} {gt}, n_rows long, n_distinct long"
             )
         )
         new_mv = delta_apply_distinct_mv(
@@ -657,7 +762,7 @@ def stream_maintained_distinct_mv(
         _swap_pointer(mv_root, mv_out)
 
     return (
-        feed.writeStream.foreachBatch(apply_batch)
+        feed.writeStream.foreachBatch(_scoped(apply_batch))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

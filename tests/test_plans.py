@@ -274,14 +274,18 @@ def test_weighted_sample_is_shuffle_free_topk(spark, sf_dir):
     assert "Exchange" not in phys
 
 
-def test_bm25_broadcast_and_take_ordered(spark, sf_dir):
-    """BM25: the df table and the (N, avgdl) scalar broadcast back onto
-    the postings (never a shuffle of tf rows on term), and the top-20
-    compiles to TakeOrderedAndProject — no global sort."""
-    plan = plan_of(spark, sf_dir, "text_bm25_topk")
-    assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan  # scalar join is 1-row broadcast
+def test_bm25_map_side_zero_exchange(spark, sf_dir):
+    """BM25 scoring (r6 shape) is one codegen'd map-side projection:
+    per-term boundary-regex counts fold into Σ contrib(tf_t, df_t) with
+    every corpus statistic an index-metadata literal, so the whole plan
+    is scan → filter → project → TakeOrderedAndProject — NO exchange,
+    NO join, no global sort, no window.  The r5 shape (df broadcast
+    join + per-doc aggregation) must not creep back."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk", "formatted")
+    body = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in body
+    assert "Exchange" not in body
+    assert "Join" not in body
 
 
 def test_fused_incremental_mv_two_exchanges(spark, sf_dir):
@@ -293,11 +297,18 @@ def test_fused_incremental_mv_two_exchanges(spark, sf_dir):
     assert body.count("Exchange") <= 2, body.count("Exchange")
 
 
-def test_topk_mv_uses_window_group_limit(spark, sf_dir):
-    """topk_mv's rank filter must lower to a partial WindowGroupLimit
-    below the exchange so a huge group ships k rows per map partition."""
-    plan = plan_of(spark, sf_dir, "cdc_incremental_topk_mv")
-    assert "WindowGroupLimit" in plan
+def test_topk_mv_fused_single_group_aggregation(spark, sf_dir):
+    """topk_mv (r6 fused shape): the stored prefix, live count, and ALL
+    delta statistics come out of ONE exchange-on-group window+aggregate
+    over the exploded per-key facts — the r5 shape's two chained
+    FullOuter sort-merge joins must not creep back.  The only join left
+    in the whole plan is the broadcast semi-join that prunes the
+    endangered-group re-derive."""
+    plan = plan_of(spark, sf_dir, "cdc_incremental_topk_mv", "formatted")
+    body = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in body
+    assert "FullOuter" not in body
+    assert body.count("BroadcastHashJoin") == 1, body.count("BroadcastHashJoin")
 
 
 def test_rag_chunking_is_shuffle_free(spark, sf_dir):

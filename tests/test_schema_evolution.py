@@ -1,0 +1,130 @@
+"""Typed schema evolution through the CDC path (VERDICT r5 ask #3).
+
+The reference provisions a Debezium schema-history topic
+(mysql-connector-config-clean.json:17,20), implying the capture schema
+can change mid-feed.  The engine's two-stage answer:
+
+  1. BEFORE the DDL is known: parse_debezium(rescue=True) catches the
+     unknown wire field into ``_rescued`` (nothing is silently dropped).
+  2. AFTER the DDL is known: schemas.evolve_schema widens the
+     StructType; re-parsing the SAME topic yields the typed column with
+     NULL backfill for pre-ALTER events — and the promoted values agree
+     exactly with what rescue had caught.
+
+The oracle-checked end-to-end twin is queries/cdc_queries.py::
+cdc_schema_evolution; these tests pin the promotion mechanics and the
+widened current snapshot.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField
+
+from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, evolve_schema
+from cdc_practice_spark.sources.kafka import parse_debezium
+
+T_SPLIT = 3  # the "ALTER TABLE happened after offset 3" point
+
+
+@pytest.fixture()
+def wire(spark):
+    """Six wire events for two keys; account_type exists only after the
+    ALTER at offset T_SPLIT.  Key 1's LAST event predates the ALTER
+    (its current row must null-backfill); key 2's is after (typed)."""
+    rows = [
+        (1, 10.0, "2024-01-01 00:00:00", "false", None),
+        (2, 20.0, "2024-01-01 00:00:01", "false", None),
+        (1, 11.0, "2024-01-01 00:00:02", "false", None),
+        # ---- ALTER TABLE ADD account_type ----
+        (2, 21.0, "2024-01-01 00:00:03", "false", "savings"),
+        (2, 22.0, "2024-01-01 00:00:04", "false", "savings"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i + 1, uid, val, ts, deleted, at)
+            for i, (uid, val, ts, deleted, at) in enumerate(rows)
+        ],
+        "offset long, uid long, val double, ts string, deleted string, at string",
+    )
+    return df.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        "offset",
+        F.to_json(
+            F.struct(
+                F.col("uid").alias("id"),
+                F.col("uid").alias("user_id"),
+                F.col("val").cast("string").alias("account"),
+                F.col("ts").alias("registered_at"),
+                F.col("deleted").alias("__deleted"),
+                F.col("at").alias("account_type"),  # to_json drops nulls
+            )
+        ).alias("value"),
+    )
+
+
+EVOLVED = evolve_schema(
+    CHANGE_EVENT_SCHEMA, [StructField("account_type", StringType())]
+)
+
+
+def test_rescue_catches_unknown_column_before_ddl(spark, wire):
+    parsed = parse_debezium(wire, rescue=True)
+    got = {
+        r.kafka_offset: dict(r._rescued) for r in parsed.collect()
+    }
+    assert got[1] == {} and got[2] == {} and got[3] == {}
+    assert got[4] == {"account_type": "savings"}
+    assert got[5] == {"account_type": "savings"}
+
+
+def test_typed_promotion_matches_rescue_and_null_backfills(spark, wire):
+    rescued = {
+        r.kafka_offset: dict(r._rescued).get("account_type")
+        for r in parse_debezium(wire, rescue=True).collect()
+    }
+    typed = {
+        r.kafka_offset: r.account_type
+        for r in parse_debezium(wire, schema=EVOLVED).collect()
+    }
+    assert typed == rescued  # promotion agrees with what rescue caught
+    assert typed[1] is None and typed[2] is None  # null backfill pre-ALTER
+    assert typed[4] == "savings"
+
+
+def test_rescue_composes_with_widened_schema(spark, wire):
+    """With the widened schema, the promoted column must NOT also appear
+    in _rescued — only genuinely unknown fields do."""
+    parsed = parse_debezium(wire, rescue=True, schema=EVOLVED)
+    assert all(dict(r._rescued) == {} for r in parsed.collect())
+
+
+def test_widened_current_snapshot(spark, wire):
+    """Latest-per-key over the widened feed: a key whose last event
+    predates the ALTER surfaces NULL account_type; a key touched after
+    it surfaces the typed value — same carry semantics, one new column."""
+    feed = parse_debezium(wire, schema=EVOLVED).select(
+        "kafka_offset",
+        F.col("id").alias("original_id"),
+        F.col("account").cast("double").alias("value"),
+        "__deleted",
+        "account_type",
+    )
+    w = Window.partitionBy("original_id")
+    cur = (
+        feed.withColumn("_mx", F.max("kafka_offset").over(w))
+        .filter((F.col("kafka_offset") == F.col("_mx")) & (F.col("__deleted") == "false"))
+        .select("original_id", "value", "account_type")
+    )
+    got = {r.original_id: (r.value, r.account_type) for r in cur.collect()}
+    assert got == {1: (11.0, None), 2: (22.0, "savings")}
+
+
+def test_evolve_schema_rejects_retype():
+    with pytest.raises(ValueError, match="migration"):
+        evolve_schema(
+            CHANGE_EVENT_SCHEMA, [StructField("account", LongType())]
+        )

@@ -383,3 +383,87 @@ def test_python_datasource_filter_pushdown(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, 2, 12), (1, 3, 13)]
+
+
+def test_jdbc_kill_resume_exactly_once(spark, sf_dir, tmp_path):
+    """P11 through the DATABASE sink (VERDICT r5 ask #7): stream the
+    events feed into an embedded-Derby history table via the
+    epoch-idempotent JDBC writer, kill the stream after ≥1 committed
+    micro-batch, resume from the checkpoint to completion.  The table
+    must hold EXACTLY the batch feed — no lost epoch, no double-applied
+    epoch — and manually re-running an epoch (a foreachBatch retry) must
+    be a no-op."""
+    import os
+    import tempfile
+    import time
+
+    from cdc_practice_spark.cdc import change_feed_from_events
+    from cdc_practice_spark.queries.streaming_queries import (
+        TMP_ROOT,
+        split_events_into_files,
+    )
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.sources.jdbc import (
+        read_jdbc_table,
+        write_jdbc_epoch_idempotent,
+    )
+    from cdc_practice_spark.streaming.pipeline import read_events_stream
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="jdbckill_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=4)
+    url = f"jdbc:derby:{work}/dw;create=true"
+    table = "bank_accounts_history"
+    seen_epochs: list[tuple[int, object]] = []
+
+    def sink(batch_df, epoch_id):
+        out = batch_df.select(
+            "kafka_offset", "original_id", "value", "__deleted"
+        )
+        write_jdbc_epoch_idempotent(out, url, table, epoch_id)
+        seen_epochs.append((epoch_id, out))
+
+    def start():
+        feed = change_feed_from_events(
+            read_events_stream(spark, src, max_files_per_trigger=1)
+        )
+        return (
+            feed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    mid = read_jdbc_table(spark, url, table).count()
+    assert mid > 0  # genuinely mid-replay
+
+    q2 = start()
+    q2.awaitTermination()
+
+    feed_batch = change_feed_from_events(load_table(spark, sf_dir, "events"))
+    expect = {
+        (r.kafka_offset, r.original_id, r.value, r["__deleted"])
+        for r in feed_batch.collect()
+    }
+    got_df = read_jdbc_table(spark, url, table)
+    got = {
+        (r.kafka_offset, r.original_id, r.value, r["__deleted"])
+        for r in got_df.collect()
+    }
+    assert got_df.count() == len(expect)  # exactly once, not just set-equal
+    assert got == expect
+
+    # a foreachBatch RETRY of an already-committed epoch must be a no-op
+    epoch_id, frame = seen_epochs[-1]
+    write_jdbc_epoch_idempotent(frame, url, table, epoch_id)
+    assert read_jdbc_table(spark, url, table).count() == len(expect)

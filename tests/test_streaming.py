@@ -783,3 +783,54 @@ def test_stream_maintained_topk_mv_replay_does_not_double_apply(spark, sf_dir):
     )
     want = rows(topk_mv(batch_current, "event_type", 3))
     assert got == want
+
+
+def test_multitable_routing_one_pass_equals_per_table_batch(spark, sf_dir):
+    """One wire stream carrying two tables' events, routed per micro-batch
+    into per-table bucketed snapshots (stream_multitable_upsert): each
+    table's streamed state must equal the batch snapshot built from ONLY
+    that table's slice of the feed — routing must not leak rows across
+    tables or drop any."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_multitable_upsert,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="mtroute_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+    routes = {
+        # topic-per-table stand-in: route by the key's parity (every key's
+        # events land wholly in one table, as a per-table topic would)
+        "bank_accounts": F.col("original_id") % 2 == 0,
+        "transactions": F.col("original_id") % 2 == 1,
+    }
+    roots = {t: os.path.join(work, f"state_{t}") for t in routes}
+    q = stream_multitable_upsert(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        routes=routes,
+        state_roots=roots,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    full_feed = change_feed_from_events(load_table(spark, sf_dir, "events"))
+    for table, pred in routes.items():
+        streamed = {
+            r.original_id: (r.value, r.original_registered_at)
+            for r in load_bucketed_state(spark, roots[table]).collect()
+        }
+        batch = {
+            r.original_id: (r.value, r.original_registered_at)
+            for r in build_current(full_feed.filter(pred)).collect()
+        }
+        assert streamed == batch, table
+    # disjoint routing: no key may appear in both states
+    keys = [
+        {r.original_id for r in load_bucketed_state(spark, roots[t]).collect()}
+        for t in routes
+    ]
+    assert not (keys[0] & keys[1])
