@@ -913,6 +913,212 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "quality_score", "n_tokens", "cum_tokens")
 
 
+_BPE_STEPS = 3
+# One BPE iteration, SQL side: count adjacent symbol pairs weighted by
+# word frequency, pick the (count desc, left, right) argmax, merge it in
+# every word via LITERAL replace on the double-space representation
+# ('  s1  s2  ...  ': each boundary donates one space to a match ' a  b '
+# and keeps one for its other neighbor, so one replace pass == the
+# canonical greedy left-to-right merge — no lookarounds, so the same
+# pattern runs on Java regex-free replace AND DuckDB/RE2).
+_BPE_ITER_SQL = """
+p{i} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, list_filter(string_split(s, '  '), x -> x <> '') AS toks
+        FROM v{i}),
+       LATERAL unnest(range(1, len(toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+v{j} AS (
+  SELECT replace(s,
+                 ' ' || (SELECT l FROM b{i}) || '  ' || (SELECT r FROM b{i}) || ' ',
+                 ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ') AS s,
+         freq
+  FROM v{i}
+)"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle="WITH words AS (\n"
+    "  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq\n"
+    "  FROM documents,\n"
+    "       LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)\n"
+    "  WHERE regexp_matches(t, '^[a-z]+$')\n"
+    "  GROUP BY t\n"
+    "),\n"
+    "v0 AS (\n"
+    "  SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s,\n"
+    "         freq\n"
+    "  FROM words\n"
+    "),"
+    + ",".join(_BPE_ITER_SQL.format(i=i, j=i + 1) for i in range(_BPE_STEPS))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, c AS pair_count FROM b{i}"
+        for i in range(_BPE_STEPS)
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first K merges — the step an LLM data
+    pipeline runs BEFORE any token counting exists: build the word
+    vocabulary (word → corpus frequency), represent words as symbol
+    sequences, then repeatedly (1) count adjacent symbol pairs weighted
+    by word frequency, (2) merge the most frequent pair (ties:
+    lexicographic) everywhere.  This is Sennrich et al.'s algorithm
+    verbatim, distributed: the corpus is touched ONCE (word count —
+    word-count shape, map-side combine); every iteration then runs on
+    the persisted VOCABULARY (≪ corpus: distinct words, not tokens), and
+    only the 1-row argmax ever reaches the driver — K index-sized
+    collects, exactly how Spark-based tokenizer trainers scale to
+    100 TB corpora (the vocab table is the working set, not the text).
+
+    Merging uses a literal-replace trick shared with the oracle: words
+    are spaced as '  s1  s2  ', so replacing ' a  b ' with ' ab ' leaves
+    each neighbor its boundary space — one non-overlapping left-to-right
+    replace pass IS the canonical greedy merge, identically in Spark and
+    DuckDB (no regex, no lookarounds, no fold UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    words = (
+        docs.select(word)
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = tracked_persist(
+        words.select(
+            F.concat(
+                F.lit("  "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit("  ")
+            ).alias("s"),
+            "freq",
+        )
+    )
+    cur = vocab
+    merges: list[tuple] = []
+    for step in range(_BPE_STEPS):
+        toks = F.filter(F.split(F.col("s"), "  "), lambda x: x != "")
+        pairs = (
+            cur.select("freq", toks.alias("ts"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(ts, 1, size(ts) - 1),"
+                        " (x, i) -> struct(x AS l, ts[i + 1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()[0]
+        merges.append(
+            (step + 1, best["l"], best["r"], best["l"] + best["r"], int(best["c"]))
+        )
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best['l']}  {best['r']} "),
+                F.lit(f" {best['l']}{best['r']} "),
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges,
+        "step long, left_sym string, right_sym string, merged string, "
+        "pair_count long",
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle="""
+WITH stats AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY source
+),
+tot AS (SELECT sum(sqrt(n_s)) AS sw, sum(n_s) AS n FROM stats),
+rates AS (
+  SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+         CAST(round(least(1.0, sqrt(n_s) / sw * floor(n * 0.5) / n_s)
+                    * 1000000, 0) AS BIGINT) AS accept_thr
+  FROM stats, tot
+),
+sampled AS (
+  SELECT d.source, count(*) AS c
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15)
+             AS BIGINT) % 1000000 < r.accept_thr
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.accept_thr,
+       CAST(coalesce(s.c, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN sampled s USING (source)
+""",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (T=2) — the source-reweighting
+    rule large-LM corpora use: target share of source s ∝ n_s^(1/T)
+    (here √n_s), which upsamples small high-value domains relative to
+    their raw share and damps the giant web crawl.  With a total target
+    of half the corpus, each source gets acceptance rate
+    a_s = min(1, p_s·N_target / n_s); membership is a pure hash of the
+    doc id (rand-free — the same doc is sampled on every run, machine,
+    and engine), so resumed pipelines never flap their training sets.
+
+    Plan: one tiny per-source aggregate (+1-row totals) broadcast back
+    onto the corpus scan; acceptance is a codegen'd md5-threshold
+    filter — at 100 TB the mixing decision costs one scan and moves
+    zero rows.  Output is the per-source audit (raw count, acceptance
+    threshold in millionths, sampled count), integer-exact for the
+    oracle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    tot = stats.agg(
+        F.sum(F.sqrt("n_s")).alias("sw"), F.sum("n_s").alias("n")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_s").cast("long").alias("n_docs"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt("n_s") / F.col("sw") * F.floor(F.col("n") * 0.5) / F.col("n_s"),
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("accept_thr"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("accept_thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "accept_thr",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
 @register(
     "corpus_cap_per_source",
     oracle=f"""

@@ -98,3 +98,55 @@ def test_pii_redaction_semantics(spark):
     assert out[3].red == "server <IP> down" and out[3].ni == 1
     assert out[4].red == "clean text only"
     assert (out[4].ne, out[4].np, out[4].ni) == (0, 0, 0)
+
+
+def test_bpe_merges_match_pure_python_reference(spark, tmp_path):
+    """bpe_train_merges (queries/text_queries.py) vs a from-scratch
+    Sennrich-style BPE trainer on a tiny handcrafted corpus — greedy
+    left-to-right merging, frequency-weighted pair counts, lexicographic
+    tiebreak.  Validates the double-space literal-replace trick against
+    an implementation that shares none of its machinery."""
+    import collections
+
+    from cdc_practice_spark.queries.text_queries import _BPE_STEPS, bpe_train_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the rat saw the cat",
+        "aaa aa aaa the",  # adjacency overlap: greedy must merge [aa][a]
+    ]
+    # pure-Python reference
+    words = collections.Counter(
+        w for t in texts for w in t.lower().split() if w.isalpha()
+    )
+    vocab = {w: list(w) for w in words}
+    expect = []
+    for step in range(_BPE_STEPS):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step + 1, a, b, a + b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    # engine, over the same corpus staged as a documents table
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(path)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train_merges(spark, str(tmp_path)).orderBy("step").collect()
+    ]
+    assert got == expect
