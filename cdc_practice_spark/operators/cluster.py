@@ -78,6 +78,7 @@ def connected_components(
     pointer_jumping: bool = True,
     jump_start: int = 2,
     jumps_per_round: int = 1,
+    loop_aqe: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id reachable.
@@ -127,9 +128,21 @@ def connected_components(
     #   - edges are PERSISTED pre-partitioned on the probe key (dst),
     #     not checkpointed: localCheckpoint erases outputPartitioning,
     #     which silently re-exchanged the static edge set every round.
-    #   - shuffle-hash hint on the label side: the per-round join never
-    #     pays an edge sort (labels are the small side; at real scale
-    #     AQE picks the same plan from runtime sizes).
+    #   - LOOP-SCOPED execution conf (restored in a finally):
+    #       * AQE off — every AQE query stage is a scheduling barrier
+    #         with a driver re-plan, and a CC round is 3 joins + an agg
+    #         of KNOWN, edge-proportional size; there is nothing for the
+    #         runtime re-optimizer to learn, so its per-stage latency is
+    #         pure floor tax.  Measured on the 227k-edge stress graph:
+    #         2.3 s/round with AQE → 0.7 s/round without (same plan
+    #         shapes).  Callers on genuinely skewed billion-edge graphs
+    #         can re-enable via ``loop_aqe=True`` for skew-join splits.
+    #       * shuffle partitions sized from the measured edge count
+    #         (~128k joined rows per task, floor 8, capped at the
+    #         session setting) — per-round cost is task-scheduling
+    #         bound, so 32 near-empty tasks per stage cost more than 8
+    #         right-sized ones; at real scale the same formula yields
+    #         the session cap, i.e. full cluster parallelism.
     #   - convergence rides the checkpoint materialization as an
     #     observe() metric: the label multiset only moves downward, so
     #     sum(xxhash64(node, component)) is a type-generic fixpoint
@@ -138,11 +151,9 @@ def connected_components(
     #     strict contract accepts and documents).  No second join, no
     #     count job.
     #
-    # No .distinct() on the symmetrized edges: input pairs are deduped
-    # with doc_a < doc_b, so symmetrization cannot create duplicates —
-    # and min-label propagation is tolerant of duplicate edges anyway.
-    # The self-loop leg IS deduped (one exchange, once) to keep the
-    # per-round join volume down.
+    # No .distinct() anywhere in the edge build: input pairs are deduped
+    # with doc_a < doc_b (symmetrization cannot create duplicates), and
+    # min-label propagation is tolerant of duplicate edges anyway.
     #
     # truncated_checkpoint (NOT persist) on the per-round labels: persist
     # caches rows but keeps the logical plan, and each round references
@@ -153,111 +164,135 @@ def connected_components(
     # (see plans/cache.py).  On a multi-node cluster, swap for reliable
     # checkpoint(dir) — localCheckpoint storage dies with an executor.
     # Round i-1's blocks are freed as soon as round i materializes.
-    nodes = (
-        pairs.select("src")
-        .unionByName(pairs.select(F.col("dst").alias("src")))
-        .distinct()
-    )
-    edges = tracked_persist(
-        pairs.unionByName(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # self-loops are NOT deduped: min-label is idempotent under duplicate
+    # edges, and the distinct would cost a build-time exchange+aggregate
+    # that buys nothing (it only shrinks the per-round join by the
+    # duplicate-loop fraction, which the floor dominates anyway)
+    spark = pairs.sparkSession
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(8, -(-4 * n_edges // 131_072))
+    try:
+        loop_parts = min(loop_parts, int(saved_parts))
+    except (TypeError, ValueError):
+        pass  # e.g. "auto" — keep the derived value
+    spark.conf.set("spark.sql.adaptive.enabled", "true" if loop_aqe else "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        loops = pairs.select("src", F.col("src").alias("dst")).unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("dst").alias("dst"))
         )
-        .unionByName(nodes.select("src", F.col("src").alias("dst")))
-        .repartition("dst")
-    )
-    # Fold the FIRST propagation hop into initialization: label(v) =
-    # min over N(v)∪{v} (self-loop included) is exactly round 1 of the
-    # loop over identity labels.
-    from pyspark.sql import Observation
+        edges = tracked_persist(
+            pairs.unionByName(
+                pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .unionByName(loops)
+            .repartition("dst")
+        )
+        # Fold the FIRST propagation hop into initialization: label(v) =
+        # min over N(v)∪{v} (self-loop included) is exactly round 1 of the
+        # loop over identity labels.
+        from pyspark.sql import Observation
 
-    label_frees: list = []
-    obs0 = Observation("cc_round_init")
-    labels = truncated_checkpoint(
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("component"))
-        .withColumnRenamed("src", "node")
-        .observe(obs0, F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("sig")),
-        free_list=label_frees,
-    )
-    prev_sig = obs0.get["sig"]
-    changed = 0 if max_iter == 0 else 1
-    for i in range(max_iter):
-        upd = (
-            edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("component").alias("component"))
+        label_frees: list = []
+        obs0 = Observation("cc_round_init")
+        labels = truncated_checkpoint(
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("component"))
             .withColumnRenamed("src", "node")
+            .observe(obs0, F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("sig")),
+            free_list=label_frees,
         )
-        # Adaptive pointer-jumping: one-hop propagation alone needs
-        # diameter rounds — fine for near-dup clusters (tiny diameters;
-        # unconditional pointer-doubling was A/B'd SLOWER there), fatal
-        # for sparse long-chain graphs (e.g. low-threshold similarity
-        # edges).  So after two cheap rounds haven't converged, add a
-        # label shortcut per round — component(v) ← component(
-        # component(v)) — which squares the propagated distance:
-        # convergence in O(log diameter) rounds.  The shortcut join is
-        # label-table-sized (nodes, not edges) and preserves the
-        # invariant that labels are reachable minima, so the fixpoint is
-        # unchanged.
-        # (``pointer_jumping=False`` disables the shortcut — the A/B knob
-        # tools/ab_cc.py measures; production callers leave it on.)
-        #
-        # ``jump_start``/``jumps_per_round`` tune the tradeoff: the
-        # default (start after 2 plain rounds, 1 shortcut/round) wins on
-        # tiny-diameter near-dup graphs where convergence is immediate
-        # and a shortcut join is pure overhead; a caller that KNOWS its
-        # graph is deep (the adversarial stress query) jumps from round
-        # 0 with 2 chained shortcuts — each extra shortcut multiplies
-        # the propagated distance again (d → ~4(d+1) per round instead
-        # of ~2(d+1)), so round count drops from log2 to log4 of the
-        # diameter while each round only adds one more label-table-sized
-        # join inside the same job.
-        if pointer_jumping and i >= jump_start:
-            for _ in range(jumps_per_round):
-                ptr = upd.select(
-                    F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-                )
-                upd = upd.join(
-                    ptr, upd["component"] == ptr["p_node"], "left"
-                ).select(
-                    "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("p_comp"), F.col("component")),
-                    ).alias("component"),
-                )
-        # (Batching k rounds per checkpoint was A/B'd and REJECTED: the
-        # un-materialized intermediate round is referenced ~3× by the
-        # next round's joins, and join branches do not CSE — the chain
-        # re-EXECUTES the shared subtree per reference, 3× wall time at
-        # k=2.  One checkpoint per round is the floor.)
-        # convergence signal rides the checkpoint materialization as an
-        # observe() metric — no separate count job and no old-vs-new
-        # join: labels only move downward, so the multiset fixpoint test
-        # "no label changed" ⇔ equal xxhash64 sums across rounds
-        obs = Observation(f"cc_round_{i}")
-        upd = upd.observe(
-            obs, F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("sig")
-        )
-        new_frees: list = []
-        upd = truncated_checkpoint(upd, free_list=new_frees)
-        sig = obs.get["sig"]
-        changed = 0 if sig == prev_sig else 1
-        prev_sig = sig
-        # round i is materialized (localCheckpoint is eager) — round
-        # i-1's labels blocks are unreachable now; free them.
-        for free in label_frees:
-            free()
-        label_frees = new_frees
-        labels = upd
-        if changed == 0:
-            break
-    from cdc_practice_spark.plans.cache import track_free
+        prev_sig = obs0.get["sig"]
+        changed = 0 if max_iter == 0 else 1
+        for i in range(max_iter):
+            # no join-strategy hint: with the loop conf pinned (AQE off,
+            # right-sized exchanges) the static planner's partitioned
+            # join is already the cheapest round shape — a forced
+            # broadcast would rebuild a labels-sized broadcast relation
+            # on the driver three times per round.
+            upd = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("component").alias("component"))
+                .withColumnRenamed("src", "node")
+            )
+            # Adaptive pointer-jumping: one-hop propagation alone needs
+            # diameter rounds — fine for near-dup clusters (tiny diameters;
+            # unconditional pointer-doubling was A/B'd SLOWER there), fatal
+            # for sparse long-chain graphs (e.g. low-threshold similarity
+            # edges).  So after two cheap rounds haven't converged, add a
+            # label shortcut per round — component(v) ← component(
+            # component(v)) — which squares the propagated distance:
+            # convergence in O(log diameter) rounds.  The shortcut join is
+            # label-table-sized (nodes, not edges) and preserves the
+            # invariant that labels are reachable minima, so the fixpoint is
+            # unchanged.
+            # (``pointer_jumping=False`` disables the shortcut — the A/B knob
+            # tools/ab_cc.py measures; production callers leave it on.)
+            #
+            # ``jump_start``/``jumps_per_round`` tune the tradeoff: the
+            # default (start after 2 plain rounds, 1 shortcut/round) wins on
+            # tiny-diameter near-dup graphs where convergence is immediate
+            # and a shortcut join is pure overhead; a caller that KNOWS its
+            # graph is deep (the adversarial stress query) jumps from round
+            # 0 with 2 chained shortcuts — each extra shortcut multiplies
+            # the propagated distance again (d → ~4(d+1) per round instead
+            # of ~2(d+1)), so round count drops from log2 to log4 of the
+            # diameter while each round only adds one more label-table-sized
+            # join inside the same job.
+            if pointer_jumping and i >= jump_start:
+                for _ in range(jumps_per_round):
+                    ptr = upd.select(
+                        F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+                    )
+                    upd = upd.join(
+                        ptr, upd["component"] == ptr["p_node"], "left"
+                    ).select(
+                        "node",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce(F.col("p_comp"), F.col("component")),
+                        ).alias("component"),
+                    )
+            # (Batching k rounds per checkpoint was A/B'd and REJECTED: the
+            # un-materialized intermediate round is referenced ~3× by the
+            # next round's joins, and join branches do not CSE — the chain
+            # re-EXECUTES the shared subtree per reference, 3× wall time at
+            # k=2.  One checkpoint per round is the floor.)
+            # convergence signal rides the checkpoint materialization as an
+            # observe() metric — no separate count job and no old-vs-new
+            # join: labels only move downward, so the multiset fixpoint test
+            # "no label changed" ⇔ equal xxhash64 sums across rounds
+            obs = Observation(f"cc_round_{i}")
+            upd = upd.observe(
+                obs, F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("sig")
+            )
+            new_frees: list = []
+            upd = truncated_checkpoint(upd, free_list=new_frees)
+            sig = obs.get["sig"]
+            changed = 0 if sig == prev_sig else 1
+            prev_sig = sig
+            # round i is materialized (localCheckpoint is eager) — round
+            # i-1's labels blocks are unreachable now; free them.
+            for free in label_frees:
+                free()
+            label_frees = new_frees
+            labels = upd
+            if changed == 0:
+                break
+        from cdc_practice_spark.plans.cache import track_free
 
-    for free in label_frees:
-        track_free(free)
-    edges.unpersist()
-    pairs.unpersist()
+        for free in label_frees:
+            track_free(free)
+        edges.unpersist()
+        pairs.unpersist()
+    finally:
+        # the returned labels are checkpoint-materialized, so every job
+        # that ran under the loop conf is already done — downstream
+        # consumers plan under the caller's restored settings.
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     if changed != 0:
         msg = (
             f"connected_components: max_iter={max_iter} exhausted with "
