@@ -939,47 +939,17 @@ v{j} AS (
 )"""
 
 
-@register(
-    "bpe_train_merges",
-    oracle="WITH words AS (\n"
-    "  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq\n"
-    "  FROM documents,\n"
-    "       LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)\n"
-    "  WHERE regexp_matches(t, '^[a-z]+$')\n"
-    "  GROUP BY t\n"
-    "),\n"
-    "v0 AS (\n"
-    "  SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s,\n"
-    "         freq\n"
-    "  FROM words\n"
-    "),"
-    + ",".join(_BPE_ITER_SQL.format(i=i, j=i + 1) for i in range(_BPE_STEPS))
-    + "\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT CAST({i + 1} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
-        f" l || r AS merged, c AS pair_count FROM b{i}"
-        for i in range(_BPE_STEPS)
-    ),
-)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, first K merges — the step an LLM data
-    pipeline runs BEFORE any token counting exists: build the word
-    vocabulary (word → corpus frequency), represent words as symbol
-    sequences, then repeatedly (1) count adjacent symbol pairs weighted
-    by word frequency, (2) merge the most frequent pair (ties:
-    lexicographic) everywhere.  This is Sennrich et al.'s algorithm
-    verbatim, distributed: the corpus is touched ONCE (word count —
-    word-count shape, map-side combine); every iteration then runs on
-    the persisted VOCABULARY (≪ corpus: distinct words, not tokens), and
-    only the 1-row argmax ever reaches the driver — K index-sized
-    collects, exactly how Spark-based tokenizer trainers scale to
-    100 TB corpora (the vocab table is the working set, not the text).
+def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the Sennrich BPE loop (first ``_BPE_STEPS`` merges) and return
+    [(step, left, right, merged, pair_count)].  Memoized per corpus in
+    plans/hints._STATS_CACHE — a tokenizer is trained once and applied
+    many times, so encode-side queries read the learned merges as
+    literals (the same index-metadata pattern as the BM25 stats)."""
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
-    Merging uses a literal-replace trick shared with the oracle: words
-    are spaced as '  s1  s2  ', so replacing ' a  b ' with ' ab ' leaves
-    each neighbor its boundary space — one non-overlapping left-to-right
-    replace pass IS the canonical greedy merge, identically in Spark and
-    DuckDB (no regex, no lookarounds, no fold UDF)."""
+    cache_key = ("bpe_merges", sf_dir)
+    if cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
     docs = load_table(spark, sf_dir, "documents")
     word = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     words = (
@@ -1026,11 +996,344 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         )
+    _STATS_CACHE[cache_key] = merges
+    return merges
+
+
+@register(
+    "bpe_train_merges",
+    oracle="WITH words AS (\n"
+    "  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq\n"
+    "  FROM documents,\n"
+    "       LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)\n"
+    "  WHERE regexp_matches(t, '^[a-z]+$')\n"
+    "  GROUP BY t\n"
+    "),\n"
+    "v0 AS (\n"
+    "  SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s,\n"
+    "         freq\n"
+    "  FROM words\n"
+    "),"
+    + ",".join(_BPE_ITER_SQL.format(i=i, j=i + 1) for i in range(_BPE_STEPS))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, c AS pair_count FROM b{i}"
+        for i in range(_BPE_STEPS)
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first K merges — the step an LLM data
+    pipeline runs BEFORE any token counting exists: build the word
+    vocabulary (word → corpus frequency), represent words as symbol
+    sequences, then repeatedly (1) count adjacent symbol pairs weighted
+    by word frequency, (2) merge the most frequent pair (ties:
+    lexicographic) everywhere.  This is Sennrich et al.'s algorithm
+    verbatim, distributed: the corpus is touched ONCE (word count —
+    word-count shape, map-side combine); every iteration then runs on
+    the persisted VOCABULARY (≪ corpus: distinct words, not tokens), and
+    only the 1-row argmax ever reaches the driver — K index-sized
+    collects, exactly how Spark-based tokenizer trainers scale to
+    100 TB corpora (the vocab table is the working set, not the text).
+
+    Merging uses a literal-replace trick shared with the oracle: words
+    are spaced as '  s1  s2  ', so replacing ' a  b ' with ' ab ' leaves
+    each neighbor its boundary space — one non-overlapping left-to-right
+    replace pass IS the canonical greedy merge, identically in Spark and
+    DuckDB (no regex, no lookarounds, no fold UDF).  The loop itself
+    lives in :func:`_bpe_learn_merges` (memoized) so the encode-side
+    query applies the same learned merges without retraining."""
     return spark.createDataFrame(
-        merges,
+        _bpe_learn_merges(spark, sf_dir),
         "step long, left_sym string, right_sym string, merged string, "
         "pair_count long",
     )
+
+
+# Encode-side BPE iteration: identical pair-count/argmax/merge algebra
+# as _BPE_ITER_SQL, but v{i} CARRIES the word column so the final
+# vocabulary doubles as the word → token-count map the encoder joins.
+_BPE_ENC_ITER_SQL = """
+p{i} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, list_filter(string_split(s, '  '), x -> x <> '') AS toks
+        FROM v{i}),
+       LATERAL unnest(range(1, len(toks))) AS g(i)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+v{j} AS (
+  SELECT word,
+         replace(s,
+                 ' ' || (SELECT l FROM b{i}) || '  ' || (SELECT r FROM b{i}) || ' ',
+                 ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ') AS s,
+         freq
+  FROM v{i}
+)"""
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle="WITH words AS (\n"
+    "  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq\n"
+    "  FROM documents,\n"
+    "       LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)\n"
+    "  WHERE regexp_matches(t, '^[a-z]+$')\n"
+    "  GROUP BY t\n"
+    "),\n"
+    "v0 AS (\n"
+    "  SELECT word,\n"
+    "         '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s,\n"
+    "         freq\n"
+    "  FROM words\n"
+    "),"
+    + ",".join(_BPE_ENC_ITER_SQL.format(i=i, j=i + 1) for i in range(_BPE_STEPS))
+    + f""",
+vmap AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, '  '), x -> x <> '')) AS BIGINT)
+           AS n_toks
+  FROM v{_BPE_STEPS}
+),
+perword AS (
+  SELECT d.source, u.t AS word
+  FROM documents d,
+       LATERAL unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(t)
+  WHERE regexp_matches(u.t, '^[a-z]+$')
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(p.word)) AS BIGINT) AS n_chars,
+       CAST(sum(m.n_toks) AS BIGINT) AS n_tokens_bpe
+FROM perword p JOIN vmap m USING (word)
+GROUP BY p.source
+""",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus — the encode half of
+    the tokenizer pair (train :func:`bpe_train_merges`, then encode
+    every document with the frozen merge list, exactly what an LLM data
+    pipeline does to turn text into a token budget).  Output is the
+    per-source audit: word count, character count (= token count before
+    any merge, since every word starts fully split), and token count
+    after the K learned merges.
+
+    The merge list arrives as LITERALS (memoized index metadata, the
+    BM25-stats pattern), so encoding is K chained literal `replace`
+    calls on the double-space symbol encoding — one codegen'd
+    projection per token occurrence, ZERO joins, and exactly ONE
+    exchange (the per-source aggregate).  At 100 TB the alternative —
+    pre-encoding the distinct-word vocabulary and broadcast-joining it
+    onto occurrences — amortizes per-word work at the cost of a join;
+    with K=3 merges the inline form wins and keeps the plan scan-shaped
+    (the oracle's vmap JOIN is algebraically the same map).  Parity
+    rides the same literal-replace encoding the trainer proved at all
+    3 SFs."""
+    merges = _bpe_learn_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    words = docs.select("source", word).filter(F.col("w").rlike("^[a-z]+$"))
+    s = F.concat(
+        F.lit("  "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit("  ")
+    )
+    for _step, left, right, _merged, _cnt in merges:
+        s = F.replace(
+            s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        )
+    n_toks = F.size(F.filter(F.split(s, "  "), lambda x: x != "")).cast("long")
+    return words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        F.sum(n_toks).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "quality_classifier_margin",
+    oracle=f"""
+WITH feat AS (
+  SELECT d.source, d.doc_id,
+         list_filter({_TOKS}, t -> t <> '') AS ts
+  FROM documents d
+),
+perdoc AS (
+  SELECT source, doc_id,
+         coalesce((
+           SELECT CAST(sum(
+             CAST('0x' || substring(md5('w:' || CAST(
+               CAST('0x' || substring(md5('f:' || ts[i] || ' ' || ts[i + 1]), 1, 15)
+                    AS BIGINT) % 4096 AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000
+           ) AS BIGINT)
+           FROM unnest(range(1, len(ts))) AS g(i)
+         ), 0) AS margin
+  FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE margin > 0) AS BIGINT) AS n_keep,
+       CAST(sum(margin) AS BIGINT) AS margin_sum
+FROM perdoc
+GROUP BY source
+""",
+)
+def quality_classifier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText-shape (Joulin et al.;
+    the CCNet / LLaMA-pipeline "quality classifier" stage): each
+    document's token-bigram features are hashed into 4096 buckets, a
+    linear weight per bucket is looked up, and the document's score is
+    the summed margin — keep if positive.  The weight table here is a
+    deterministic hash of the bucket id (a stand-in for trained
+    weights, clearly synthetic — the Spark-side plumbing is the
+    deliverable, as with the multimodal codec stubs); swapping in real
+    fastText weights changes one expression.
+
+    Scale shape: the classifier needs NO join and NO per-feature
+    exchange — bigram extraction, bucket hashing, weight lookup, and
+    the margin sum all fold into one codegen'd projection
+    (`transform` + `aggregate` over the token array), so model scoring
+    rides the corpus scan; the only exchange is the per-source audit
+    aggregate.  Integer margins (weights in [-1000, 1000] millionths)
+    make the output order-independent and hash-exact — the
+    sigmoid(margin) > 0.5 decision is equivalently margin > 0, so no
+    float ever enters the compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    feat = docs.select("source", "doc_id", ts.alias("ts"))
+    bigrams = F.expr(
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', ts[i + 1]))"
+    )
+    # weight(bucket(g)) — two chained md5 lookups, all inside the lambda
+    def weight_of(g):
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("f:"), g)), 1, 15), 16, 10)
+            .cast("long")
+            % 4096
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+
+    margin = F.aggregate(
+        F.transform(bigrams, weight_of),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    perdoc = feat.select("source", "doc_id", margin.alias("margin"))
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("margin") > 0, 1)).alias("n_keep"),
+        F.sum("margin").cast("long").alias("margin_sum"),
+    )
+
+
+@register(
+    "dsir_importance_select",
+    oracle="""
+WITH tok AS (
+  SELECT d.doc_id, d.lang,
+         CAST('0x' || substring(md5('d:' || u.t), 1, 15) AS BIGINT) % 1024 AS b
+  FROM documents d,
+       LATERAL unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(t)
+  WHERE u.t <> ''
+),
+stats AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS cnt_s,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t
+  FROM tok GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(cnt_s) AS BIGINT) AS s_tot,
+         CAST(sum(cnt_t) AS BIGINT) AS t_tot
+  FROM stats
+),
+wts AS (
+  SELECT b,
+         CAST(round(ln(CAST((cnt_t + 1) * (s_tot + 1024) AS DOUBLE)
+                       / CAST((cnt_s + 1) * (t_tot + 1024) AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS w
+  FROM stats, tot
+),
+perdoc AS (
+  SELECT t.doc_id, t.lang, CAST(sum(w.w) AS BIGINT) AS weight_micro
+  FROM tok t JOIN wts w USING (b)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, weight_micro
+FROM perdoc
+ORDER BY weight_micro DESC, doc_id
+LIMIT 20
+""",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., 2023) —
+    pick raw-corpus documents whose hashed-n-gram profile looks like a
+    target domain.  Target here: the ``lang = 'en'`` subset (DSIR's
+    domain-selection framing); features: unigram tokens hashed into
+    1024 buckets; per-doc importance weight
+    Σ log(p_target(b) / p_source(b)) with add-one smoothing, in
+    integer micro-log units so the distributed sum is order-exact.
+    Output: the 20 highest-weight documents — the head of the
+    importance-resampled corpus.
+
+    Scale shape: ONE pass over the corpus builds both bucket
+    distributions simultaneously (conditional aggregation — no second
+    scan for the target), the 1024-row log-ratio table broadcasts back
+    onto the token stream, and the per-doc sum is the only
+    corpus-sized exchange.  The tokenized frame is persisted because
+    the two passes share it; at 100 TB the same pipeline persists the
+    (doc, bucket) projection — 2 ints/token — not the text.  The
+    single-log form ln(a·d / (b·c)) keeps both engines to ONE libm
+    call per bucket (all operands exact doubles < 2^53), so the
+    micro-unit rounding is parity-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    ).alias("t")
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("d:"), F.col("t"))), 1, 15), 16, 10)
+        .cast("long")
+        % 1024
+    )
+    toks = tracked_persist(
+        docs.select("doc_id", "lang", tok).select("doc_id", "lang", b.alias("b"))
+    )
+    stats = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_s"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("cnt_t"),
+    )
+    tot = stats.agg(
+        F.sum("cnt_s").cast("long").alias("s_tot"),
+        F.sum("cnt_t").cast("long").alias("t_tot"),
+    )
+    wts = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("cnt_t") + 1) * (F.col("s_tot") + 1024)).cast("double")
+                / ((F.col("cnt_s") + 1) * (F.col("t_tot") + 1024)).cast("double")
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    perdoc = (
+        toks.join(F.broadcast(wts), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").cast("long").alias("weight_micro"))
+    )
+    return perdoc.orderBy(F.col("weight_micro").desc(), "doc_id").limit(20)
 
 
 @register(

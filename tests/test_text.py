@@ -150,3 +150,152 @@ def test_bpe_merges_match_pure_python_reference(spark, tmp_path):
         for r in bpe_train_merges(spark, str(tmp_path)).orderBy("step").collect()
     ]
     assert got == expect
+
+
+def _stage_documents(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source) → documents.parquet in tmp_path."""
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(path)
+    return str(tmp_path)
+
+
+def test_bpe_encode_matches_pure_python(spark, tmp_path):
+    """bpe_encode_corpus vs a from-scratch encoder: train merges with the
+    pure-Python reference (shared with the trainer test), apply them
+    greedily to every word occurrence, compare per-source totals."""
+    import collections
+
+    from cdc_practice_spark.queries.text_queries import (
+        _BPE_STEPS,
+        bpe_encode_corpus,
+    )
+
+    texts = [
+        ("the cat sat on the mat", "a"),
+        ("the rat saw the cat", "a"),
+        ("aaa aa aaa the mat", "b"),
+    ]
+    words = collections.Counter(
+        w for t, _ in texts for w in t.lower().split() if w.isalpha()
+    )
+    vocab = {w: list(w) for w in words}
+    for _ in range(_BPE_STEPS):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    expect = {}
+    for t, src in texts:
+        ws = [w for w in t.lower().split() if w.isalpha()]
+        e = expect.setdefault(src, [0, 0, 0])
+        e[0] += len(ws)
+        e[1] += sum(len(w) for w in ws)
+        e[2] += sum(len(vocab[w]) for w in ws)
+
+    sf_dir = _stage_documents(
+        spark, tmp_path, [(i, t, "en", s) for i, (t, s) in enumerate(texts)]
+    )
+    got = {
+        r.source: [r.n_words, r.n_chars, r.n_tokens_bpe]
+        for r in bpe_encode_corpus(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_quality_classifier_margin_pure_python(spark, tmp_path):
+    """Hashed-bigram linear classifier vs a hashlib recompute — same md5
+    bucket/weight derivation, integer margins."""
+    import hashlib
+
+    from cdc_practice_spark.queries.text_queries import quality_classifier_margin
+
+    def weight(bigram: str) -> int:
+        b = int(hashlib.md5(f"f:{bigram}".encode()).hexdigest()[:15], 16) % 4096
+        return int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    texts = [
+        ("the cat sat on the mat", "a"),
+        ("one", "a"),  # no bigram → margin 0
+        ("alpha beta gamma delta", "b"),
+    ]
+    expect = {}
+    for t, src in texts:
+        ts = [x for x in t.lower().split() if x != ""]
+        m = sum(weight(f"{x} {y}") for x, y in zip(ts, ts[1:]))
+        e = expect.setdefault(src, [0, 0, 0])
+        e[0] += 1
+        e[1] += 1 if m > 0 else 0
+        e[2] += m
+    sf_dir = _stage_documents(
+        spark, tmp_path, [(i, t, "en", s) for i, (t, s) in enumerate(texts)]
+    )
+    got = {
+        r.source: [r.n_docs, r.n_keep, r.margin_sum]
+        for r in quality_classifier_margin(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_dsir_importance_ranks_target_like_docs(spark, tmp_path):
+    """DSIR weights vs a hashlib/math recompute on a tiny bilingual
+    corpus; the en-looking doc must outrank the de-looking one."""
+    import hashlib
+    import math
+
+    from cdc_practice_spark.queries.text_queries import dsir_importance_select
+
+    texts = [
+        (0, "the cat and the dog", "en", "s"),
+        (1, "der hund und die katze", "de", "s"),
+        (2, "the dog and the cat", "und", "s"),  # en-like words, unknown lang
+        (3, "die katze und der hund", "und", "s"),  # de-like words
+    ]
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(f"d:{t}".encode()).hexdigest()[:15], 16) % 1024
+
+    cnt_s: dict[int, int] = {}
+    cnt_t: dict[int, int] = {}
+    toks_of = {}
+    for i, t, lang, _ in texts:
+        ts = [x for x in t.lower().split() if x != ""]
+        toks_of[i] = ts
+        for x in ts:
+            b = bucket(x)
+            cnt_s[b] = cnt_s.get(b, 0) + 1
+            if lang == "en":
+                cnt_t[b] = cnt_t.get(b, 0) + 1
+    s_tot = sum(cnt_s.values())
+    t_tot = sum(cnt_t.values())
+    w = {
+        b: round(
+            math.log(
+                (cnt_t.get(b, 0) + 1) * (s_tot + 1024)
+                / ((cnt_s[b] + 1) * (t_tot + 1024))
+            )
+            * 1000000
+        )
+        for b in cnt_s
+    }
+    expect = {i: sum(w[bucket(x)] for x in toks_of[i]) for i, *_ in texts}
+
+    sf_dir = _stage_documents(spark, tmp_path, texts)
+    rows = dsir_importance_select(spark, sf_dir).collect()
+    got = {r.doc_id: r.weight_micro for r in rows}
+    assert got == expect
+    # the en-vocabulary doc outranks the de-vocabulary doc
+    assert got[2] > got[3]
