@@ -42,12 +42,13 @@ def _mg_combine(counters: dict, batch_counts: dict, k: int) -> dict:
     return counters
 
 
-def misra_gries_candidates(
-    df: DataFrame, col: str, k: int = 8
-) -> tuple[list, int]:
-    """Returns (candidate items, total row count n).  The candidate list
-    has ≤ k entries and is GUARANTEED to contain every item whose true
-    frequency exceeds n / (k+1)."""
+def mg_summary(df: DataFrame, col: str, k: int = 8) -> tuple[dict, int]:
+    """One-pass MG summary of a DataFrame: returns (counters, n) where
+    ``counters`` maps ≤ k items to their (under-estimating) weights and
+    ``n`` counts non-null rows.  The weighted form is what the streaming
+    maintained-sketch sink merges across micro-batches (the PODS-2012
+    merge rule is closed over these summaries); batch callers that only
+    need the candidate set use ``misra_gries_candidates`` below."""
 
     def partition_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -71,6 +72,16 @@ def misra_gries_candidates(
         cut = sorted(counters.values(), reverse=True)[k]
         counters = {i: w - cut for i, w in counters.items() if w > cut}
     n = df.filter(F.col(col).isNotNull()).count()
+    return counters, n
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str, k: int = 8
+) -> tuple[list, int]:
+    """Returns (candidate items, total row count n).  The candidate list
+    has ≤ k entries and is GUARANTEED to contain every item whose true
+    frequency exceeds n / (k+1)."""
+    counters, n = mg_summary(df, col, k)
     return sorted(counters), n
 
 

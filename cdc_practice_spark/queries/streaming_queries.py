@@ -608,3 +608,63 @@ def streaming_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["streaming_state_time_travel"] = _time_travel_oracle()
+
+
+@register(
+    "streaming_heavy_hitters",
+    oracle="""
+WITH t AS (SELECT count(*) AS n FROM events WHERE event_type IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS exact_count,
+       TRUE AS in_summary
+FROM events, t
+WHERE event_type IS NOT NULL
+GROUP BY event_type, t.n
+HAVING count(*) * 4 > t.n
+ORDER BY event_type
+""",
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained Misra-Gries summary under the oracle gate: the events
+    fixture streams through ``stream_heavy_hitters_mv`` in 3
+    micro-batches (per-batch ≤ k-counter summaries merged by the
+    PODS-2012 rule — streaming/pipeline.py), then the query emits the
+    exact heavy hitters (count·(k+1) > n, both engines agree on the set)
+    with the summary-membership DECISION per item.  The MG guarantee is
+    closed under merging, so it must hold across ANY micro-batch split;
+    a summary that evicted a guaranteed-heavy item flips the boolean and
+    fails the hash.  State stays ≤ k rows for an unbounded stream — the
+    constant-memory streaming upgrade of exact top-frequency (which
+    would shuffle every distinct key per trigger)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_heavy_hitters_mv,
+        stream_heavy_hitters_mv,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="hh_q_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+    q = stream_heavy_hitters_mv(
+        spark,
+        read_events_stream(spark, src),
+        mv_root=os.path.join(work, "mv"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        col="event_type",
+        k=3,
+    )
+    q.awaitTermination()
+    counters, n = load_heavy_hitters_mv(spark, os.path.join(work, "mv"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .filter(F.col("exact_count") * 4 > F.lit(n))
+        .select(
+            "event_type",
+            "exact_count",
+            F.col("event_type").isin(list(counters)).alias("in_summary"),
+        )
+        .orderBy("event_type")
+    )

@@ -72,15 +72,21 @@ def read_events_stream(
 
 
 def stream_history_append(
-    events_stream: DataFrame, out_dir: str, checkpoint_dir: str
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    dedup_watermark: str | None = "1 day",
 ) -> StreamingQuery:
     """S8 append-only history sink: normalized feed rows appended as
     parquet.  The watermark-bounded coordinate dedup (replacing the
     reference's unbounded SELECT-COUNT probe, simple_kafka_etl.py:81-88)
     lives INSIDE change_feed_from_events — one state store, shared with
     the upsert path, instead of the double-dedup this sink used to
-    layer on top."""
-    feed = change_feed_from_events(events_stream)
+    layer on top.  ``dedup_watermark`` passes through to the feed: it
+    bounds the dedup state store to coordinates younger than the delay
+    (choose it ≥ the broker's redelivery horizon); ``None`` keeps every
+    coordinate forever (tests / short replays only)."""
+    feed = change_feed_from_events(events_stream, dedup_watermark)
     return (
         feed.writeStream.format("parquet")
         .option("path", out_dir)
@@ -848,3 +854,82 @@ def vacuum_state(state_root: str, keep_last: int = 1) -> list[str]:
         if v not in kept_versions:
             os.remove(os.path.join(state_root, f"_MANIFEST.v{v}"))
     return deleted
+
+
+def load_heavy_hitters_mv(
+    spark: SparkSession, mv_root: str
+) -> tuple[dict, int]:
+    """Current maintained Misra-Gries summary: ({item: weight}, n_seen).
+    Empty summary + 0 before the first epoch commits."""
+    pointer = os.path.join(mv_root, "_HH_POINTER")
+    if not os.path.exists(pointer):
+        return {}, 0
+    with open(pointer) as fh:
+        rows = spark.read.parquet(fh.read().strip()).collect()
+    counters = {
+        r.item: int(r.weight) for r in rows if r.item is not None
+    }
+    n = int(rows[0].n_total) if rows else 0
+    return counters, n
+
+
+def stream_heavy_hitters_mv(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    mv_root: str,
+    checkpoint_dir: str,
+    col: str = "event_type",
+    k: int = 8,
+) -> StreamingQuery:
+    """Maintained heavy-hitters sketch sink: a Misra-Gries summary kept
+    continuously fresh across micro-batches.
+
+    Per epoch the batch first reduces to its OWN ≤ k-counter summary
+    (``operators/sketches.py::mg_summary`` — per-partition mapInPandas
+    summaries, one ≤ partitions·k-row merge shuffle; the collect is
+    index-sized), then merges into the persisted summary by the
+    Agarwal-et-al. mergeable-summaries rule, which is closed over MG
+    summaries: the n/(k+1) heavy-hitter guarantee survives ANY merge
+    tree, so it holds across an unbounded stream while state stays a
+    constant ≤ k rows — the streaming face of the batch heavy-hitters
+    tier, and the cheapest possible "running counter" upgrade of the
+    reference's processed-count metric (simple_kafka_etl.py:90).
+
+    Crash-replay safe the same way the maintained-MV sinks are: the
+    pre-epoch pointer is snapshotted before the swap, so a replayed
+    epoch re-reads the summary as it was BEFORE the first attempt and
+    the merge is idempotent."""
+    from cdc_practice_spark.operators.sketches import _mg_combine, mg_summary
+
+    os.makedirs(mv_root, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_counters, n_batch = mg_summary(batch_df, col, k)
+        if n_batch == 0:
+            return
+        pre = _pre_epoch_pointer(mv_root, epoch_id, "_HH_POINTER")
+        counters: dict = {}
+        n_prev = 0
+        if pre:
+            rows = spark.read.parquet(pre).collect()  # ≤ k+1 rows
+            counters = {
+                r.item: int(r.weight) for r in rows if r.item is not None
+            }
+            n_prev = int(rows[0].n_total) if rows else 0
+        counters = _mg_combine(counters, batch_counters, k)
+        n_total = n_prev + n_batch
+        out_rows = [
+            (item, int(w), int(n_total)) for item, w in sorted(counters.items())
+        ] or [(None, 0, int(n_total))]
+        out = os.path.join(mv_root, f"v{epoch_id}")
+        spark.createDataFrame(
+            out_rows, "item string, weight long, n_total long"
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        _swap_pointer(mv_root, out, "_HH_POINTER")
+
+    return (
+        events_stream.writeStream.foreachBatch(_scoped(apply_batch))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

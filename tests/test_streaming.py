@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -834,3 +835,150 @@ def test_multitable_routing_one_pass_equals_per_table_batch(spark, sf_dir):
         for t in routes
     ]
     assert not (keys[0] & keys[1])
+
+
+def _write_event_file(spark, path: str, rows, mtime: float) -> None:
+    """One parquet file = one micro-batch (maxFilesPerTrigger=1); mtime
+    staggering pins the FileStreamSource processing order."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tmp = path + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), path + ".parquet")
+    os.utime(path + ".parquet", (mtime, mtime))
+
+
+def test_watermark_dedup_drops_redelivery_within_horizon(spark):
+    """A Kafka redelivery (same coordinate triple, later micro-batch)
+    arriving within the dedup watermark must be a history no-op — the
+    watermark-BOUNDED state store gives the same answer as the unbounded
+    one as long as redeliveries arrive inside the horizon (broker
+    retention ≤ watermark, the contract documented in cdc/feed.py)."""
+    import datetime as dt
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="wmdedup_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    a = (1, t0, 101, "signup", 10.0, '{"k": 1}')
+    b = (2, t0 + h, 102, "signup", 20.0, '{"k": 2}')
+    c = (3, t0 + 2 * h, 103, "signup", 30.0, '{"k": 3}')
+    base = time.time() - 100
+    _write_event_file(spark, os.path.join(src, "f0"), [a, b], base)
+    # batch 2: exact redelivery of `a` (same offset ⇒ same coordinates,
+    # event time well inside the 1-day horizon) + one genuinely new event
+    _write_event_file(spark, os.path.join(src, "f1"), [a, c], base + 10)
+    q = stream_history_append(
+        read_events_stream(spark, src),
+        out_dir=os.path.join(work, "hist"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        dedup_watermark="1 day",
+    )
+    q.awaitTermination()
+    hist = spark.read.parquet(os.path.join(work, "hist"))
+    offsets = sorted(r.kafka_offset for r in hist.collect())
+    assert offsets == [1, 2, 3]  # redelivered offset 1 appended once
+
+
+def test_watermark_dedup_bounds_state_store(spark):
+    """The point of dropDuplicatesWithinWatermark over plain
+    dropDuplicates: coordinates older than the watermark are EVICTED from
+    the state store, so state is O(events within horizon), not O(all
+    events ever).  Three singleton batches spread over 6 h with a
+    1-minute watermark must end with < 3 keys in the store (the
+    unbounded variant keeps all 3 forever)."""
+    import datetime as dt
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="wmstate_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=3)
+    base = time.time() - 100
+    for i, ts in enumerate([t0, t0 + h, t0 + 2 * h]):
+        _write_event_file(
+            spark,
+            os.path.join(src, f"f{i}"),
+            [(i + 1, ts, 200 + i, "signup", 1.0, '{"k": 1}')],
+            base + 10 * i,
+        )
+    ckpt = os.path.join(work, "ckpt")
+    q = stream_history_append(
+        read_events_stream(spark, src),
+        out_dir=os.path.join(work, "hist"),
+        checkpoint_dir=ckpt,
+        dedup_watermark="1 minute",
+    )
+    q.awaitTermination()
+    # all three rows reach history (they are not duplicates) ...
+    assert spark.read.parquet(os.path.join(work, "hist")).count() == 3
+    # ... but the dedup store evicted the below-watermark coordinates:
+    # after batch 3 commits, the watermark sits at t0+3h−1m, so only the
+    # younger keys survive.  Bounded ⇒ strictly fewer than all 3.
+    state = spark.read.format("statestore").load(ckpt)
+    assert 1 <= state.count() < 3
+
+
+def test_stream_heavy_hitters_guarantee_and_replay(spark, sf_dir):
+    """Maintained Misra-Gries sink: after streaming N micro-batches, the
+    ≤ k-row summary must (a) contain EVERY item whose true frequency
+    exceeds n/(k+1) — the guarantee that survives the mergeable-summary
+    rule across any batch split — and (b) never over-estimate a count.
+    Then the crash-replay hazard is forced (last commit deleted, stream
+    restarted): the pre-epoch pointer snapshot must make the re-applied
+    epoch a no-op, byte-identical summary."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_heavy_hitters_mv,
+        stream_heavy_hitters_mv,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="hh_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    split_events_into_files(spark, sf_dir, src, n_files=3)
+    k = 4
+
+    def run_once():
+        q = stream_heavy_hitters_mv(
+            spark,
+            read_events_stream(spark, src),
+            mv_root=os.path.join(work, "mv"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            col="event_type",
+            k=k,
+        )
+        q.awaitTermination()
+
+    run_once()
+    counters, n = load_heavy_hitters_mv(spark, os.path.join(work, "mv"))
+    events = load_table(spark, sf_dir, "events")
+    true_counts = {
+        r.event_type: r.c
+        for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    assert n == sum(true_counts.values())
+    assert len(counters) <= k
+    heavy = {i for i, c in true_counts.items() if c > n / (k + 1)}
+    assert heavy <= set(counters)  # guarantee: heavy items always survive
+    for item, w in counters.items():
+        assert w <= true_counts[item]  # weights under-estimate, never over
+        assert true_counts[item] - w <= n / (k + 1) + len(true_counts)
+
+    # forge the crash: last epoch applied but never committed
+    commits = sorted(os.listdir(os.path.join(work, "ckpt", "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(work, "ckpt", "commits", last))
+    crc = os.path.join(work, "ckpt", "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+    replayed, n2 = load_heavy_hitters_mv(spark, os.path.join(work, "mv"))
+    assert (replayed, n2) == (counters, n)
