@@ -691,72 +691,86 @@ def delta_apply_topk_mv_onepass(
     of both to from-scratch recomputation is property-tested at every
     split point in tests/test_cdc_incremental.py.
 
-    Measured at sf0.1: the separate-frames harness runs ~20 AQE jobs
-    (every exchange is a job, each paying the scheduling floor); the r5
-    form halved that by deriving per-key facts from ONE max_by
-    aggregation, but still rebuilt the stored MV and the delta stats as
-    FOUR parallel per-group legs (topk window, count agg, stats agg)
-    merged by two chained FullOuter sort-merge joins — a 98-node plan.
-    This form collapses all of it into ONE exchange on the group key:
-    every per-key fact explodes into ≤3 tagged rows (w=0 the base row at
-    T, w=−1 a retraction, w=+1 an insertion); a single window ranks the
-    base rows (they sort first, so row_number among them is exact); a
-    single aggregation then yields the stored prefix, the live count,
-    AND every delta statistic per group — no join anywhere before the
-    endangered-group re-derive, which is itself fused to one
-    window+aggregate (~2× fewer jobs again; the floor IS the cost)."""
+    Plan shape (r6): ONE LINEAR PIPELINE, zero joins, zero persists.
+    The r5 fusion derived per-key facts from one ``max_by`` aggregation
+    but still ran the endangered-group re-derive as a second branch
+    (semi-join probe + its own window+aggregate), which forced two
+    tracked_persist materializations and ~5 scheduler jobs — 1.25 s at
+    sf0.1 with the floor, not the data, as the cost.  This form fuses
+    the re-derive into the SAME group exchange: each per-key fact
+    explodes into ≤3 tagged rows (w=0 the live base row at T, w=−1 a
+    retraction, w=+1 an insertion) carrying a ``live_end`` flag (is this
+    row part of the post-batch state?); two windows over the SAME
+    partitioning — one exchange, two rides of the sorter — mark (a) the
+    stored top-k prefix at T among base rows and (b) the post-state
+    top-k prefix among live_end rows; ONE aggregation then yields the
+    stored prefix, every delta statistic, AND the re-derived prefix per
+    group, and the final projection picks per group: delta algebra
+    (stored ⊕ inserts, O(k) array math) for safe groups, the re-derived
+    prefix for endangered ones.  Both answers are computed from the same
+    exchange, so endangerment costs no extra pass — and the safe-path
+    algebra stays live (equivalence-tested) rather than decorative.
+    In the separate-frames production form the re-derive keeps its
+    group-prunable rescan: there the base state is stored, and scanning
+    it for only endangered groups is the point."""
     snap = lambda: F.struct(  # noqa: E731
         F.col(group_col).alias("g"),
         M.fixed(value_col).alias("c"),
         F.col("__deleted").alias("d"),
     )
-    per_key = tracked_persist(
-        feed.groupBy(key).agg(
-            F.max_by(snap(), F.when(F.col(order) <= F.lit(t), F.col(order))).alias(
-                "at_t"
-            ),
-            F.max_by(snap(), F.col(order)).alias("at_end"),
-            F.max(order).alias("mx"),
-        )
+    per_key = feed.groupBy(key).agg(
+        F.max_by(snap(), F.when(F.col(order) <= F.lit(t), F.col(order))).alias(
+            "at_t"
+        ),
+        F.max_by(snap(), F.col(order)).alias("at_end"),
+        F.max(order).alias("mx"),
     )
     old_live = F.col("at_t").isNotNull() & (F.col("at_t.d") == "false")
     touched = F.col("mx") > F.lit(t)
     new_live = F.col("at_end.d") == "false"
 
-    def tagged(s: str, w: int) -> F.Column:
+    def tagged(s: str, w: int, live_end: F.Column) -> F.Column:
         return F.struct(
             F.col(f"{s}.g").alias("g"),
             (-F.col(f"{s}.c")).alias("nc"),
             F.col(key).alias("id"),
             F.lit(w).alias("w"),
+            live_end.alias("le"),
         )
 
     rows = (
         per_key.select(
             F.explode(
                 F.array(
-                    F.when(old_live, tagged("at_t", 0)),
-                    F.when(touched & old_live, tagged("at_t", -1)),
-                    F.when(touched & new_live, tagged("at_end", 1)),
+                    # untouched keys keep their base row in the post state
+                    F.when(old_live, tagged("at_t", 0, ~touched)),
+                    F.when(touched & old_live, tagged("at_t", -1, F.lit(False))),
+                    F.when(touched & new_live, tagged("at_end", 1, F.lit(True))),
                 )
             ).alias("s")
         )
         .filter(F.col("s").isNotNull())
         .select("s.*")
     )
-    # base rows (w=0) sort FIRST, then by value desc / key asc — so
-    # row_number ≤ k over this single window marks exactly the stored
-    # top-k prefix at T, while the leg rows ride the same exchange
-    wall = Window.partitionBy("g").orderBy(
-        (F.col("w") != 0).asc(), F.col("nc").asc(), F.col("id").asc()
+    # BOTH prefix ranks from ONE sort: over (nc asc, id asc), a row's
+    # rank among base rows (w=0) and among post-state rows (le) are
+    # conditional running counts — sort keys are unique WITHIN each
+    # counted subset (one row per key per subset), so ties with
+    # non-counted rows can't perturb either rank.  One exchange, one
+    # sort, two ranks (a second row_number window would re-sort).
+    wrun = (
+        Window.partitionBy("g")
+        .orderBy(F.col("nc").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     el = F.struct(F.col("nc").alias("nc"), F.col("id").alias("id"))
-    in_top = (F.col("w") == 0) & (F.row_number().over(wall) <= k)
-    # persisted: safe AND endangered branches read it (A/B'd — without
-    # the cache the window+agg subtree re-runs per branch and the
-    # per-key semi-join probe re-materializes, +15% wall)
-    merged = tracked_persist(
+    base_rank = F.sum(F.when(F.col("w") == 0, 1)).over(wrun)
+    live_rank = F.sum(F.when(F.col("le"), 1)).over(wrun)
+    in_top = (F.col("w") == 0) & (base_rank <= k)
+    in_post = F.col("le") & (live_rank <= k)
+    merged = (
         rows.withColumn("_tp", in_top)
+        .withColumn("_pp", in_post)
         .groupBy("g")
         .agg(
             F.sort_array(F.collect_list(F.when(F.col("_tp"), el))).alias("topk"),
@@ -769,6 +783,10 @@ def delta_apply_topk_mv_onepass(
             F.slice(
                 F.sort_array(F.collect_list(F.when(F.col("w") == 1, el))), 1, k
             ).alias("ins_topk"),
+            F.sort_array(F.collect_list(F.when(F.col("_pp"), el))).alias(
+                "post_topk"
+            ),
+            F.count(F.when(F.col("le"), 1)).alias("post_n"),
         )
         .withColumnRenamed("g", group_col)
     )
@@ -776,40 +794,23 @@ def delta_apply_topk_mv_onepass(
         F.size("topk") > 0, F.element_at("topk", F.size("topk")).getField("nc")
     )
     has_hidden = F.col("n_rows") > F.size("topk")
-    endangered_cond = (F.col("ret_cnt") > 0) & (
+    endangered = (F.col("ret_cnt") > 0) & (
         ~has_hidden | (F.col("ret_min_nc") <= kth_nc)
     )
-    safe = merged.filter(~endangered_cond).select(
+    return merged.select(
         group_col,
-        F.slice(
-            F.sort_array(F.concat(F.col("topk"), F.col("ins_topk"))), 1, k
-        ).alias("topk"),
-        (F.col("n_rows") + F.col("dn")).alias("n_rows"),
-    )
-    egroups = merged.filter(endangered_cond).select(F.col(group_col).alias("eg"))
-    # endangered groups re-derive from the post-batch state — which the
-    # per-key facts already hold (at_end), no base-table rescan; prefix
-    # and count come from ONE window+aggregate (no rtop⋈rcnt join)
-    post = (
-        per_key.filter(new_live)
-        .select(
-            F.col(key).alias("id"),
-            F.col("at_end.g").alias("g"),
-            (-F.col("at_end.c")).alias("nc"),
+        F.when(endangered, F.col("post_topk"))
+        .otherwise(
+            F.slice(
+                F.sort_array(F.concat(F.col("topk"), F.col("ins_topk"))), 1, k
+            )
         )
-        .join(egroups, F.col("g") == F.col("eg"), "left_semi")
-    )
-    wpost = Window.partitionBy("g").orderBy(F.col("nc").asc(), F.col("id").asc())
-    rederived = (
-        post.withColumn("_tp", F.row_number().over(wpost) <= k)
-        .groupBy("g")
-        .agg(
-            F.sort_array(F.collect_list(F.when(F.col("_tp"), el))).alias("topk"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .withColumnRenamed("g", group_col)
-    )
-    return safe.unionByName(rederived).filter(F.col("n_rows") > 0)
+        .alias("topk"),
+        F.when(endangered, F.col("post_n"))
+        .otherwise(F.col("n_rows") + F.col("dn"))
+        .alias("n_rows"),
+    ).filter(F.col("n_rows") > 0)
+
 
 
 def delta_apply_minmax_mv(
