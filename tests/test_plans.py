@@ -298,17 +298,19 @@ def test_fused_incremental_mv_two_exchanges(spark, sf_dir):
 
 
 def test_topk_mv_fused_single_group_aggregation(spark, sf_dir):
-    """topk_mv (r6 fused shape): the stored prefix, live count, and ALL
-    delta statistics come out of ONE exchange-on-group window+aggregate
-    over the exploded per-key facts — the r5 shape's two chained
-    FullOuter sort-merge joins must not creep back.  The only join left
-    in the whole plan is the broadcast semi-join that prunes the
-    endangered-group re-derive."""
+    """topk_mv (r6 fused shape): one LINEAR pipeline — the stored
+    prefix, every delta statistic, AND the endangered-group re-derived
+    prefix all come out of one exchange-on-group sort (two conditional
+    running-count ranks over the same ordering) feeding one aggregation.
+    ZERO joins of any kind and exactly two exchanges (per-key max_by,
+    per-group window+agg); the r5 shapes — chained FullOuter sort-merge
+    joins, then a broadcast semi-join re-derive branch — must not creep
+    back."""
     plan = plan_of(spark, sf_dir, "cdc_incremental_topk_mv", "formatted")
     body = plan.split("\n\n")[0]
-    assert "SortMergeJoin" not in body
-    assert "FullOuter" not in body
-    assert body.count("BroadcastHashJoin") == 1, body.count("BroadcastHashJoin")
+    assert "Join" not in body, body
+    assert body.count("Exchange") <= 2, body.count("Exchange")
+    assert body.count("Sort (") <= 3, body  # key-agg ride + one group sort
 
 
 def test_rag_chunking_is_shuffle_free(spark, sf_dir):
