@@ -650,3 +650,76 @@ def duplicate_span_stats(
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         )
     )
+
+
+def prefix_filtered_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the SSJoin/
+    PPJoin family (Chaudhuri-Ganti-Kaushik ICDE'06; Xiao et al. WWW'08):
+    every pair of documents whose shingle-hash-set Jaccard ≥ threshold,
+    with NO false negatives (unlike minhash/simhash, which trade recall
+    for speed) and NO O(N²) comparison (unlike the brute-force verify
+    tier).
+
+    The lossless pruning fact: order each set by a global total order
+    and keep only its PREFIX of length |s| − ⌈τ·|s|⌉ + 1; any pair with
+    J ≥ τ must share at least one prefix element (dropping more than
+    the prefix from either set leaves < τ-overlap possible).  So
+    candidates = pairs sharing ≥1 prefix token — generated by ONE
+    explode + equi-join on the token, never a cartesian — then exact
+    Jaccard verifies just those.  A length filter rides the join
+    (τ·max(|a|,|b|) ≤ min — necessary for J ≥ τ), pruning cross-size
+    pairs before the exchange.
+
+    This implementation orders by hash value (deterministic, zero extra
+    passes); production index builds order by ascending corpus frequency
+    — rarest-first prefixes collide least — at the cost of one df
+    aggregation, the same posting-frequency pass the BM25 index makes.
+    100 TB shape: the explode emits ≤ prefix-len rows/doc partitioned by
+    token (the natural skew guard: a token's bucket is its posting
+    list), the verify join is candidate-sized, and both are standard
+    shuffles — no pairwise scan anywhere."""
+    sets = with_shingle_hashes(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", F.array_sort(F.array_distinct("hs")).alias("s")
+    )
+    n = F.size("s")
+    plen = n - F.ceil(n.cast("double") * F.lit(threshold)).cast("int") + 1
+    pref = sets.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.slice("s", F.lit(1), plen)).alias("tok"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok"
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.greatest("na", "nb").cast("double") * F.lit(threshold)
+                <= F.least("na", "nb").cast("double")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )

@@ -609,3 +609,37 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("doc_id", "cluster_rep", "quality_score")
     )
+
+
+@register(
+    "dedup_exact_jaccard_join",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               / (len(list_distinct(a.hs)) + len(list_distinct(b.hs))
+                  - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold similarity join (every pair with shingle-set
+    Jaccard ≥ 0.8) via prefix filtering — operators/dedup.py::
+    prefix_filtered_jaccard_join.  Completes the dedup tier's
+    exactness spectrum: minhash/simhash are probabilistic (banded
+    recall), the brute-force verify tier is exact but O(N²) and
+    id-capped; this is exact AND sub-quadratic — candidates come from
+    an equi-join on ordered-set prefixes (a lossless filter: J ≥ τ
+    forces a shared prefix element), so the only pairs ever
+    materialized share a prefix token and pass the length filter.  The
+    oracle brute-forces all pairs, so a missed pair (broken prefix
+    logic) or an extra pair (broken verify) hash-fails — the
+    no-false-negatives claim is what's being checked."""
+    pairs = D.prefix_filtered_jaccard_join(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+    return pairs.orderBy("doc_a", "doc_b")

@@ -241,3 +241,35 @@ def test_duplicate_span_stats_semantics(spark):
     assert rows[2] == (3, 1)
     assert rows[3] == (3, 0)  # 'r r ... r' spans identical WITHIN doc only
     assert rows[4] == (0, 0)
+
+
+def test_prefix_filtered_jaccard_exact_vs_bruteforce(docs):
+    """The lossless-pruning claim: prefix filtering must return EXACTLY
+    the brute-force threshold-join result — no missed pair (broken
+    prefix length), no extra pair (broken verify)."""
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.prefix_filtered_jaccard_join(docs, threshold=0.5).collect()
+    }
+    sets = {
+        r.doc_id: set(r.hs)
+        for r in D.with_shingle_hashes(docs).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+
+def test_prefix_filtered_jaccard_no_cartesian(docs):
+    """Candidates come from an equi-join on prefix tokens; a cartesian
+    here would mean the lossless filter degenerated to all-pairs."""
+    plan = D.prefix_filtered_jaccard_join(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
