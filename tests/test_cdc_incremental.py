@@ -538,3 +538,28 @@ def test_topk_onepass_equals_scratch_at_any_split(feed):
     for t in (-1, max_off // 3, max_off // 2, max_off):
         fused = delta_apply_topk_mv_onepass(feed, t, "event_type", 3)
         assert _tk_rows(fused) == scratch, f"split {t} diverged"
+
+
+def test_onepass_duplicate_invariance_justifies_nodedup_feed(spark, sf_dir):
+    """The coord_dedup=False contract (cdc/feed.py): because both
+    one-pass forms touch the feed first through idempotent per-key
+    aggregates (max_by/max over the unique coordinate order), injected
+    byte-identical redeliveries must leave their outputs unchanged —
+    this is what lets the registered MV queries skip the P3 window."""
+    from cdc_practice_spark.cdc.incremental import (
+        delta_apply_mv_onepass,
+        delta_apply_topk_mv_onepass,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clean = change_feed_from_events(events, coord_dedup=False)
+    # redeliver ~every 7th event verbatim (same coordinates, same body)
+    dup = clean.filter(F.col("kafka_offset") % 7 == 0)
+    noisy = clean.unionByName(dup)
+    t = clean.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    assert _mv_rows(delta_apply_mv_onepass(noisy, t, "event_type")) == _mv_rows(
+        delta_apply_mv_onepass(clean, t, "event_type")
+    )
+    assert _tk_rows(
+        delta_apply_topk_mv_onepass(noisy, t, "event_type", 3)
+    ) == _tk_rows(delta_apply_topk_mv_onepass(clean, t, "event_type", 3))
