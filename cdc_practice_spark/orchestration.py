@@ -134,7 +134,15 @@ def _acquire_lock(job: JobSpec) -> int:
             raise ConcurrentRunError(
                 f"job {job.name!r}: run already active (pid {holder})"
             )
-        if not os.path.exists(path) or os.fstat(fd).st_ino != os.stat(path).st_ino:
+        try:
+            path_ino = os.stat(path).st_ino
+        except FileNotFoundError:
+            # holder unlinked between our open and this stat: the file we
+            # flocked no longer names the lock path — retry on the fresh
+            # file (closing first so the orphaned-inode flock is dropped)
+            os.close(fd)
+            continue
+        if os.fstat(fd).st_ino != path_ino:
             os.close(fd)  # lost the unlink-vs-open race; retry on the new file
             continue
         try:

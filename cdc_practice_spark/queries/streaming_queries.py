@@ -620,7 +620,7 @@ SELECT event_type,
 FROM events, t
 WHERE event_type IS NOT NULL
 GROUP BY event_type, t.n
-HAVING count(*) * 4 > t.n
+HAVING count(*) * 10 > t.n
 ORDER BY event_type
 """,
 )
@@ -630,10 +630,14 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches (per-batch ≤ k-counter summaries merged by the
     PODS-2012 rule — streaming/pipeline.py), then the query emits the
     exact heavy hitters (count·(k+1) > n, both engines agree on the set)
-    with the summary-membership DECISION per item.  The MG guarantee is
-    closed under merging, so it must hold across ANY micro-batch split;
-    a summary that evicted a guaranteed-heavy item flips the boolean and
-    fails the hash.  State stays ≤ k rows for an unbounded stream — the
+    with the summary-membership DECISION per item.  k=9 (threshold
+    n/10): the fixture's 5 near-uniform event types (~n/5 each) are ALL
+    exact heavy hitters at every SF, so the result is NONEMPTY and the
+    boolean is load-bearing — r6's k=3 (n/4) matched zero rows and the
+    hash compared two empty frames.  The MG guarantee is closed under
+    merging, so it must hold across ANY micro-batch split; a summary
+    that evicted a guaranteed-heavy item flips the boolean and fails the
+    hash.  State stays ≤ k rows for an unbounded stream — the
     constant-memory streaming upgrade of exact top-frequency (which
     would shuffle every distinct key per trigger)."""
     from cdc_practice_spark.streaming.pipeline import (
@@ -652,7 +656,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mv_root=os.path.join(work, "mv"),
         checkpoint_dir=os.path.join(work, "ckpt"),
         col="event_type",
-        k=3,
+        k=9,
     )
     q.awaitTermination()
     counters, n = load_heavy_hitters_mv(spark, os.path.join(work, "mv"))
@@ -660,7 +664,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
-        .filter(F.col("exact_count") * 4 > F.lit(n))
+        .filter(F.col("exact_count") * 10 > F.lit(n))
         .select(
             "event_type",
             "exact_count",

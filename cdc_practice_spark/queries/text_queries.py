@@ -387,8 +387,26 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus dir, same as the stats."""
     from cdc_practice_spark.plans.hints import _STATS_CACHE
 
-    key = ("bm25_index", id(spark), sf_dir)
+    # Key by applicationId, not id(spark): CPython id() reuse after a
+    # stopped session is GC'd could alias a NEW session to a DataFrame
+    # bound to the dead one; applicationId is unique per SparkContext.
+    app_id = spark.sparkContext.applicationId
+    key = ("bm25_index", app_id, sf_dir)
     if key not in _STATS_CACHE:
+        # evict index entries of dead sessions (same slot, other app) so
+        # long-lived processes cycling sessions don't accumulate handles
+        for stale in [
+            k
+            for k in _STATS_CACHE
+            if isinstance(k, tuple)
+            and k[:1] == ("bm25_index",)
+            and k[1] != app_id
+        ]:
+            evicted = _STATS_CACHE.pop(stale)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # owning session already stopped — blocks are gone
         df = _bm25_per_doc(load_table(spark, sf_dir, "documents")).persist()
         df.count()
         _STATS_CACHE[key] = df

@@ -81,6 +81,30 @@ def write_jdbc_append(
     writer.save()
 
 
+# SQLStates meaning "table/view does not exist" across the dialects we
+# target: Derby 42X05 ("Table/View does not exist"), SQL-standard/MySQL
+# 42S02, Postgres 42P01 (undefined_table).
+_TABLE_MISSING_SQLSTATES = {"42X05", "42S02", "42P01"}
+
+
+def _is_table_missing(exc: Exception) -> bool:
+    """True iff a py4j-raised java.sql.SQLException (anywhere in the
+    cause chain) carries a table-does-not-exist SQLState."""
+    java_exc = getattr(exc, "java_exception", None)
+    while java_exc is not None:
+        try:
+            state = java_exc.getSQLState()
+        except Exception:
+            state = None
+        if state in _TABLE_MISSING_SQLSTATES:
+            return True
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            java_exc = None
+    return False
+
+
 def write_jdbc_epoch_idempotent(
     df: DataFrame,
     url: str,
@@ -111,11 +135,23 @@ def write_jdbc_epoch_idempotent(
     try:
         st = conn.createStatement()
         try:
+            # epoch_col is quoted: Spark's JDBC writer CREATEs the column
+            # as a quoted identifier, and the default "_epoch" is not a
+            # valid UNQUOTED identifier in Derby — the unquoted DELETE
+            # was a syntax error every time, silently eaten by the old
+            # blanket except (the r6-ADVICE bug this fix surfaced).
             st.executeUpdate(
-                f"DELETE FROM {table} WHERE {epoch_col} = {int(epoch_id)}"
+                f'DELETE FROM {table} WHERE "{epoch_col}" = {int(epoch_id)}'
             )
-        except Exception:
-            pass  # table not created yet — the first append below creates it
+        except Exception as exc:
+            # ONLY "table does not exist" may be swallowed (the first
+            # append below creates it).  Any other delete failure (lock
+            # timeout, permission, connectivity, bad epoch_col) must
+            # abort the batch: skipping the cleanup and appending anyway
+            # would double-insert the replayed epoch and break the
+            # exactly-once contract this function exists to provide.
+            if not _is_table_missing(exc):
+                raise
         finally:
             st.close()
     finally:

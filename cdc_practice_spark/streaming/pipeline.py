@@ -397,12 +397,21 @@ def stream_session_windows(
 # ---------------------------------------------------------------------------
 
 
-def load_mv(spark: SparkSession, mv_root: str) -> DataFrame:
-    """Current maintained MV (group_col, n_rows, sum_cents) or empty."""
+def load_mv(
+    spark: SparkSession,
+    mv_root: str,
+    group_col: str = "event_type",
+    group_type: str = "string",
+) -> DataFrame:
+    """Current maintained MV (group_col, n_rows, sum_cents) or empty.
+    The never-written-MV fallback schema is derived from the same
+    (group_col, group_type) parameters the sink itself uses — a loader
+    reading a sink configured with a non-default group column must not
+    echo the default (r6 ADVICE symmetry fix)."""
     pointer = os.path.join(mv_root, "_MV_POINTER")
     if not os.path.exists(pointer):
         return spark.createDataFrame(
-            [], "event_type string, n_rows long, sum_cents long"
+            [], f"{group_col} {group_type}, n_rows long, sum_cents long"
         )
     with open(pointer) as fh:
         return spark.read.parquet(fh.read().strip())
@@ -660,12 +669,14 @@ def load_distinct_mv(
     spark: SparkSession,
     mv_root: str,
     group_col: str = "event_type",
+    group_type: str = "string",
 ) -> DataFrame:
-    """Current maintained distinct-count MV or empty."""
+    """Current maintained distinct-count MV or empty; the empty fallback
+    schema follows the sink's (group_col, group_type) parameters."""
     pointer = os.path.join(mv_root, "_MV_POINTER")
     if not os.path.exists(pointer):
         return spark.createDataFrame(
-            [], f"{group_col} string, n_rows long, n_distinct long"
+            [], f"{group_col} {group_type}, n_rows long, n_distinct long"
         )
     with open(pointer) as fh:
         return spark.read.parquet(fh.read().strip())

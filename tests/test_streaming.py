@@ -982,3 +982,41 @@ def test_stream_heavy_hitters_guarantee_and_replay(spark, sf_dir):
     run_once()
     replayed, n2 = load_heavy_hitters_mv(spark, os.path.join(work, "mv"))
     assert (replayed, n2) == (counters, n)
+
+
+def test_streaming_heavy_hitters_query_nonempty(spark, sf_dir):
+    """The registered oracle query must emit a NONEMPTY heavy-hitter set
+    (r6 defect: the k=3 / n/4 threshold matched zero rows at every SF,
+    so the oracle hash compared two empty frames and proved nothing).
+    With k=9 the fixture's 5 near-uniform event types all clear n/10,
+    and every one must be in the maintained MG summary."""
+    from cdc_practice_spark.queries.streaming_queries import (
+        streaming_heavy_hitters,
+    )
+
+    rows = streaming_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert all(r["in_summary"] for r in rows)
+
+
+def test_mv_loader_fallback_schemas_parameterized(spark, tmp_path):
+    """r6 VERDICT nit: load_mv / load_distinct_mv hardcoded their
+    never-written-MV empty fallback schemas to the default
+    `event_type string` even though the SINKS are parameterized.  The
+    loaders must now derive the empty frame from (group_col,
+    group_type), matching load_topk_mv."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_distinct_mv,
+        load_mv,
+    )
+
+    empty = load_mv(spark, str(tmp_path / "nomv"), "user_id", "bigint")
+    assert empty.schema.simpleString() == (
+        "struct<user_id:bigint,n_rows:bigint,sum_cents:bigint>"
+    )
+    assert empty.count() == 0
+    empty_d = load_distinct_mv(spark, str(tmp_path / "nomv2"), "region", "int")
+    assert empty_d.schema.simpleString() == (
+        "struct<region:int,n_rows:bigint,n_distinct:bigint>"
+    )
+    assert empty_d.count() == 0
