@@ -363,3 +363,420 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composed corpus pipeline (round 7) — the chain a real 100 TB
+# pretraining-data user runs, as ONE query under ONE full-hash oracle:
+#
+#   lang-id → quality filter (P25) → MinHash-LSH dedup (keep best quality
+#   per cluster) → benchmark decontamination → temperature mixing (T=2,
+#   target half) → greedy sequence packing (256-token bins per source)
+#
+# Every stage is individually oracle-proven elsewhere (text_queries /
+# dedup_queries / this module); this composition proves the stages agree
+# end-to-end AND that the whole chain needs exactly ONE pass over the raw
+# corpus: a single projection computes every per-document feature (language,
+# quality, fingerprint, token count, shingle hashes, minhash signature) and
+# is persisted; no later stage touches `documents` again (plan-tested).
+# At 100 TB that one feature pass is the ingest job; the six downstream
+# stages move only narrow feature rows — one small self-join on band keys
+# (LSH), two broadcastable one-row/20-row aggregates (quality threshold,
+# mix rates), and a per-source pack over the ~50%-sampled survivor set.
+# ---------------------------------------------------------------------------
+
+_E2E_CAPACITY = 256  # pack bins, same contract as pack_sequences_greedy
+
+
+def _e2e_oracle_chain() -> str:
+    """The DuckDB CTE chain recomputing the ENTIRE composed pipeline.
+
+    Heavy multi-referenced CTEs are AS MATERIALIZED: DuckDB inlines CTE
+    references, and this chain references the feature/survivor CTEs down
+    a 6-stage tree — without materialization the md5/shingle subtrees
+    re-expand exponentially (measured 132 s → 1.0 s at sf0.001)."""
+    from cdc_practice_spark.queries.dedup_queries import (
+        _HASH,
+        _band_list_sql,
+        _minhash_cols_sql,
+        _quality_sql,
+    )
+    from cdc_practice_spark.queries.text_queries import (
+        _TOKS,
+        _lang_case_sql,
+        _lang_hits_sql,
+    )
+
+    return f"""
+WITH RECURSIVE hits AS MATERIALIZED (
+  SELECT doc_id, {_lang_hits_sql()} FROM documents
+),
+langp AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+            {_lang_case_sql()} END AS lang_pred
+  FROM hits
+),
+feat AS MATERIALIZED (
+  SELECT doc_id, source, {_quality_sql()} AS quality_score,
+         CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS n_tokens,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+  FROM documents
+),
+s1 AS MATERIALIZED (
+  SELECT feat.* FROM feat JOIN langp USING (doc_id)
+  WHERE langp.lang_pred <> 'und'
+),
+thr AS MATERIALIZED (
+  SELECT round(quantile_cont(quality_score, 0.25), 6) AS q25 FROM s1
+),
+s2 AS MATERIALIZED (
+  SELECT s1.* FROM s1, thr WHERE quality_score >= q25
+),
+hs0 AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(len({_TOKS}) - 2, 1)),
+             i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))),
+           s -> {_HASH.format(x='s')}) AS hs
+  FROM documents
+),
+hs AS MATERIALIZED (
+  SELECT hs0.doc_id, hs0.hs FROM hs0 JOIN s2 USING (doc_id)
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, {_minhash_cols_sql()} FROM hs
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, unnest({_band_list_sql()}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx
+  FROM sigs
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN hs sa ON sa.doc_id = cands.doc_a
+  JOIN hs sb ON sb.doc_id = cands.doc_b
+  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+),
+bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+),
+clusters AS MATERIALIZED (
+  SELECT s2.*, coalesce(least(s2.doc_id, m.min_reach), s2.doc_id) AS cluster_rep
+  FROM s2
+  LEFT JOIN (SELECT src, min(dst) AS min_reach FROM reach GROUP BY src) m
+         ON m.src = s2.doc_id
+),
+s3 AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                                 ORDER BY quality_score DESC, doc_id) AS rn
+    FROM clusters) WHERE rn = 1
+),
+blocklist AS MATERIALIZED (
+  SELECT DISTINCT fp FROM feat WHERE doc_id % 97 = 0
+),
+s4 AS MATERIALIZED (
+  SELECT * FROM s3 WHERE fp NOT IN (SELECT fp FROM blocklist)
+),
+stats AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM s4 GROUP BY source
+),
+tot AS MATERIALIZED (SELECT sum(sqrt(n_s)) AS sw, sum(n_s) AS n FROM stats),
+rates AS MATERIALIZED (
+  SELECT source,
+         CAST(round(least(1.0, sqrt(n_s) / sw * floor(n * 0.5) / n_s)
+                    * 1000000, 0) AS BIGINT) AS accept_thr
+  FROM stats, tot
+),
+s5 AS MATERIALIZED (
+  SELECT s4.source, s4.doc_id, s4.n_tokens
+  FROM s4 JOIN rates r USING (source)
+  WHERE CAST('0x' || substring(md5(CAST(s4.doc_id AS VARCHAR) || ':mix'), 1, 15)
+             AS BIGINT) % 1000000 < r.accept_thr
+),
+toks2 AS MATERIALIZED (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
+  FROM s5
+),
+packed AS (
+  SELECT source, doc_id, n_tokens, rn2,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM toks2 WHERE rn2 = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn2,
+         CASE WHEN p.bin_fill + t.n_tokens > {_E2E_CAPACITY}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + t.n_tokens > {_E2E_CAPACITY}
+              THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+  FROM toks2 t JOIN packed p ON t.source = p.source AND t.rn2 = p.rn2 + 1
+)
+"""
+
+
+def _e2e_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single corpus pass: every per-document feature the six stages
+    need, computed in one projection chain over ONE scan of `documents`
+    and persisted as a narrow frame (ids + scalars + int64 hash arrays —
+    the raw text is dropped).  This is the ingest job of a production
+    pipeline; everything downstream reads these features only."""
+    from cdc_practice_spark.functions import text as T
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # three projection stages so split/shingle subexpressions evaluate
+    # once per row (higher-order functions don't CSE)
+    staged = docs.select("doc_id", "source", "text", toks.alias("_toks"))
+    staged = staged.select(
+        "doc_id",
+        "source",
+        "text",
+        D.shingles_from_tokens(F.col("_toks")).alias("sh"),
+        F.size(F.filter(F.col("_toks"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    staged = staged.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality_score"),
+        T.fingerprint_sorted_tokens(F.col("text")).alias("fp"),
+        F.transform("sh", D.token_hash).alias("hs"),
+    )
+    base = staged.select("*", *D.minhash_signature(F.col("hs")))
+    return tracked_persist(base)
+
+
+def corpus_e2e_stages(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """All intermediate stage frames of the composed pipeline, keyed
+    s0_base/s1_lang/s2_quality/s3_dedup/s4_decontam/s5_mix/s6_packed —
+    the registered queries and the row-conservation property test read
+    from here so there is exactly one implementation of the chain."""
+    from pyspark.sql import Window
+
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.operators.cluster import connected_components
+    from cdc_practice_spark.operators.packing import pack_greedy
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    base = _e2e_base(spark, sf_dir)
+
+    # stage 1 — language filter: keep docs with a detected language
+    s1 = base.filter(F.col("lang_pred") != "und")
+
+    # stage 2 — quality filter: corpus-wide exact P25 over stage-1
+    # survivors, one-row aggregate broadcast back (same shape as
+    # corpus_quality_filter)
+    thr = s1.agg(
+        F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("q25")
+    )
+    s2 = tracked_persist(
+        s1.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("q25"))
+        .drop("q25", "lang_pred")
+    )
+
+    # stage 3 — MinHash-LSH near-dup clusters among survivors, keep the
+    # highest-quality member per cluster (quality ties → lower doc_id).
+    # Bands ride the minhash columns already in the persisted base — no
+    # recompute; the self-join shuffles only (doc_id, band) rows.
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * D.ROWS_PER_BAND + r}")
+                    for r in range(D.ROWS_PER_BAND)
+                ],
+            )
+            for b in range(D.BANDS)
+        ]
+    )
+    banded = tracked_persist(
+        s2.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    )
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_key"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hs = s2.select("doc_id", "hs")
+    paired = candidates.join(
+        hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        "doc_a",
+    ).join(
+        hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
+    pairs = (
+        paired.filter(F.round(inter / union, 6) >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    clustered = (
+        s2.join(comp, s2["doc_id"] == comp["node"], "left")
+        .drop("node")
+        .withColumn(
+            "cluster_rep", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        .drop("component")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    s3 = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # stage 4 — decontamination: drop survivors whose content fingerprint
+    # matches the benchmark blocklist (doc_id % 97 over the FULL corpus —
+    # read from the persisted base, not a second documents scan)
+    blocklist = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("fp").alias("_bfp"))
+        .distinct()
+    )
+    s4 = s3.join(F.broadcast(blocklist), s3["fp"] == F.col("_bfp"), "left_anti")
+
+    # stage 5 — temperature mixing (T=2, target half the survivors):
+    # per-source √n acceptance thresholds, hash-deterministic membership
+    # (same algebra as corpus_temperature_mix)
+    stats = s4.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    tot = stats.agg(F.sum(F.sqrt("n_s")).alias("sw"), F.sum("n_s").alias("n"))
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt("n_s")
+                / F.col("sw")
+                * F.floor(F.col("n") * 0.5)
+                / F.col("n_s"),
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("accept_thr"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    s5 = (
+        s4.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("accept_thr"))
+        .select("source", "doc_id", "n_tokens")
+    )
+
+    # stage 6 — greedy first-fit packing, 256-token bins per source
+    s6 = pack_greedy(s5, _E2E_CAPACITY)
+
+    return {
+        "s0_base": base,
+        "s1_lang": s1,
+        "s2_quality": s2,
+        "s3_dedup": s3,
+        "s4_decontam": s4,
+        "s5_mix": s5,
+        "s6_packed": s6,
+    }
+
+
+@register(
+    "corpus_e2e_pipeline",
+    oracle=_e2e_oracle_chain()
+    + """
+SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM packed
+""",
+)
+def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus pipeline end-to-end; the full value hash of
+    the packed output verifies every stage's membership decisions AND
+    the packing order in one gate (a doc wrongly kept/dropped at any
+    stage, or a wrong bin boundary, changes the hash)."""
+    return corpus_e2e_stages(spark, sf_dir)["s6_packed"]
+
+
+@register(
+    "corpus_e2e_funnel",
+    oracle=_e2e_oracle_chain()
+    + """
+SELECT * FROM (
+  SELECT 's0_docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+  UNION ALL SELECT 's1_lang', count(*) FROM s1
+  UNION ALL SELECT 's2_quality', count(*) FROM s2
+  UNION ALL SELECT 's3_dedup', count(*) FROM s3
+  UNION ALL SELECT 's4_decontam', count(*) FROM s4
+  UNION ALL SELECT 's5_mix', count(*) FROM s5
+  UNION ALL SELECT 's6_bins', count(DISTINCT (source, bin_id)) FROM packed
+) ORDER BY stage
+""",
+)
+def corpus_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts of the composed pipeline — the audit a
+    curation run reports (how many docs each stage dropped), checked
+    row-for-row against the oracle's recomputation.  Nonempty at every
+    stage and every SF by construction (the stage parameters were chosen
+    so each filter is load-bearing on the fixtures)."""
+    st = corpus_e2e_stages(spark, sf_dir)
+    docs_n = st["s0_base"].agg(F.count(F.lit(1)).alias("n"))
+    parts = [
+        docs_n.select(F.lit("s0_docs").alias("stage"), F.col("n").cast("long"))
+    ]
+    for name in ("s1_lang", "s2_quality", "s3_dedup", "s4_decontam", "s5_mix"):
+        parts.append(
+            st[name]
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("stage"), F.col("n").cast("long"))
+        )
+    parts.append(
+        st["s6_packed"]
+        .select("source", "bin_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("s6_bins").alias("stage"), F.col("n").cast("long"))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage")

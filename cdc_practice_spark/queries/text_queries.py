@@ -95,21 +95,32 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_oracle() -> str:
-    hits = ",\n         ".join(
+def _lang_hits_sql() -> str:
+    """Per-language marker hit counters (h_en, h_de, ...) — shared by the
+    lang-id oracle and the composed-pipeline oracle."""
+    return ",\n         ".join(
         f"len(list_filter({_TOKS}, t -> list_contains(["
         + ", ".join(f"'{m}'" for m in markers)
         + f"], t))) AS h_{lang}"
         for lang, markers in T.LANG_MARKERS.items()
     )
+
+
+def _lang_case_sql() -> str:
+    """Argmax-with-earliest-language-tiebreak CASE arms (no 'und' arm) —
+    replicates the Spark fold in functions/text.py::lang_id."""
     langs = list(T.LANG_MARKERS)
-    # argmax with earliest-language tiebreak — replicates the Spark fold
     conds = []
     for i, lang in enumerate(langs):
         later = [f"h_{lang} >= h_{l2}" for l2 in langs[i + 1 :]]
         cond = " AND ".join(later) if later else "TRUE"
         conds.append(f"WHEN {cond} THEN '{lang}'")
-    case = "\n            ".join(conds)
+    return "\n            ".join(conds)
+
+
+def _lang_oracle() -> str:
+    hits = _lang_hits_sql()
+    case = _lang_case_sql()
     return f"""
 WITH hits AS (
   SELECT doc_id, lang,
