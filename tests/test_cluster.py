@@ -40,16 +40,20 @@ def test_unconverged_raises_not_silent(spark):
         [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="NOT converged"):
-        connected_components(chain, max_iter=2, local_threshold=0)
+        connected_components(
+            chain, max_iter=2, local_threshold=0, two_phase=False
+        )
     # strict=False downgrades to a warning and returns the partial labels
     with pytest.warns(RuntimeWarning, match="NOT converged"):
         connected_components(
-            chain, max_iter=2, strict=False, local_threshold=0
+            chain, max_iter=2, strict=False, local_threshold=0, two_phase=False
         ).collect()
     # and with enough rounds the same chain converges cleanly
     comp = {
         r.node: r.component
-        for r in connected_components(chain, max_iter=6, local_threshold=0).collect()
+        for r in connected_components(
+            chain, max_iter=6, local_threshold=0, two_phase=False
+        ).collect()
     }
     assert set(comp.values()) == {0}
 
@@ -85,7 +89,9 @@ def test_cc_loop_frees_checkpoint_blocks(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
-    out = connected_components(chain, local_threshold=0, max_iter=24)
+    out = connected_components(
+        chain, local_threshold=0, max_iter=24, two_phase=False
+    )
     assert out.count() == 13
     during = jsc.getPersistentRDDs().size()
     # final labels checkpoint + at most a couple of tracked frames — NOT

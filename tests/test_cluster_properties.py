@@ -58,10 +58,35 @@ def test_connected_components_match_union_find(spark, edges):
     got = {
         r.node: r.component
         for r in connected_components(
-            pairs, max_iter=30, local_threshold=0
-        ).collect()  # force the DISTRIBUTED tier (local tier IS union-find)
+            pairs, max_iter=30, local_threshold=0, two_phase=False
+        ).collect()  # force the propagation LOOP (local tier IS union-find)
     }
     assert got == union_find_components(edges)
+
+
+@pytest.mark.slow
+@given(edge_lists)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_phase_components_match_union_find(spark, edges):
+    """The two-phase contraction tier (partition-local union-find +
+    quotient gluing) must agree with plain union-find on ANY graph AND
+    any partitioning — including an adversarial random repartition that
+    destroys edge locality (the worst case for contraction: the quotient
+    barely shrinks, but exactness must hold)."""
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = union_find_components(edges)
+    for frame in (pairs, pairs.repartition(7)):
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                frame, max_iter=30, local_threshold=0, two_phase=True
+            ).collect()
+        }
+        assert got == want
 
 
 texts = st.lists(

@@ -128,3 +128,50 @@ def test_evolve_schema_rejects_retype():
         evolve_schema(
             CHANGE_EVENT_SCHEMA, [StructField("account", LongType())]
         )
+
+
+def test_retire_columns_keeps_schema_and_tags_metadata():
+    """Retirement must never NARROW the read schema (pre-drop history
+    still parses); it only tags the field.  Unknown names fail loudly."""
+    import pytest
+
+    from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, retire_columns
+
+    retired = retire_columns(CHANGE_EVENT_SCHEMA, ["account"])
+    assert [f.name for f in retired.fields] == [
+        f.name for f in CHANGE_EVENT_SCHEMA.fields
+    ]
+    by_name = {f.name: f for f in retired.fields}
+    assert by_name["account"].metadata.get("retired") is True
+    assert "retired" not in (by_name["id"].metadata or {})
+    with pytest.raises(ValueError, match="never part of the schema"):
+        retire_columns(CHANGE_EVENT_SCHEMA, ["balance"])
+
+
+def test_schema_drop_null_fills_post_ddl_and_carries(spark, sf_dir):
+    """Post-drop wire events must parse with NULL for the retired column
+    while the carried per-key value survives — the midpoint key check:
+    a key whose last event is post-drop still reports its last pre-drop
+    value."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.queries.cdc_queries import (
+        cdc_schema_evolution_drop,
+    )
+    from cdc_practice_spark.session import load_table
+
+    out = cdc_schema_evolution_drop(spark, sf_dir).collect()
+    assert len(out) > 0
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    post_drop_keys = {
+        r.user_id
+        for r in ev.filter(F.col("event_id") > t).select("user_id").collect()
+    }
+    # at least one key ends post-drop AND still carries a pre-drop value
+    carried_alive = [
+        r
+        for r in out
+        if r.original_id in post_drop_keys and r.value_carried is not None
+    ]
+    assert carried_alive, "carry-forward across the drop never exercised"

@@ -269,3 +269,44 @@ def test_rp_lsh_signature_kernel_matches_driver_math(emb):
         for j in range(8):
             want = (want << 1) | int(bits[j])
         assert sig == want, (vid, t)
+
+
+def test_rp_lsh_ingest_is_batch_sized_and_equals_rebuild(emb, spark):
+    """rp_lsh_ingest must (a) produce a merged store row-identical to a
+    from-scratch rebuild over corpus ∪ batch, and (b) hash ONLY the
+    arriving batch: with the corpus index persisted, the merged plan
+    contains exactly ONE Arrow (mapInPandas) signature pass — the
+    batch's — everything else reads the cache."""
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    planes = S.rp_lsh_planes(64, 8, 4, seed=7)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    idx = tracked_persist(S.rp_lsh_signatures(corpus, planes))
+    idx.count()
+    merged = S.rp_lsh_ingest(batch, idx, planes)
+
+    rebuilt = S.rp_lsh_signatures(emb, planes)
+    assert merged.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(merged).count() == 0
+
+    # count Arrow passes OUTSIDE cache boundaries: the plan STRING would
+    # also print the corpus pass inside the InMemoryRelation's cached
+    # child, so walk the tree and stop at InMemoryTableScanExec
+    def arrow_passes(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return arrow_passes(node.initialPlan())
+        if cls == "InMemoryTableScanExec":
+            return 0
+        n = 1 if cls == "MapInPandasExec" else 0
+        it = node.children().iterator()
+        while it.hasNext():
+            n += arrow_passes(it.next())
+        return n
+
+    root = merged._jdf.queryExecution().executedPlan()
+    assert arrow_passes(root) == 1, (
+        "ingest must hash only the batch (one Arrow pass)"
+    )
+    assert "InMemoryTableScan" in root.toString()

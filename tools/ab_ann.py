@@ -44,8 +44,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-N_CLUSTERS = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+_POS_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_POS_ARGS[0]) if _POS_ARGS else 1_000_000
+N_CLUSTERS = int(_POS_ARGS[1]) if len(_POS_ARGS) > 1 else 256
 DIM, N_PLANES, N_TABLES, K = 64, 12, 4, 10
 WORK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     ".tmp", "ab_ann")
@@ -142,5 +143,91 @@ def main() -> None:
                  else f"  recall@{K}={len(ids & exact_ids)}/{K}"))
 
 
+def main_ingest() -> None:
+    """A/B for operators/similarity.py::rp_lsh_ingest (r7 VERDICT ask
+    #4): ingest a FIXED 10k-vector batch into prebuilt stores of growing
+    corpus size, vs rebuilding the store from scratch each time.  The
+    claim: ingest cost is flat in corpus size (only the batch is
+    hashed), while rebuild grows linearly.
+
+    The ingest write path is LSM-style: the batch's signatures land as
+    ONE unpartitioned delta file beside the bucketed store, and queries
+    read store ∪ delta (partition-pruned probe on the store + a full
+    scan of the small delta) until a compaction folds deltas into the
+    buckets.  A first cut appended INTO the bucketed layout directly and
+    paid 60 s of commit overhead for a 10k-row batch — 10k one-row
+    files across 16k partition dirs; the delta file is the fix, and it
+    is exactly ``rp_lsh_ingest``'s union semantics on disk.
+
+    Usage: python tools/ab_ann.py --ingest [corpus_sizes ...]
+    """
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cdc_practice_spark.operators import similarity as S
+    from cdc_practice_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[2:]] or [250_000, 1_000_000, 4_000_000]
+    batch_n = 10_000
+    spark = get_spark("ab-ann-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    planes = S.rp_lsh_planes(DIM, N_PLANES, N_TABLES)
+
+    def mk(n, offset=0):
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["id"].to_numpy() + offset
+                rng = np.random.default_rng(2**32 + int(ids[0]))
+                vecs = rng.standard_normal((len(ids), DIM))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "embedding": [
+                            v.astype("float32").tolist() for v in vecs
+                        ],
+                    }
+                )
+
+        return spark.range(n).toDF("id").mapInPandas(
+            gen, schema="vec_id long, embedding array<float>"
+        )
+
+    for n in sizes:
+        store_path = os.path.join(WORK, f"ingest_store_{n}")
+        delta_path = os.path.join(WORK, f"ingest_delta_{n}")
+        shutil.rmtree(store_path, ignore_errors=True)
+        shutil.rmtree(delta_path, ignore_errors=True)
+        corpus = mk(n)
+        t0 = time.perf_counter()
+        S.rp_lsh_signatures(corpus, planes).repartition(
+            256, "table", "sig"
+        ).write.mode("overwrite").partitionBy("table", "sig").parquet(store_path)
+        t_build = time.perf_counter() - t0
+
+        batch = mk(batch_n, offset=n)
+        t0 = time.perf_counter()
+        # the incremental path: hash ONLY the batch, one delta file
+        S.rp_lsh_signatures(batch, planes).coalesce(1).write.mode(
+            "append"
+        ).parquet(delta_path)
+        t_ingest = time.perf_counter() - t0
+        total = (
+            spark.read.parquet(store_path).count()
+            + spark.read.parquet(delta_path).count()
+        )
+        print(
+            f"corpus={n:>9,}  rebuild={t_build:6.1f}s  "
+            f"ingest({batch_n:,})={t_ingest:5.1f}s  store+delta_rows={total:,}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
+        main_ingest()
+    else:
+        main()
