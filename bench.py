@@ -61,6 +61,10 @@ HEADLINE = [
     "embedding_topk_pairs",
     "embedding_quantize_int8",
     "semantic_dedup_keep",
+    # r7: the composed curation chain (lang-id → quality → dedup →
+    # decontaminate → mix → pack) — what a real corpus run executes;
+    # one documents scan feeds all six stages (plan-tested)
+    "corpus_e2e_pipeline",
     # distributed-tier CC stress: synthetic >200k-edge power-law +
     # long-chain graph (queries/graph_queries.py) — sf-independent; its
     # DuckDB oracle twin is the CLOSED-FORM expected structure, not a CC

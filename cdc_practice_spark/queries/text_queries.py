@@ -1581,3 +1581,90 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log(u) / w, 6).alias("race_key"),
     )
     return keyed.orderBy("race_key", "doc_id").limit(50)
+
+
+_NGRAM_K = 8  # GPT-3/Pile-style decontamination n-gram order
+_NGRAM_BENCH_MOD = 11  # doc_id % 11 == 0 plays the benchmark set
+
+
+def _ngram_sh_sql() -> str:
+    cols = ", ".join(f"toks[i+{j}]" for j in range(_NGRAM_K))
+    return (
+        "list_distinct(list_transform(generate_series(1, "
+        f"greatest(len(toks) - {_NGRAM_K - 1}, 1)), "
+        f"i -> concat_ws(' ', {cols})))"
+    )
+
+
+@register(
+    "corpus_decontaminate_ngram",
+    oracle=f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_ngram_sh_sql()} AS sh FROM tk
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % {_NGRAM_BENCH_MOD} = 0
+),
+cg AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % {_NGRAM_BENCH_MOD} <> 0
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM cg JOIN bench USING (g) GROUP BY doc_id
+)
+SELECT h.doc_id, h.n_shared, CAST(len(s.sh) AS BIGINT) AS n_total
+FROM hits h JOIN sh s USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM-level benchmark decontamination (r7) — the GPT-3/Pile
+    hygiene rule, STRICTER than the whole-document fingerprint sweep
+    (`corpus_decontaminate`): a training document is contaminated if it
+    shares ANY 8-gram with the eval set (doc_id % 11 plays the
+    benchmark), which catches partial copies — a quoted paragraph, a
+    prepended instruction — that leave the full-doc fingerprint
+    untouched.  Output: every contaminated doc with its shared-8-gram
+    count and total distinct 8-grams (the overlap evidence a curation
+    report shows).
+
+    Plan shape at 100 TB: the benchmark's distinct 8-gram set is
+    eval-corpus-sized (small) → BROADCAST; corpus 8-grams stream through
+    the explode map-side and only the HITS reach the per-doc aggregate —
+    no corpus-sized shuffle, no pairwise comparison.  Shingling reuses
+    the dedup tier's shingles_from_tokens (k=8, short docs contribute
+    their full token string)."""
+    from cdc_practice_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = docs.select(
+        "doc_id", toks.alias("_toks")
+    ).select(
+        "doc_id",
+        D.shingles_from_tokens(F.col("_toks"), k=_NGRAM_K).alias("sh"),
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    sh = tracked_persist(sh)
+    bench = (
+        sh.filter(F.col("doc_id") % _NGRAM_BENCH_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    cg = sh.filter(F.col("doc_id") % _NGRAM_BENCH_MOD != 0).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    hits = (
+        cg.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        hits.join(sh, "doc_id")
+        .select("doc_id", "n_shared", F.size("sh").cast("long").alias("n_total"))
+        .orderBy("doc_id")
+    )
