@@ -780,3 +780,326 @@ def corpus_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus ingest (r7) — the composed pipeline's PRODUCTION mode:
+# a NEW batch of documents (doc_id % 7 == 3; coprime with the fixture's 20
+# sources so the batch covers every source) flows through the same six
+# stages at O(batch) cost against FROZEN ingest-time statistics:
+#   - the quality threshold and per-source mix rates are computed from the
+#     CORPUS ONCE (re-calibration is a separate, rarer job);
+#   - near-dup detection is the batch vs the corpus' LSH INDEX (plus
+#     earlier docs in the same batch) — the corpus is never re-paired;
+#   - output is the full batch DISPOSITION (which stage dropped each doc,
+#     bin assignment for the kept ones) — the audit an ingest run emits.
+# ---------------------------------------------------------------------------
+
+_INCR_BATCH_MOD = 7  # doc_id % 7 == 3 plays the arriving batch
+
+
+def _e2e_incr_oracle() -> str:
+    from cdc_practice_spark.queries.dedup_queries import (
+        _HASH,
+        _band_list_sql,
+        _minhash_cols_sql,
+        _quality_sql,
+    )
+    from cdc_practice_spark.queries.text_queries import (
+        _TOKS,
+        _lang_case_sql,
+        _lang_hits_sql,
+    )
+
+    return f"""
+WITH RECURSIVE hits AS MATERIALIZED (
+  SELECT doc_id, {_lang_hits_sql()} FROM documents
+),
+langp AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+            {_lang_case_sql()} END AS lang_pred
+  FROM hits
+),
+feat AS MATERIALIZED (
+  SELECT doc_id, source, doc_id % {_INCR_BATCH_MOD} = 3 AS is_batch,
+         {_quality_sql()} AS quality_score,
+         CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS n_tokens,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+  FROM documents
+),
+c1 AS MATERIALIZED (
+  SELECT feat.* FROM feat JOIN langp USING (doc_id)
+  WHERE NOT is_batch AND langp.lang_pred <> 'und'
+),
+thr AS MATERIALIZED (
+  SELECT round(quantile_cont(quality_score, 0.25), 6) AS q25 FROM c1
+),
+c2 AS MATERIALIZED (SELECT c1.* FROM c1, thr WHERE quality_score >= q25),
+b1 AS MATERIALIZED (
+  SELECT feat.* FROM feat JOIN langp USING (doc_id)
+  WHERE is_batch AND langp.lang_pred <> 'und'
+),
+b2 AS MATERIALIZED (SELECT b1.* FROM b1, thr WHERE quality_score >= q25),
+hs0 AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(len({_TOKS}) - 2, 1)),
+             i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))),
+           s -> {_HASH.format(x='s')}) AS hs
+  FROM documents
+),
+idx_hs AS MATERIALIZED (SELECT hs0.* FROM hs0 JOIN c2 USING (doc_id)),
+new_hs AS MATERIALIZED (SELECT hs0.* FROM hs0 JOIN b2 USING (doc_id)),
+idx_sigs AS MATERIALIZED (SELECT doc_id, hs, {_minhash_cols_sql()} FROM idx_hs),
+new_sigs AS MATERIALIZED (SELECT doc_id, hs, {_minhash_cols_sql()} FROM new_hs),
+idx_bands AS MATERIALIZED (
+  SELECT doc_id, TRUE AS is_idx, unnest({_band_list_sql()}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx FROM idx_sigs
+),
+new_bands AS MATERIALIZED (
+  SELECT doc_id, FALSE AS is_idx, unnest({_band_list_sql()}) AS band_key,
+         unnest([0, 1, 2, 3]) AS band_idx FROM new_sigs
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS other_id
+  FROM new_bands n
+  JOIN (SELECT * FROM idx_bands UNION ALL SELECT * FROM new_bands) o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+  WHERE o.is_idx OR o.doc_id < n.doc_id
+),
+dups AS MATERIALIZED (
+  SELECT DISTINCT new_id AS doc_id
+  FROM cands
+  JOIN (SELECT doc_id, hs FROM idx_hs
+        UNION ALL SELECT doc_id, hs FROM new_hs) sa
+    ON sa.doc_id = cands.other_id
+  JOIN new_hs sb ON sb.doc_id = cands.new_id
+  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+),
+b3 AS MATERIALIZED (
+  SELECT * FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+),
+blocklist AS MATERIALIZED (
+  SELECT DISTINCT fp FROM feat WHERE doc_id % 97 = 0
+),
+b4 AS MATERIALIZED (
+  SELECT * FROM b3 WHERE fp NOT IN (SELECT fp FROM blocklist)
+),
+c4 AS MATERIALIZED (
+  SELECT * FROM c2 WHERE fp NOT IN (SELECT fp FROM blocklist)
+),
+stats AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM c4 GROUP BY source
+),
+tot AS MATERIALIZED (SELECT sum(sqrt(n_s)) AS sw, sum(n_s) AS n FROM stats),
+rates AS MATERIALIZED (
+  SELECT source,
+         CAST(round(least(1.0, sqrt(n_s) / sw * floor(n * 0.5) / n_s)
+                    * 1000000, 0) AS BIGINT) AS accept_thr
+  FROM stats, tot
+),
+b5 AS MATERIALIZED (
+  SELECT b4.* FROM b4 JOIN rates r USING (source)
+  WHERE CAST('0x' || substring(md5(CAST(b4.doc_id AS VARCHAR) || ':mix'), 1, 15)
+             AS BIGINT) % 1000000 < r.accept_thr
+),
+toks2 AS MATERIALIZED (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
+  FROM b5
+),
+packed AS (
+  SELECT source, doc_id, n_tokens, rn2,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM toks2 WHERE rn2 = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn2,
+         CASE WHEN p.bin_fill + t.n_tokens > {_E2E_CAPACITY}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + t.n_tokens > {_E2E_CAPACITY}
+              THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+  FROM toks2 t JOIN packed p ON t.source = p.source AND t.rn2 = p.rn2 + 1
+)
+SELECT f.doc_id, f.source, f.n_tokens,
+       CASE WHEN b1.doc_id IS NULL THEN 'dropped_lang'
+            WHEN b2.doc_id IS NULL THEN 'dropped_quality'
+            WHEN b3.doc_id IS NULL THEN 'dropped_dup'
+            WHEN b4.doc_id IS NULL THEN 'dropped_contaminated'
+            WHEN b5.doc_id IS NULL THEN 'dropped_mix'
+            ELSE 'kept' END AS disposition,
+       p.bin_id, p.bin_fill
+FROM feat f
+LEFT JOIN b1 USING (doc_id)
+LEFT JOIN b2 USING (doc_id)
+LEFT JOIN b3 USING (doc_id)
+LEFT JOIN b4 USING (doc_id)
+LEFT JOIN b5 USING (doc_id)
+LEFT JOIN packed p USING (doc_id)
+WHERE f.is_batch
+ORDER BY f.doc_id
+"""
+
+
+@register("corpus_e2e_incremental", oracle=_e2e_incr_oracle())
+def corpus_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest (r7): run ONE arriving batch through
+    the composed pipeline at O(batch) cost against frozen corpus stats —
+    see the section comment above.  The near-dup stage is the
+    incremental-dedup shape (operators/dedup.py::incremental_dedup): the
+    batch's bands equality-join the corpus index's bands (shuffle sized
+    by the BATCH), a batch doc is a duplicate iff it verifies ≥ 0.8
+    against ANY indexed doc or an EARLIER doc of its own batch, and the
+    corpus is never re-paired or re-hashed.  Output: the full batch
+    disposition (stage that dropped each doc; bin assignment for kept
+    docs) — every input doc appears exactly once, hash-checked against
+    the DuckDB recomputation at all 3 SFs."""
+    from pyspark.sql import Window
+
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.operators.packing import pack_greedy
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    base = _e2e_base(spark, sf_dir)
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == 3
+    detected = F.col("lang_pred") != "und"
+
+    c1 = base.filter(~is_batch & detected)
+    thr = c1.agg(
+        F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("q25")
+    )
+    passes_q = F.col("quality_score") >= F.col("q25")
+    c2 = tracked_persist(
+        c1.crossJoin(F.broadcast(thr)).filter(passes_q).drop("q25")
+    )
+    b1 = base.filter(is_batch & detected)
+    b2 = tracked_persist(
+        b1.crossJoin(F.broadcast(thr)).filter(passes_q).drop("q25")
+    )
+
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * D.ROWS_PER_BAND + r}")
+                    for r in range(D.ROWS_PER_BAND)
+                ],
+            )
+            for b in range(D.BANDS)
+        ]
+    )
+
+    def bands_of(df: DataFrame, idx: bool) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.lit(idx).alias("is_idx"),
+            F.posexplode(band_keys).alias("band_idx", "band_key"),
+        )
+
+    new_bands = tracked_persist(bands_of(b2, False))
+    all_bands = bands_of(c2, True).unionByName(new_bands)
+    cands = (
+        new_bands.alias("n")
+        .join(all_bands.alias("o"), ["band_idx", "band_key"])
+        .filter(F.col("o.is_idx") | (F.col("o.doc_id") < F.col("n.doc_id")))
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("other_id")
+        )
+        .dropDuplicates(["new_id", "other_id"])
+    )
+    all_hs = c2.select("doc_id", "hs").unionByName(b2.select("doc_id", "hs"))
+    paired = cands.join(
+        all_hs.select(F.col("doc_id").alias("other_id"), F.col("hs").alias("hs_o")),
+        "other_id",
+    ).join(
+        b2.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")),
+        "new_id",
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_o")).cast("double")
+    union = (F.size("hs_n") + F.size("hs_o")).cast("double") - inter
+    dups = (
+        paired.filter(F.round(inter / union, 6) >= 0.8)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    b3 = b2.join(dups, "doc_id", "left_anti")
+
+    blocklist = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("fp").alias("_bfp"))
+        .distinct()
+    )
+    b4 = tracked_persist(
+        b3.join(F.broadcast(blocklist), b3["fp"] == F.col("_bfp"), "left_anti")
+    )
+    c4 = c2.join(F.broadcast(blocklist), c2["fp"] == F.col("_bfp"), "left_anti")
+
+    stats = c4.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    tot = stats.agg(F.sum(F.sqrt("n_s")).alias("sw"), F.sum("n_s").alias("n"))
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt("n_s")
+                / F.col("sw")
+                * F.floor(F.col("n") * 0.5)
+                / F.col("n_s"),
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("accept_thr"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    b5 = tracked_persist(
+        b4.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("accept_thr"))
+        .select("source", "doc_id", "n_tokens")
+    )
+    packed = pack_greedy(b5, _E2E_CAPACITY)
+
+    def mark(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id", F.lit(1).alias(name))
+
+    batch = base.filter(is_batch).select("doc_id", "source", "n_tokens")
+    out = (
+        batch.join(mark(b1, "_1"), "doc_id", "left")
+        .join(mark(b2, "_2"), "doc_id", "left")
+        .join(mark(b3, "_3"), "doc_id", "left")
+        .join(mark(b4, "_4"), "doc_id", "left")
+        .join(mark(b5, "_5"), "doc_id", "left")
+        .join(packed.select("doc_id", "bin_id", "bin_fill"), "doc_id", "left")
+    )
+    disposition = (
+        F.when(F.col("_1").isNull(), "dropped_lang")
+        .when(F.col("_2").isNull(), "dropped_quality")
+        .when(F.col("_3").isNull(), "dropped_dup")
+        .when(F.col("_4").isNull(), "dropped_contaminated")
+        .when(F.col("_5").isNull(), "dropped_mix")
+        .otherwise("kept")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        disposition.alias("disposition"),
+        "bin_id",
+        "bin_fill",
+    ).orderBy("doc_id")

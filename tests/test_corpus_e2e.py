@@ -139,3 +139,39 @@ def test_e2e_pipeline_every_stage_load_bearing(spark, sf_dir):
     n_bins = st["s6_packed"].select("source", "bin_id").distinct().count()
     n_sources = st["s6_packed"].select("source").distinct().count()
     assert n_bins > n_sources
+
+
+def test_e2e_incremental_disposition_partitions_batch(spark, sf_dir):
+    """Incremental ingest: every batch doc appears EXACTLY once with a
+    valid disposition; kept docs carry bin assignments, dropped ones
+    don't; and every stage drops at least one doc at the test SF (the
+    oracle gate is load-bearing for each stage)."""
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _INCR_BATCH_MOD,
+        corpus_e2e_incremental,
+    )
+    from cdc_practice_spark.session import load_table
+
+    rows = corpus_e2e_incremental(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_batch = docs.filter(F.col("doc_id") % _INCR_BATCH_MOD == 3).count()
+    assert len(rows) == n_batch
+    assert len({r.doc_id for r in rows}) == n_batch
+    stages = {
+        "dropped_lang",
+        "dropped_quality",
+        "dropped_dup",
+        "dropped_contaminated",
+        "dropped_mix",
+        "kept",
+    }
+    seen = {r.disposition for r in rows}
+    assert seen <= stages
+    assert seen == stages, f"some stage never fired: {stages - seen}"
+    for r in rows:
+        if r.disposition == "kept":
+            assert r.bin_id is not None and r.bin_fill is not None
+        else:
+            assert r.bin_id is None and r.bin_fill is None
