@@ -49,13 +49,19 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), 0))
 
 
-def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are English stopwords."""
-    toks = tokens(text)
+def stopword_ratio_from_tokens(toks: Column) -> Column:
+    """stopword_ratio over a MATERIALIZED token-array column (higher-
+    order functions don't CSE — callers computing several token
+    features per row tokenize ONCE and pass the column)."""
     hits = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
     )
     return F.round(hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    return stopword_ratio_from_tokens(tokens(text))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -76,23 +82,27 @@ def mean_token_len(text: Column) -> Column:
     return F.round(total.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
+def quality_score_from_tokens(text: Column, toks: Column) -> Column:
+    """quality_score with the token array precomputed (see
+    stopword_ratio_from_tokens); the length/punctuation terms still read
+    the raw text column."""
+    length_term = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio_from_tokens(toks) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3, 6)
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0,1]: rewards mid-length docs and
     stopword presence, penalizes punctuation soup.  The exact formula is
     arbitrary but FIXED — it is part of the engine contract and the
     DuckDB oracle replicates it digit for digit."""
-    length_term = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
-    stop_term = F.least(stopword_ratio(text) * 4, F.lit(1.0))
-    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
-    return F.round((length_term + stop_term + punct_term) / 3, 6)
+    return quality_score_from_tokens(text, tokens(text))
 
 
-def lang_id(text: Column) -> Column:
-    """Marker-token language ID: count marker hits per language, take the
-    argmax (ties broken by the fixed language order), 'und' when no
-    marker fires.  A deliberately simple, deterministic heuristic — the
-    scale property that matters is that it's one codegen'd projection."""
-    toks = tokens(text)
+def lang_id_from_tokens(toks: Column) -> Column:
+    """lang_id over a MATERIALIZED token-array column (one tokenization
+    shared across the 5 per-language marker counters)."""
     scored = None
     best_lang = None
 
@@ -111,6 +121,14 @@ def lang_id(text: Column) -> Column:
             best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
             scored = F.when(better, hits).otherwise(scored)
     return F.when(scored > 0, best_lang).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token language ID: count marker hits per language, take the
+    argmax (ties broken by the fixed language order), 'und' when no
+    marker fires.  A deliberately simple, deterministic heuristic — the
+    scale property that matters is that it's one codegen'd projection."""
+    return lang_id_from_tokens(tokens(text))
 
 
 def dup_token_fraction(text: Column) -> Column:
@@ -161,12 +179,16 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     )
 
 
+def fingerprint_sorted_from_tokens(toks: Column) -> Column:
+    """fingerprint_sorted_tokens over a precomputed token array."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
 def fingerprint_sorted_tokens(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set.  Catches shuffled/reordered duplicates that a
     raw-text hash misses."""
-    toks = F.array_sort(F.array_distinct(tokens(text)))
-    return F.md5(F.array_join(toks, " "))
+    return fingerprint_sorted_from_tokens(tokens(text))
 
 
 def fingerprint_rolling(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:

@@ -112,6 +112,7 @@ def with_minhash_arrow(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = SHINGLE_K,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, hs, mh0..mh{NUM_PERM-1}) in ONE Arrow-batched pass —
     tokenize, shingle, md5-hash, and fold all NUM_PERM permutations in
@@ -170,17 +171,34 @@ def with_minhash_arrow(
             out = {"doc_id": pdf["doc_id"].values, "hs": hs_out}
             for j in range(NUM_PERM):
                 out[f"mh{j}"] = sig[:, j]
+            for c in passthrough or []:
+                out[c] = pdf[c].values
             yield pd.DataFrame(out)
 
+    pt_fields = []
+    if passthrough:
+        # passthrough columns ride the Arrow batch unchanged (the
+        # composed-pipeline base computes its scalar features JVM-side,
+        # then carries them THROUGH the signature pass — one corpus scan)
+        by_name = {f.name: f for f in docs.schema.fields}
+        pt_fields = [
+            StructField(c, by_name[c].dataType, by_name[c].nullable)
+            for c in passthrough
+        ]
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("hs", ArrayType(LongType()))]
         + [StructField(f"mh{j}", LongType()) for j in range(NUM_PERM)]
+        + pt_fields
     )
     from cdc_practice_spark.plans.hints import spread_for_python
 
     return (
         spread_for_python(docs)
-        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            *(passthrough or []),
+        )
         .mapInPandas(_batches, schema)
     )
 

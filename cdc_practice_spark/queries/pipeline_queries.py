@@ -543,28 +543,27 @@ def _e2e_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # three projection stages so split/shingle subexpressions evaluate
-    # once per row (higher-order functions don't CSE)
-    staged = docs.select("doc_id", "source", "text", toks.alias("_toks"))
-    staged = staged.select(
+    # scalar features in one JVM projection; shingle hashes + all 16
+    # minhash mins in the Arrow kernel (with_minhash_arrow — C md5 + one
+    # vectorized matrix fold, measured ~2× the JVM higher-order path),
+    # with the scalars riding THROUGH the Arrow batch as passthrough
+    # columns — still exactly ONE scan of documents (plan-tested)
+    tk = F.col("_toks")
+    staged = docs.select(
+        "doc_id", "text", "source", toks.alias("_toks")
+    ).select(
         "doc_id",
-        "source",
         "text",
-        D.shingles_from_tokens(F.col("_toks")).alias("sh"),
-        F.size(F.filter(F.col("_toks"), lambda t: t != ""))
-        .cast("long")
-        .alias("n_tokens"),
-    )
-    staged = staged.select(
-        "doc_id",
         "source",
-        "n_tokens",
-        T.lang_id(F.col("text")).alias("lang_pred"),
-        T.quality_score(F.col("text")).alias("quality_score"),
-        T.fingerprint_sorted_tokens(F.col("text")).alias("fp"),
-        F.transform("sh", D.token_hash).alias("hs"),
+        F.size(F.filter(tk, lambda t: t != "")).cast("long").alias("n_tokens"),
+        T.lang_id_from_tokens(tk).alias("lang_pred"),
+        T.quality_score_from_tokens(F.col("text"), tk).alias("quality_score"),
+        T.fingerprint_sorted_from_tokens(tk).alias("fp"),
     )
-    base = staged.select("*", *D.minhash_signature(F.col("hs")))
+    base = D.with_minhash_arrow(
+        staged,
+        passthrough=["source", "n_tokens", "lang_pred", "quality_score", "fp"],
+    )
     return tracked_persist(base)
 
 
