@@ -31,16 +31,24 @@ def pack_greedy(
     group_col: str = "source",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    init: dict | None = None,
 ) -> DataFrame:
     """(group, doc_id, n_tokens, bin_id, bin_fill) per document, where
     ``bin_id`` numbers bins within the group from 0 and ``bin_fill`` is
-    the bin's running token total after this document."""
+    the bin's running token total after this document.
+
+    ``init`` maps group -> (bin_id, bin_fill) to CONTINUE packing from a
+    previous batch's end state (the streaming ingest sink carries this
+    per-source state across micro-batches, so id-ordered chunked packing
+    is bit-identical to packing the whole stream at once)."""
     import pandas as pd
+
+    init = init or {}
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         bins, fills = [], []
-        bin_id, fill = 0, 0
+        bin_id, fill = init.get(pdf[group_col].iloc[0], (0, 0))
         for tok in pdf[tokens_col]:
             tok = int(tok)
             if fill > 0 and fill + tok > capacity:

@@ -536,35 +536,16 @@ def _e2e_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     need, computed in one projection chain over ONE scan of `documents`
     and persisted as a narrow frame (ids + scalars + int64 hash arrays —
     the raw text is dropped).  This is the ingest job of a production
-    pipeline; everything downstream reads these features only."""
-    from cdc_practice_spark.functions import text as T
-    from cdc_practice_spark.operators import dedup as D
+    pipeline; everything downstream reads these features only.  The
+    feature algebra lives in operators/corpus.py::corpus_features so the
+    batch, incremental, and STREAMING (streaming/corpus.py) surfaces
+    share one implementation."""
+    from cdc_practice_spark.operators.corpus import corpus_features
     from cdc_practice_spark.plans.cache import tracked_persist
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # scalar features in one JVM projection; shingle hashes + all 16
-    # minhash mins in the Arrow kernel (with_minhash_arrow — C md5 + one
-    # vectorized matrix fold, measured ~2× the JVM higher-order path),
-    # with the scalars riding THROUGH the Arrow batch as passthrough
-    # columns — still exactly ONE scan of documents (plan-tested)
-    tk = F.col("_toks")
-    staged = docs.select(
-        "doc_id", "text", "source", toks.alias("_toks")
-    ).select(
-        "doc_id",
-        "text",
-        "source",
-        F.size(F.filter(tk, lambda t: t != "")).cast("long").alias("n_tokens"),
-        T.lang_id_from_tokens(tk).alias("lang_pred"),
-        T.quality_score_from_tokens(F.col("text"), tk).alias("quality_score"),
-        T.fingerprint_sorted_from_tokens(tk).alias("fp"),
+    return tracked_persist(
+        corpus_features(load_table(spark, sf_dir, "documents"))
     )
-    base = D.with_minhash_arrow(
-        staged,
-        passthrough=["source", "n_tokens", "lang_pred", "quality_score", "fp"],
-    )
-    return tracked_persist(base)
 
 
 def corpus_e2e_stages(

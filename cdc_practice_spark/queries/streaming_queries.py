@@ -672,3 +672,93 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _split_docs_batch_into_files(
+    spark: SparkSession, batch: DataFrame, out_dir: str, n_files: int = 3
+) -> None:
+    """Write the arriving-batch documents as n id-ordered single-file
+    parquet chunks (chunk i holds the i-th doc_id-range slice), so the
+    file-source stream replays them in ascending-id micro-batches."""
+    lo, hi = batch.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    step = (int(hi) - int(lo)) // n_files + 1
+    for i in range(n_files):
+        chunk = batch.filter(
+            (F.col("doc_id") >= int(lo) + i * step)
+            & (F.col("doc_id") < int(lo) + (i + 1) * step)
+        ).coalesce(1)
+        part_dir = os.path.join(out_dir, f"_part{i}")
+        chunk.write.mode("overwrite").parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(part_dir, src),
+            os.path.join(out_dir, f"chunk-{i:03d}.parquet"),
+        )
+
+
+def _incr_oracle_for_stream() -> str:
+    from cdc_practice_spark.queries.pipeline_queries import _e2e_incr_oracle
+
+    return _e2e_incr_oracle()
+
+
+@register("streaming_corpus_ingest", oracle=_incr_oracle_for_stream())
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as a STREAM (streaming/corpus.py), under
+    the SAME full-hash oracle as the batch incremental query: the
+    arriving batch (doc_id % 7 == 3) replays as 3 id-ordered
+    micro-batches through ``stream_corpus_ingest`` — frozen corpus
+    stats, persistent LSH index accreting each epoch's quality
+    survivors, per-source pack state carried across epochs — and the
+    union of the per-epoch disposition deltas must be row-identical to
+    running the whole batch at once (``corpus_e2e_incremental``'s
+    oracle).  That identity is the operator's correctness contract:
+    chunking must not change ANY curation decision, because the index
+    grows by exactly the docs the single-batch rule would have compared
+    against (id-ordered chunks ⇒ 'already indexed' ≡ 'smaller id') and
+    greedy packing continues from the carried per-source fill state."""
+    from cdc_practice_spark.operators.corpus import (
+        corpus_features,
+        freeze_corpus_stats,
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.pipeline_queries import _INCR_BATCH_MOD
+    from cdc_practice_spark.streaming.corpus import (
+        load_ingest_dispositions,
+        seed_ingest_index,
+        stream_corpus_ingest,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="corpus_ingest_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == 3
+    _split_docs_batch_into_files(spark, docs.filter(is_batch), src)
+
+    feats_c = tracked_persist(corpus_features(docs.filter(~is_batch)))
+    from cdc_practice_spark.functions import text as T
+
+    blocklist = [
+        r["fp"]
+        for r in docs.filter(F.col("doc_id") % 97 == 0)
+        .select(T.fingerprint_sorted_tokens(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    ]
+    stats = freeze_corpus_stats(feats_c, blocklist)
+    store = os.path.join(work, "store")
+    seed_ingest_index(spark, feats_c, store, stats.q25)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_corpus_ingest(
+        spark, stream, stats, store, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    return load_ingest_dispositions(spark, store).orderBy("doc_id")

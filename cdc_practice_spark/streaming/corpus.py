@@ -1,0 +1,311 @@
+"""Streaming corpus ingest — the curation pipeline as a foreachBatch
+sink: every micro-batch of arriving documents flows through the frozen-
+stats chain (lang-id → quality → near-dup vs the PERSISTENT index →
+decontaminate → temperature mix → greedy pack) at O(batch) cost, and
+three state pieces grow append-only under the same crash-replay
+discipline as the maintained-MV sinks (pre-epoch manifest snapshot,
+per-epoch overwrite-idempotent delta dirs, atomic manifest swap):
+
+  - ``idx_delta_v{k}``  — (doc_id, hs, bk): the epoch's quality
+    survivors joining the LSH index later batches dedup against;
+  - ``disp_delta_v{k}`` — the epoch's per-doc dispositions + bin
+    assignments (the ingest audit log);
+  - ``pack_state_v{k}`` — per-source (bin_id, bin_fill) END state, so
+    greedy packing CONTINUES across micro-batches: id-ordered chunked
+    packing is bit-identical to packing the whole stream at once.
+
+Because the index accretes every batch's quality survivors and chunks
+arrive in id order, the union of streamed dispositions is EXACTLY the
+batch ``corpus_e2e_incremental`` result — the registered streaming query
+is hash-checked against the same DuckDB oracle (queries/
+streaming_queries.py::streaming_corpus_ingest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_practice_spark.operators import dedup as D
+from cdc_practice_spark.operators.corpus import (
+    FrozenCorpusStats,
+    corpus_features,
+)
+from cdc_practice_spark.operators.packing import pack_greedy
+from cdc_practice_spark.streaming.pipeline import _scoped
+
+_IDX_SCHEMA = "doc_id long, hs array<bigint>, bk array<string>"
+_DISP_SCHEMA = (
+    "doc_id long, source string, n_tokens long, disposition string, "
+    "bin_id long, bin_fill long"
+)
+_PACK_SCHEMA = "source string, bin_id long, bin_fill long"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_INGEST_MANIFEST")
+
+
+def _read_manifest(root: str) -> list[int]:
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        return []
+    with open(p) as fh:
+        return json.load(fh)["epochs"]
+
+
+def _swap_manifest(root: str, epochs: list[int]) -> None:
+    p = _manifest_path(root)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"epochs": epochs}, fh)
+    os.replace(tmp, p)
+
+
+def _pre_epoch_epochs(root: str, epoch_id: int) -> list[int]:
+    """Pin the committed-epoch list as of BEFORE this epoch — a replayed
+    epoch re-reads index/pack state exactly as the first attempt did."""
+    pre = os.path.join(root, f"_INGEST_MANIFEST.pre_v{epoch_id}")
+    if not os.path.exists(pre):
+        tmp = pre + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"epochs": _read_manifest(root)}, fh)
+        os.replace(tmp, pre)
+    with open(pre) as fh:
+        return json.load(fh)["epochs"]
+
+
+def _band_keys() -> F.Column:
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh{b * D.ROWS_PER_BAND + r}")
+                    for r in range(D.ROWS_PER_BAND)
+                ],
+            )
+            for b in range(D.BANDS)
+        ]
+    )
+
+
+def _idx_rows(feats_b2: DataFrame) -> DataFrame:
+    return feats_b2.select("doc_id", "hs", _band_keys().alias("bk"))
+
+
+def seed_ingest_index(
+    spark: SparkSession, corpus_feats: DataFrame, store_root: str, q25: float
+) -> None:
+    """Write the standing corpus' quality survivors as the index's
+    epoch -1 delta — the state an ingest service starts from."""
+    os.makedirs(store_root, exist_ok=True)
+    c2 = corpus_feats.filter(
+        (F.col("lang_pred") != "und") & (F.col("quality_score") >= q25)
+    )
+    _idx_rows(c2).write.mode("overwrite").parquet(
+        os.path.join(store_root, "idx_delta_v-1")
+    )
+    spark.createDataFrame([], _PACK_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(store_root, "pack_state_v-1")
+    )
+    _swap_manifest(store_root, [-1])
+
+
+def _load_union(
+    spark: SparkSession, root: str, prefix: str, epochs: list[int], schema: str
+) -> DataFrame:
+    paths = [
+        os.path.join(root, f"{prefix}_v{e}")
+        for e in epochs
+        if os.path.isdir(os.path.join(root, f"{prefix}_v{e}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def load_ingest_dispositions(spark: SparkSession, root: str) -> DataFrame:
+    return _load_union(
+        spark, root, "disp_delta", _read_manifest(root), _DISP_SCHEMA
+    )
+
+
+def load_ingest_index(spark: SparkSession, root: str) -> DataFrame:
+    return _load_union(
+        spark, root, "idx_delta", _read_manifest(root), _IDX_SCHEMA
+    )
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    stats: FrozenCorpusStats,
+    store_root: str,
+    checkpoint_dir: str,
+    capacity: int = 256,
+) -> StreamingQuery:
+    """Run the curation chain per micro-batch against the persistent
+    index (see module docstring).  ``docs_stream`` carries the documents
+    schema (doc_id, source, text, ...); ``stats`` is the frozen
+    ingest-time calibration (operators/corpus.py::freeze_corpus_stats);
+    the index must be seeded first (``seed_ingest_index``)."""
+    os.makedirs(store_root, exist_ok=True)
+    rates_items = sorted(stats.rates.items())
+    blocklist = list(stats.blocklist_fps)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from cdc_practice_spark.plans.cache import tracked_persist
+
+        pre_epochs = _pre_epoch_epochs(store_root, epoch_id)
+        feats = tracked_persist(corpus_features(batch_df))
+        b1 = feats.filter(F.col("lang_pred") != "und")
+        b2 = tracked_persist(b1.filter(F.col("quality_score") >= stats.q25))
+
+        # O(batch) near-dup: the batch's bands equality-join the stored
+        # index (pre-epoch state) ∪ earlier same-batch docs
+        idx = _load_union(
+            spark, store_root, "idx_delta", pre_epochs, _IDX_SCHEMA
+        )
+        new_rows = tracked_persist(_idx_rows(b2))
+        new_bands = new_rows.select(
+            "doc_id", F.lit(False).alias("is_idx"), F.explode("bk").alias("bk")
+        )
+        all_bands = idx.select(
+            "doc_id", F.lit(True).alias("is_idx"), F.explode("bk").alias("bk")
+        ).unionByName(new_bands)
+        cands = (
+            new_bands.alias("n")
+            .join(all_bands.alias("o"), ["bk"])
+            .filter(F.col("o.is_idx") | (F.col("o.doc_id") < F.col("n.doc_id")))
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("other_id"),
+            )
+            .dropDuplicates(["new_id", "other_id"])
+        )
+        all_hs = idx.select("doc_id", "hs").unionByName(
+            new_rows.select("doc_id", "hs")
+        )
+        paired = cands.join(
+            all_hs.select(
+                F.col("doc_id").alias("other_id"), F.col("hs").alias("hs_o")
+            ),
+            "other_id",
+        ).join(
+            new_rows.select(
+                F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")
+            ),
+            "new_id",
+        )
+        inter = F.size(F.array_intersect("hs_n", "hs_o")).cast("double")
+        union = (F.size("hs_n") + F.size("hs_o")).cast("double") - inter
+        dups = (
+            paired.filter(F.round(inter / union, 6) >= 0.8)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        b3 = b2.join(dups, "doc_id", "left_anti")
+        b4 = (
+            b3.filter(~F.col("fp").isin(*blocklist))
+            if blocklist
+            else b3
+        )
+        rates_df = spark.createDataFrame(
+            rates_items, "source string, accept_thr long"
+        )
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        )
+        b5 = tracked_persist(
+            b4.join(F.broadcast(rates_df), "source")
+            .filter(bucket < F.col("accept_thr"))
+            .select("source", "doc_id", "n_tokens")
+        )
+
+        # continue packing from the pre-epoch per-source end state
+        prev_state = {
+            r["source"]: (int(r["bin_id"]), int(r["bin_fill"]))
+            for r in _load_union(
+                spark, store_root, "pack_state", pre_epochs[-1:], _PACK_SCHEMA
+            ).collect()
+        }
+        packed = tracked_persist(pack_greedy(b5, capacity, init=prev_state))
+        end_rows = {
+            r["source"]: (int(r["bin_id"]), int(r["bin_fill"]))
+            for r in packed.groupBy("source")
+            .agg(
+                F.expr("max_by(bin_id, doc_id)").alias("bin_id"),
+                F.expr("max_by(bin_fill, doc_id)").alias("bin_fill"),
+            )
+            .collect()
+        }
+        new_state = {**prev_state, **end_rows}
+
+        # dispositions for EVERY batch doc
+        def mark(df: DataFrame, name: str) -> DataFrame:
+            return df.select("doc_id", F.lit(1).alias(name))
+
+        disp = (
+            feats.select("doc_id", "source", "n_tokens")
+            .join(mark(b1, "_1"), "doc_id", "left")
+            .join(mark(b2, "_2"), "doc_id", "left")
+            .join(mark(b3, "_3"), "doc_id", "left")
+            .join(mark(b4, "_4"), "doc_id", "left")
+            .join(mark(b5, "_5"), "doc_id", "left")
+            .join(packed.select("doc_id", "bin_id", "bin_fill"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                F.when(F.col("_1").isNull(), "dropped_lang")
+                .when(F.col("_2").isNull(), "dropped_quality")
+                .when(F.col("_3").isNull(), "dropped_dup")
+                .when(F.col("_4").isNull(), "dropped_contaminated")
+                .when(F.col("_5").isNull(), "dropped_mix")
+                .otherwise("kept")
+                .alias("disposition"),
+                "bin_id",
+                "bin_fill",
+            )
+        )
+
+        # per-epoch overwrite-idempotent deltas, then the atomic commit
+        new_rows.write.mode("overwrite").parquet(
+            os.path.join(store_root, f"idx_delta_v{epoch_id}")
+        )
+        disp.write.mode("overwrite").parquet(
+            os.path.join(store_root, f"disp_delta_v{epoch_id}")
+        )
+        spark.createDataFrame(
+            sorted((s, b, f) for s, (b, f) in new_state.items()), _PACK_SCHEMA
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_root, f"pack_state_v{epoch_id}")
+        )
+        if epoch_id not in pre_epochs:
+            _swap_manifest(store_root, pre_epochs + [epoch_id])
+
+    return (
+        docs_stream.writeStream.foreachBatch(_scoped(apply_batch))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,162 @@
+"""Streaming corpus ingest (streaming/corpus.py): stream/batch identity,
+crash-replay exactly-once, and cross-batch pack-state continuation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+
+
+def _run_ingest(spark, sf_dir, work, n_files=3):
+    from cdc_practice_spark.functions import text as T
+    from cdc_practice_spark.operators.corpus import (
+        corpus_features,
+        freeze_corpus_stats,
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.pipeline_queries import _INCR_BATCH_MOD
+    from cdc_practice_spark.queries.streaming_queries import (
+        _split_docs_batch_into_files,
+    )
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.streaming.corpus import (
+        seed_ingest_index,
+        stream_corpus_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == 3
+    src = os.path.join(work, "src")
+    if not os.path.isdir(src):
+        os.makedirs(src)
+        _split_docs_batch_into_files(spark, docs.filter(is_batch), src, n_files)
+    store = os.path.join(work, "store")
+    if not os.path.isdir(store):
+        feats_c = tracked_persist(corpus_features(docs.filter(~is_batch)))
+        blocklist = [
+            r["fp"]
+            for r in docs.filter(F.col("doc_id") % 97 == 0)
+            .select(T.fingerprint_sorted_tokens(F.col("text")).alias("fp"))
+            .distinct()
+            .collect()
+        ]
+        stats = freeze_corpus_stats(feats_c, blocklist)
+        seed_ingest_index(spark, feats_c, store, stats.q25)
+        import json
+
+        with open(os.path.join(work, "stats.json"), "w") as fh:
+            json.dump(
+                {
+                    "q25": stats.q25,
+                    "rates": stats.rates,
+                    "blocklist": list(stats.blocklist_fps),
+                },
+                fh,
+            )
+    import json
+
+    from cdc_practice_spark.operators.corpus import FrozenCorpusStats
+
+    with open(os.path.join(work, "stats.json")) as fh:
+        d = json.load(fh)
+    stats = FrozenCorpusStats(
+        q25=d["q25"],
+        rates=d["rates"],
+        blocklist_fps=tuple(d["blocklist"]),
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_corpus_ingest(
+        spark, stream, stats, store, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    return store
+
+
+def test_stream_equals_batch_incremental(spark, sf_dir):
+    """The union of per-epoch disposition deltas must be ROW-IDENTICAL
+    to running the whole batch at once (corpus_e2e_incremental): id-
+    ordered chunking changes no curation decision and no bin boundary."""
+    from cdc_practice_spark.queries.pipeline_queries import (
+        corpus_e2e_incremental,
+    )
+    from cdc_practice_spark.streaming.corpus import load_ingest_dispositions
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="corpus_stream_", dir=TMP_ROOT)
+    store = _run_ingest(spark, sf_dir, work)
+    streamed = {
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    }
+    batch = {tuple(r) for r in corpus_e2e_incremental(spark, sf_dir).collect()}
+    assert streamed == batch
+
+
+def test_ingest_kill_resume_exactly_once(spark, sf_dir):
+    """Forge the crash-replay hazard (delete the last stream commit,
+    restart): the re-applied epoch must read PRE-epoch index/pack state
+    and overwrite its own deltas — final dispositions byte-identical,
+    one row per batch doc, no epoch applied twice."""
+    from cdc_practice_spark.streaming.corpus import (
+        _read_manifest,
+        load_ingest_dispositions,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="corpus_kill_", dir=TMP_ROOT)
+    store = _run_ingest(spark, sf_dir, work)
+    before = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(work, "ckpt", "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(work, "ckpt", "commits", commits[-1]))
+    crc = os.path.join(work, "ckpt", "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    store2 = _run_ingest(spark, sf_dir, work)
+    after = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store2).collect()
+    )
+    assert after == before
+    epochs = _read_manifest(store2)
+    assert len(epochs) == len(set(epochs)), "an epoch committed twice"
+    ids = [t[0] for t in after]
+    assert len(ids) == len(set(ids)), "a doc landed in two deltas"
+
+
+def test_pack_greedy_init_state_continues_bins(spark):
+    """pack_greedy(init=...) over id-ordered chunks must equal one
+    whole-run packing — the invariant the streaming sink's carried
+    per-source state relies on."""
+    from cdc_practice_spark.operators.packing import pack_greedy
+
+    rows = [("s", i, 90 + (i % 3) * 40) for i in range(20)] + [
+        ("t", i, 200) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    whole = {
+        (r.source, r.doc_id): (r.bin_id, r.bin_fill)
+        for r in pack_greedy(df, 256).collect()
+    }
+    first = pack_greedy(df.filter(F.col("doc_id") < 10), 256).collect()
+    state = {}
+    for r in sorted(first, key=lambda r: (r.source, r.doc_id)):
+        state[r.source] = (r.bin_id, r.bin_fill)
+    second = pack_greedy(
+        df.filter(F.col("doc_id") >= 10), 256, init=state
+    ).collect()
+    chunked = {
+        (r.source, r.doc_id): (r.bin_id, r.bin_fill) for r in first + second
+    }
+    assert chunked == whole

@@ -1,4 +1,5 @@
-"""A/B: adaptive pointer-jumping vs plain one-hop min-label propagation
+"""A/B: two-phase contraction vs adaptive pointer-jumping vs plain
+one-hop min-label propagation
 on the adversarial CC stress graph (queries/graph_queries.py — ~227k
 edges, >200k so the DISTRIBUTED tier runs; 100 chains of 256 with skip
 edges ⇒ diameter ~127, plus power-law stars up to 30k spokes).
@@ -25,7 +26,9 @@ from cdc_practice_spark.queries.graph_queries import adversarial_edges
 from cdc_practice_spark.session import get_spark
 
 
-def run(edges, pointer_jumping: bool, max_iter: int) -> tuple[float, int, bool]:
+def run(
+    edges, pointer_jumping: bool, max_iter: int, two_phase: bool = False
+) -> tuple[float, int, bool]:
     t0 = time.perf_counter()
     converged = True
     try:
@@ -33,7 +36,8 @@ def run(edges, pointer_jumping: bool, max_iter: int) -> tuple[float, int, bool]:
             edges,
             max_iter=max_iter,
             pointer_jumping=pointer_jumping,
-            local_threshold=0,  # force the distributed tier
+            local_threshold=0 if not two_phase else 200_000,
+            two_phase=two_phase,  # False forces the propagation LOOP
         )
         n = comp.select("component").distinct().count()
     except RuntimeError:  # strict non-convergence
@@ -50,8 +54,11 @@ def main() -> None:
     edges = adversarial_edges(spark)
     print(f"edges: {edges.count()}")
 
+    dt, n, _ = run(edges, pointer_jumping=True, max_iter=48, two_phase=True)
+    print(f"two-phase contraction : {dt:7.2f}s  components={n}")
+
     dt, n, _ = run(edges, pointer_jumping=True, max_iter=48)
-    print(f"pointer-jumping : {dt:7.2f}s  components={n}")
+    print(f"pointer-jumping loop  : {dt:7.2f}s  components={n}")
 
     dt, n, ok = run(edges, pointer_jumping=False, max_iter=plain_cap)
     status = f"components={n}" if ok else f"DID NOT CONVERGE in {plain_cap} rounds"
