@@ -38,6 +38,21 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     return deco
 
 
+# Queries whose PLAN or FEED SEMANTICS changed this round (r6 ADVICE #5:
+# a changed query must appear in the round's driver verification sample
+# even if the LRU rotation would push it back).  Reset each round after
+# the driver records the new CORRECTNESS file.
+#
+# r7: streaming_heavy_hitters re-parameterized k=3 → k=9 (the oracle row
+# must show spark_rows > 0); cdc_incremental_mv / cdc_incremental_topk_mv
+# switched to the dedup-free feed in r6 but missed that round's prefix.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_heavy_hitters",
+    "cdc_incremental_mv",
+    "cdc_incremental_topk_mv",
+)
+
+
 def _rotate_lru() -> None:
     """Deterministic driver-check round-robin (VERDICT r4 ask #1).
 
@@ -49,10 +64,11 @@ def _rotate_lru() -> None:
     committed CORRECTNESS_r{N}.json, registration index).  Queries
     never checked sort first (last_round=0); after the driver writes
     r{N}, those names move to the back automatically.  This is a pure
-    function of committed artifacts — no hand-maintained list, no
-    judgment calls — and cycles through the full registry in
-    ceil(N/50) rounds.  tools/check_oracle.py always verifies ALL
-    queries locally regardless of order.
+    function of committed artifacts, with ONE explicit override:
+    ``CHANGED_THIS_ROUND`` pins queries whose semantics changed this
+    round to the front (they need a fresh driver row regardless of when
+    they were last checked — r6 ADVICE #5).  tools/check_oracle.py
+    always verifies ALL queries locally regardless of order.
     """
     import glob
     import json
@@ -70,7 +86,16 @@ def _rotate_lru() -> None:
             last_round[name] = max(last_round.get(name, 0), rnd)
 
     reg_index = {n: i for i, n in enumerate(QUERIES)}
-    order = sorted(QUERIES, key=lambda n: (last_round.get(n, 0), reg_index[n]))
+    pinned = {n: i for i, n in enumerate(CHANGED_THIS_ROUND)}
+    order = sorted(
+        QUERIES,
+        key=lambda n: (
+            0 if n in pinned else 1,
+            pinned.get(n, 0),
+            last_round.get(n, 0),
+            reg_index[n],
+        ),
+    )
     for d in (QUERIES, ORACLES):
         items = [(n, d[n]) for n in order if n in d]
         d.clear()
