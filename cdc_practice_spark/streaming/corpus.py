@@ -241,11 +241,18 @@ def stream_corpus_ingest(
             .select("source", "doc_id", "n_tokens")
         )
 
-        # continue packing from the pre-epoch per-source end state
+        # continue packing from the MOST RECENT pre-epoch pack state —
+        # scan backwards because a compaction may have collapsed the
+        # index base (-2) into the front without a pack state of its own
+        last_pack = [
+            e
+            for e in pre_epochs
+            if os.path.isdir(os.path.join(store_root, f"pack_state_v{e}"))
+        ][-1:]
         prev_state = {
             r["source"]: (int(r["bin_id"]), int(r["bin_fill"]))
             for r in _load_union(
-                spark, store_root, "pack_state", pre_epochs[-1:], _PACK_SCHEMA
+                spark, store_root, "pack_state", last_pack, _PACK_SCHEMA
             ).collect()
         }
         packed = tracked_persist(pack_greedy(b5, capacity, init=prev_state))
@@ -309,3 +316,46 @@ def stream_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ingest_index(spark: SparkSession, store_root: str) -> int:
+    """Fold every committed index delta into ONE base delta dir and swap
+    the manifest to it (epoch id -2, distinct from real epochs and the
+    seed) — the maintenance job that bounds the store's file count: an
+    ingest service otherwise accumulates one delta dir per micro-batch
+    forever.  Readers are never wrong mid-compaction (the manifest swap
+    is atomic; pre-epoch snapshots pin replays to the state they first
+    saw), and dispositions/pack state are untouched — only the index is
+    rewritten.  Returns the compacted row count."""
+    epochs = _read_manifest(store_root)
+    idx = _load_union(spark, store_root, "idx_delta", epochs, _IDX_SCHEMA)
+    out = os.path.join(store_root, "idx_delta_v-2")
+    # write to a tmp dir then move: the current v-2 (from a previous
+    # compaction) may be IN the input union, so an in-place overwrite
+    # would destroy rows before they are read
+    tmp = out + ".compacting"
+    idx.write.mode("overwrite").parquet(tmp)
+    n = spark.read.schema(_IDX_SCHEMA).parquet(tmp).count()
+    import shutil
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    # disposition deltas + pack state stay addressed by their real
+    # epochs; the index collapses to the base.  The folded idx delta
+    # dirs MUST be deleted — a later load would double-count their rows
+    # (the manifest lists epochs whose disp dirs exist, and _load_union
+    # includes any idx dir among them).
+    for e in epochs:
+        if e == -2:
+            continue
+        folded = os.path.join(store_root, f"idx_delta_v{e}")
+        if os.path.isdir(folded):
+            shutil.rmtree(folded)
+    disp_epochs = [
+        e
+        for e in epochs
+        if os.path.isdir(os.path.join(store_root, f"disp_delta_v{e}"))
+    ]
+    _swap_manifest(store_root, [-2] + disp_epochs)
+    return n

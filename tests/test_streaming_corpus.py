@@ -160,3 +160,48 @@ def test_pack_greedy_init_state_continues_bins(spark):
         (r.source, r.doc_id): (r.bin_id, r.bin_fill) for r in first + second
     }
     assert chunked == whole
+
+
+def test_compact_ingest_index_preserves_index_and_resumability(spark, sf_dir):
+    """Compaction folds all index deltas into one base dir: the loaded
+    index must be row-identical before/after, the folded delta dirs must
+    be GONE (a later load would double-count them), and dispositions
+    stay intact."""
+    from cdc_practice_spark.streaming.corpus import (
+        _read_manifest,
+        compact_ingest_index,
+        load_ingest_dispositions,
+        load_ingest_index,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="corpus_compact_", dir=TMP_ROOT)
+    store = _run_ingest(spark, sf_dir, work)
+    before_idx = sorted(
+        (r.doc_id, tuple(r.hs)) for r in load_ingest_index(spark, store).collect()
+    )
+    before_disp = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    n_dirs_before = len(
+        [d for d in os.listdir(store) if d.startswith("idx_delta_v")]
+    )
+    assert n_dirs_before >= 4  # seed + 3 epochs
+    n = compact_ingest_index(spark, store)
+    assert n == len(before_idx)
+    after_idx = sorted(
+        (r.doc_id, tuple(r.hs)) for r in load_ingest_index(spark, store).collect()
+    )
+    assert after_idx == before_idx
+    n_dirs_after = len(
+        [d for d in os.listdir(store) if d.startswith("idx_delta_v")]
+    )
+    assert n_dirs_after == 1
+    after_disp = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    assert after_disp == before_disp
+    assert -2 in _read_manifest(store)
+    # compacting twice is a no-op on content
+    n2 = compact_ingest_index(spark, store)
+    assert n2 == n
