@@ -147,7 +147,13 @@ def connected_components(
     pairs = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
-    n_edges = pairs.count()
+    # an over-gate hint also spares the LOOP path its gate count (the
+    # two-phase quotient recursion passes the n_super it just measured)
+    n_edges = (
+        n_edges_hint
+        if n_edges_hint is not None and n_edges_hint > local_threshold
+        else pairs.count()
+    )
     if n_edges <= local_threshold:
         comp = _local_union_find(
             [(r.src, r.dst) for r in pairs.collect()]
@@ -468,6 +474,7 @@ def _two_phase_components(
                 jumps_per_round=jumps_per_round,
                 loop_aqe=loop_aqe,
                 two_phase=False,
+                n_edges_hint=n_super,  # already measured — skip recount
             ).select(
                 F.col("node").alias("g_root"),
                 F.col("component").alias("g_final"),

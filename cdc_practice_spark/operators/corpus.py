@@ -32,7 +32,10 @@ def corpus_features(docs: DataFrame) -> DataFrame:
     the Arrow C-md5 kernel with the scalars as passthrough columns.  The
     raw text is dropped on the way out: at 100 TB this pass IS the
     ingest job and everything downstream moves narrow feature rows."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # ONE tokenization definition repo-wide (functions/text.py::tokens —
+    # the expression the DuckDB oracle's _TOKS mirrors); materialized as
+    # a column so every feature shares it
+    toks = T.tokens(F.col("text"))
     tk = F.col("_toks")
     staged = docs.select(
         "doc_id", "text", "source", toks.alias("_toks")
@@ -82,25 +85,35 @@ def freeze_corpus_stats(
     c4 = c1.filter(F.col("quality_score") >= q25).filter(
         ~F.col("fp").isin(*bl) if bl else F.lit(True)
     )
+    # the rates are computed IN SPARK with the exact expression the batch
+    # pipeline (and its DuckDB oracle) uses — a Python-float re-derivation
+    # could differ by one millionth at a rounding boundary (different sum
+    # order for sw, int(x+0.5) vs engine HALF_UP) and flip a mix decision
     stats = c4.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("n_s")
     )
-    rows = sorted(stats.collect(), key=lambda r: r["source"])
-    sw = sum(r["n_s"] ** 0.5 for r in rows)
-    n = sum(r["n_s"] for r in rows)
-    import math
-
-    rates = {
-        # half-up rounding (int(x + 0.5)), matching Spark's F.round and
-        # DuckDB's round — Python's built-in round() is banker's and
-        # would diverge on exact half-millionths
-        r["source"]: int(
-            min(1.0, math.sqrt(r["n_s"]) / sw * math.floor(n * 0.5) / r["n_s"])
-            * 1000000
-            + 0.5
+    tot = stats.agg(F.sum(F.sqrt("n_s")).alias("sw"), F.sum("n_s").alias("n"))
+    rate_rows = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt("n_s")
+                    / F.col("sw")
+                    * F.floor(F.col("n") * 0.5)
+                    / F.col("n_s"),
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("accept_thr"),
         )
-        for r in rows
-    }
+        .collect()
+    )
+    rates = {r["source"]: int(r["accept_thr"]) for r in rate_rows}
     return FrozenCorpusStats(
         q25=q25, rates=rates, blocklist_fps=tuple(sorted(bl))
     )

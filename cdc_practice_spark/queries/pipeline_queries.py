@@ -583,18 +583,9 @@ def corpus_e2e_stages(
     # highest-quality member per cluster (quality ties → lower doc_id).
     # Bands ride the minhash columns already in the persisted base — no
     # recompute; the self-join shuffles only (doc_id, band) rows.
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"mh{b * D.ROWS_PER_BAND + r}")
-                    for r in range(D.ROWS_PER_BAND)
-                ],
-            )
-            for b in range(D.BANDS)
-        ]
-    )
+    # the canonical band-key builder — one definition shared with the
+    # LSH self-join and the incremental/streaming index (operators/dedup)
+    band_keys = D.band_keys_array()
     banded = tracked_persist(
         s2.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
     )
@@ -958,18 +949,9 @@ def corpus_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1.crossJoin(F.broadcast(thr)).filter(passes_q).drop("q25")
     )
 
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"mh{b * D.ROWS_PER_BAND + r}")
-                    for r in range(D.ROWS_PER_BAND)
-                ],
-            )
-            for b in range(D.BANDS)
-        ]
-    )
+    # the canonical band-key builder — one definition shared with the
+    # LSH self-join and the incremental/streaming index (operators/dedup)
+    band_keys = D.band_keys_array()
 
     def bands_of(df: DataFrame, idx: bool) -> DataFrame:
         return df.select(

@@ -683,6 +683,11 @@ def _split_docs_batch_into_files(
     lo, hi = batch.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
+    if lo is None:
+        raise ValueError(
+            "_split_docs_batch_into_files: the batch selection is empty — "
+            "nothing to stream (check the batch modulus against the fixture)"
+        )
     step = (int(hi) - int(lo)) // n_files + 1
     for i in range(n_files):
         chunk = batch.filter(
@@ -696,6 +701,13 @@ def _split_docs_batch_into_files(
             os.path.join(part_dir, src),
             os.path.join(out_dir, f"chunk-{i:03d}.parquet"),
         )
+        shutil.rmtree(part_dir)
+        # distinct mtimes: the file source breaks ties by modification
+        # time, and two chunks written in the same filesystem tick could
+        # replay out of id order — which would break the stream==batch
+        # dedup/pack equivalence silently (split_events_into_files has
+        # the same guard)
+        time.sleep(0.05)
 
 
 def _incr_oracle_for_stream() -> str:

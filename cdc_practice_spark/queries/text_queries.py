@@ -1640,9 +1640,8 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     sh = docs.select(
-        "doc_id", toks.alias("_toks")
+        "doc_id", T.tokens(F.col("text")).alias("_toks")
     ).select(
         "doc_id",
         D.shingles_from_tokens(F.col("_toks"), k=_NGRAM_K).alias("sh"),

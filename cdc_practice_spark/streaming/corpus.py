@@ -66,10 +66,25 @@ def _swap_manifest(root: str, epochs: list[int]) -> None:
     os.replace(tmp, p)
 
 
-def _pre_epoch_epochs(root: str, epoch_id: int) -> list[int]:
+def _run_token(checkpoint_dir: str) -> str:
+    """Stable id of the stream RUN (its checkpoint): pre-epoch pins are
+    keyed by it so a NEW run against the same store (fresh checkpoint ⇒
+    epoch ids restart at 0) can never read a previous run's stale pin —
+    it would re-read index/pack state as of that run's start and
+    double-admit everything indexed since."""
+    import hashlib
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:10]
+
+
+def _pre_epoch_epochs(root: str, token: str, epoch_id: int) -> list[int]:
     """Pin the committed-epoch list as of BEFORE this epoch — a replayed
-    epoch re-reads index/pack state exactly as the first attempt did."""
-    pre = os.path.join(root, f"_INGEST_MANIFEST.pre_v{epoch_id}")
+    epoch re-reads index/pack state exactly as the first attempt did.
+    Pins are per (run token, epoch): replays share the checkpoint and
+    therefore the token; a different run never matches."""
+    pre = os.path.join(root, f"_INGEST_MANIFEST.pre_{token}_v{epoch_id}")
     if not os.path.exists(pre):
         tmp = pre + ".tmp"
         with open(tmp, "w") as fh:
@@ -79,24 +94,12 @@ def _pre_epoch_epochs(root: str, epoch_id: int) -> list[int]:
         return json.load(fh)["epochs"]
 
 
-def _band_keys() -> F.Column:
-    return F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(str(b)),
-                *[
-                    F.col(f"mh{b * D.ROWS_PER_BAND + r}")
-                    for r in range(D.ROWS_PER_BAND)
-                ],
-            )
-            for b in range(D.BANDS)
-        ]
-    )
-
-
 def _idx_rows(feats_b2: DataFrame) -> DataFrame:
-    return feats_b2.select("doc_id", "hs", _band_keys().alias("bk"))
+    # banded_keys_array folds the band index into each key — the same
+    # canonical builder the incremental dedup index uses
+    return feats_b2.select(
+        "doc_id", "hs", D.banded_keys_array().alias("bk")
+    )
 
 
 def seed_ingest_index(
@@ -158,13 +161,14 @@ def stream_corpus_ingest(
     os.makedirs(store_root, exist_ok=True)
     rates_items = sorted(stats.rates.items())
     blocklist = list(stats.blocklist_fps)
+    token = _run_token(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         from cdc_practice_spark.plans.cache import tracked_persist
 
-        pre_epochs = _pre_epoch_epochs(store_root, epoch_id)
+        pre_epochs = _pre_epoch_epochs(store_root, token, epoch_id)
         feats = tracked_persist(corpus_features(batch_df))
         b1 = feats.filter(F.col("lang_pred") != "und")
         b2 = tracked_persist(b1.filter(F.col("quality_score") >= stats.q25))
@@ -326,8 +330,23 @@ def compact_ingest_index(spark: SparkSession, store_root: str) -> int:
     forever.  Readers are never wrong mid-compaction (the manifest swap
     is atomic; pre-epoch snapshots pin replays to the state they first
     saw), and dispositions/pack state are untouched — only the index is
-    rewritten.  Returns the compacted row count."""
+    rewritten.  Refuses (raises) while a CRASHED, not-yet-replayed epoch
+    is pending: its pre-epoch pin references the delta dirs compaction
+    would delete, and the replay would silently dedup against an empty
+    index — run compaction on a quiescent store (stream drained).
+    Returns the compacted row count."""
     epochs = _read_manifest(store_root)
+    committed = set(epochs)
+    import re as _re
+
+    for f in os.listdir(store_root):
+        m = _re.fullmatch(r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)", f)
+        if m and int(m.group(1)) not in committed:
+            raise RuntimeError(
+                f"compact_ingest_index: epoch {m.group(1)} started but "
+                f"never committed — a pending replay still references the "
+                f"delta dirs; drain or discard that stream first"
+            )
     idx = _load_union(spark, store_root, "idx_delta", epochs, _IDX_SCHEMA)
     out = os.path.join(store_root, "idx_delta_v-2")
     # write to a tmp dir then move: the current v-2 (from a previous
@@ -358,4 +377,9 @@ def compact_ingest_index(spark: SparkSession, store_root: str) -> int:
         if os.path.isdir(os.path.join(store_root, f"disp_delta_v{e}"))
     ]
     _swap_manifest(store_root, [-2] + disp_epochs)
+    # committed pins are dead weight now (their epochs can never replay
+    # within their run, and new runs use a fresh token) — clean them up
+    for f in os.listdir(store_root):
+        if _re.fullmatch(r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)", f):
+            os.unlink(os.path.join(store_root, f))
     return n
