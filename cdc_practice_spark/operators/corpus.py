@@ -19,19 +19,27 @@ from pyspark.sql import functions as F
 from cdc_practice_spark.functions import text as T
 from cdc_practice_spark.operators import dedup as D
 
+# GPT-3/Pile-style decontamination n-gram order — ONE definition shared
+# by the composed pipeline stages, the frozen ingest stats, and the
+# standalone corpus_decontaminate_ngram query/oracle.
+DECON_GRAM_K = 8
+
 
 def corpus_features(docs: DataFrame) -> DataFrame:
     """Every per-document feature the curation stages need, computed in
     ONE pass over ``docs`` (doc_id, source, text): language, quality,
-    content fingerprint, token count, shingle hashes, and the full
-    16-permutation minhash signature.
+    content fingerprint, token count, shingle hashes, the full
+    16-permutation minhash signature, and (r8) the distinct 8-gram
+    hashes (``g8``) the decontamination stage semi-joins against the
+    benchmark blocklist.
 
     Scalar features are one JVM projection sharing a single materialized
     token array (higher-order functions don't CSE — the *_from_tokens
-    variants exist for exactly this); shingle hashes + minhash mins ride
-    the Arrow C-md5 kernel with the scalars as passthrough columns.  The
-    raw text is dropped on the way out: at 100 TB this pass IS the
-    ingest job and everything downstream moves narrow feature rows."""
+    variants exist for exactly this); shingle hashes + minhash mins +
+    8-gram hashes ride the Arrow C-md5 kernel with the scalars as
+    passthrough columns.  The raw text is dropped on the way out: at
+    100 TB this pass IS the ingest job and everything downstream moves
+    narrow feature rows."""
     # ONE tokenization definition repo-wide (functions/text.py::tokens —
     # the expression the DuckDB oracle's _TOKS mirrors); materialized as
     # a column so every feature shares it
@@ -51,6 +59,7 @@ def corpus_features(docs: DataFrame) -> DataFrame:
     return D.with_minhash_arrow(
         staged,
         passthrough=["source", "n_tokens", "lang_pred", "quality_score", "fp"],
+        gram_k=DECON_GRAM_K,
     )
 
 
@@ -60,30 +69,57 @@ class FrozenCorpusStats:
     the standing corpus and then applies to every arriving batch until
     the next re-calibration: the quality threshold, the per-source
     temperature-mix acceptance thresholds (millionths), and the
-    benchmark blocklist fingerprints."""
+    benchmark blocklist's distinct 8-gram hashes (r8 — the GPT-3/Pile
+    decontamination rule replaced the whole-document fingerprint)."""
 
     q25: float
     rates: dict  # source -> accept threshold in millionths (int)
-    blocklist_fps: tuple  # sorted content fingerprints of the eval set
+    blocklist_grams: tuple  # sorted 60-bit 8-gram hashes of the eval set
+
+
+def blocklist_gram_df(spark, grams) -> DataFrame:
+    """The frozen benchmark grams as a one-column broadcastable frame —
+    the semi-join side of every surface's decontamination stage."""
+    return spark.createDataFrame([(int(g),) for g in grams], "g long")
+
+
+def decontaminate(df: DataFrame, bl_grams: DataFrame) -> DataFrame:
+    """Drop every row of ``df`` sharing ANY 8-gram with the broadcast
+    benchmark-gram set (``bl_grams``: one ``g`` long column) — the
+    composed pipeline's s4.  Shape at 100 TB: the eval set's distinct
+    grams are small → broadcast; the survivors' grams explode map-side
+    and only HITS shuffle (a distinct on contaminated doc_ids, bounded
+    by the survivor count)."""
+    contaminated = (
+        df.select("doc_id", F.explode("g8").alias("g"))
+        .join(F.broadcast(bl_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return df.join(contaminated, "doc_id", "left_anti")
 
 
 def freeze_corpus_stats(
-    corpus_feats: DataFrame, blocklist_fps: list[str]
+    corpus_feats: DataFrame, blocklist_grams: list[int]
 ) -> FrozenCorpusStats:
     """Compute the frozen stats from the corpus' feature frame with the
     SAME algebra as the batch pipeline: threshold = exact P25 of the
     language-detected corpus' quality scores (round-6); mix rates from
     the quality-surviving, decontaminated population (√n temperature
-    rule, target half)."""
+    rule, target half) — decontaminated by the 8-gram rule, matching
+    the batch/incremental/streaming s4."""
     c1 = corpus_feats.filter(F.col("lang_pred") != "und")
     q25 = float(
         c1.agg(
             F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("q")
         ).collect()[0]["q"]
     )
-    bl = set(blocklist_fps)
-    c4 = c1.filter(F.col("quality_score") >= q25).filter(
-        ~F.col("fp").isin(*bl) if bl else F.lit(True)
+    bl = sorted(set(int(g) for g in blocklist_grams))
+    c2 = c1.filter(F.col("quality_score") >= q25)
+    c4 = (
+        decontaminate(c2, blocklist_gram_df(corpus_feats.sparkSession, bl))
+        if bl
+        else c2
     )
     # the rates are computed IN SPARK with the exact expression the batch
     # pipeline (and its DuckDB oracle) uses — a Python-float re-derivation
@@ -114,6 +150,4 @@ def freeze_corpus_stats(
         .collect()
     )
     rates = {r["source"]: int(r["accept_thr"]) for r in rate_rows}
-    return FrozenCorpusStats(
-        q25=q25, rates=rates, blocklist_fps=tuple(sorted(bl))
-    )
+    return FrozenCorpusStats(q25=q25, rates=rates, blocklist_grams=tuple(bl))

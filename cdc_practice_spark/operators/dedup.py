@@ -113,6 +113,7 @@ def with_minhash_arrow(
     text_col: str = "text",
     k: int = SHINGLE_K,
     passthrough: list[str] | None = None,
+    gram_k: int | None = None,
 ) -> DataFrame:
     """(doc_id, hs, mh0..mh{NUM_PERM-1}) in ONE Arrow-batched pass —
     tokenize, shingle, md5-hash, and fold all NUM_PERM permutations in
@@ -122,19 +123,35 @@ def with_minhash_arrow(
     vectorized (|hs| × NUM_PERM) matrix fold.  Pure per-doc map: no
     shuffle, embarrassingly parallel at any scale.
 
+    ``gram_k`` (r8): when set, the SAME tokenization additionally emits
+    a ``g8`` column — the FULL 60-bit md5 hashes (no modulus: the
+    decontamination semi join wants negligible collision odds, and no
+    permutation products follow) of the doc's distinct gram_k-grams —
+    so the composed pipeline's 8-gram decontamination stage rides this
+    one pass instead of re-reading the corpus.
+
     Parity contract (asserted vs the JVM path in tests/test_dedup.py):
       - tokenizer replicates split(lower(trim(text)), '\\s+') exactly —
         trim strips 0x20 only, ASCII-only \\s, empty fields kept;
       - shingling replicates sequence/try_element_at/concat_ws — for
         docs shorter than k tokens the single position joins what
         exists; dict.fromkeys == array_distinct (first-occurrence);
-      - hash = int(md5_hex[:15], 16) % MOD, products < 1e18 (int64-safe).
+      - hash = int(md5_hex[:15], 16) % MOD, products < 1e18 (int64-safe);
+      - g8 hash = int(md5_hex[:15], 16) — the token_hash60 pair.
     """
     import re
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    reserved = {"doc_id", "hs", "g8"} | {f"mh{j}" for j in range(NUM_PERM)}
+    bad = [c for c in (passthrough or []) if c in reserved]
+    if bad:
+        raise ValueError(
+            f"with_minhash_arrow: passthrough column(s) {bad} collide with "
+            f"the generated output columns (doc_id, hs, g8, mh0..mh{NUM_PERM - 1})"
+        )
 
     _ws = re.compile(r"\s+", re.ASCII)
     A = np.array([_perm_params(i)[0] for i in range(NUM_PERM)], dtype=np.int64)
@@ -146,6 +163,7 @@ def with_minhash_arrow(
         for pdf in it:
             n_rows = len(pdf)
             hs_out = []
+            g8_out = []
             sig = np.empty((n_rows, NUM_PERM), dtype=np.int64)
             for i, txt in enumerate(pdf["_text"].values):
                 toks = _ws.split(txt.strip(" ").lower())
@@ -168,9 +186,27 @@ def with_minhash_arrow(
                 sig[i] = ((hs[:, None] * A[None, :] + B[None, :]) % MOD).min(
                     axis=0
                 )
+                if gram_k is not None:
+                    gupper = max(len(toks) - (gram_k - 1), 1)
+                    g = dict.fromkeys(
+                        " ".join(toks[p : p + gram_k]) for p in range(gupper)
+                    )
+                    g8_out.append(
+                        np.fromiter(
+                            (
+                                int.from_bytes(md5(s.encode()).digest()[:8], "big")
+                                >> 4
+                                for s in g
+                            ),
+                            dtype=np.int64,
+                            count=len(g),
+                        )
+                    )
             out = {"doc_id": pdf["doc_id"].values, "hs": hs_out}
             for j in range(NUM_PERM):
                 out[f"mh{j}"] = sig[:, j]
+            if gram_k is not None:
+                out["g8"] = g8_out
             for c in passthrough or []:
                 out[c] = pdf[c].values
             yield pd.DataFrame(out)
@@ -188,6 +224,7 @@ def with_minhash_arrow(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("hs", ArrayType(LongType()))]
         + [StructField(f"mh{j}", LongType()) for j in range(NUM_PERM)]
+        + ([StructField("g8", ArrayType(LongType()))] if gram_k is not None else [])
         + pt_fields
     )
     from cdc_practice_spark.plans.hints import spread_for_python

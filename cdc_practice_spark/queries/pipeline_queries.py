@@ -388,6 +388,19 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E2E_CAPACITY = 256  # pack bins, same contract as pack_sequences_greedy
 
 
+def _g8_sql() -> str:
+    """DuckDB list of 60-bit md5 hashes of a doc's distinct 8-grams
+    (over a materialized ``toks`` column) — the oracle pair of the
+    Arrow kernel's ``g8`` output (operators/dedup.py
+    with_minhash_arrow(gram_k=8): int(md5_hex[:15], 16), no modulus)."""
+    from cdc_practice_spark.queries.text_queries import _ngram_sh_sql
+
+    return (
+        f"list_transform({_ngram_sh_sql()}, "
+        "s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))"
+    )
+
+
 def _e2e_oracle_chain() -> str:
     """The DuckDB CTE chain recomputing the ENTIRE composed pipeline.
 
@@ -489,11 +502,20 @@ s3 AS MATERIALIZED (
                                  ORDER BY quality_score DESC, doc_id) AS rn
     FROM clusters) WHERE rn = 1
 ),
-blocklist AS MATERIALIZED (
-  SELECT DISTINCT fp FROM feat WHERE doc_id % 97 = 0
+g8 AS MATERIALIZED (
+  SELECT doc_id, {_g8_sql()} AS gs
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 0
+),
+contaminated AS MATERIALIZED (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(gs) AS g FROM g8 JOIN s3 USING (doc_id)) cg
+  JOIN bench USING (g)
 ),
 s4 AS MATERIALIZED (
-  SELECT * FROM s3 WHERE fp NOT IN (SELECT fp FROM blocklist)
+  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
 stats AS MATERIALIZED (
   SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM s4 GROUP BY source
@@ -628,15 +650,20 @@ def corpus_e2e_stages(
         .drop("_rn")
     )
 
-    # stage 4 — decontamination: drop survivors whose content fingerprint
-    # matches the benchmark blocklist (doc_id % 97 over the FULL corpus —
-    # read from the persisted base, not a second documents scan)
-    blocklist = (
+    # stage 4 — decontamination (r8: the GPT-3/Pile 8-gram rule replaced
+    # the whole-document fingerprint): drop survivors sharing ANY 8-gram
+    # with the benchmark set (doc_id % 97 over the FULL corpus — grams
+    # read from the persisted base, not a second documents scan).  The
+    # benchmark's distinct grams broadcast; survivor grams explode
+    # map-side and only hits shuffle.
+    from cdc_practice_spark.operators.corpus import decontaminate
+
+    bench = (
         base.filter(F.col("doc_id") % 97 == 0)
-        .select(F.col("fp").alias("_bfp"))
+        .select(F.explode("g8").alias("g"))
         .distinct()
     )
-    s4 = s3.join(F.broadcast(blocklist), s3["fp"] == F.col("_bfp"), "left_anti")
+    s4 = decontaminate(s3, bench)
 
     # stage 5 — temperature mixing (T=2, target half the survivors):
     # per-source √n acceptance thresholds, hash-deterministic membership
@@ -852,14 +879,23 @@ dups AS MATERIALIZED (
 b3 AS MATERIALIZED (
   SELECT * FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 ),
-blocklist AS MATERIALIZED (
-  SELECT DISTINCT fp FROM feat WHERE doc_id % 97 = 0
+g8 AS MATERIALIZED (
+  SELECT doc_id, {_g8_sql()} AS gs
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 0
+),
+contaminated AS MATERIALIZED (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(gs) AS g FROM g8) cg
+  JOIN bench USING (g)
 ),
 b4 AS MATERIALIZED (
-  SELECT * FROM b3 WHERE fp NOT IN (SELECT fp FROM blocklist)
+  SELECT * FROM b3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
 c4 AS MATERIALIZED (
-  SELECT * FROM c2 WHERE fp NOT IN (SELECT fp FROM blocklist)
+  SELECT * FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
 stats AS MATERIALIZED (
   SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM c4 GROUP BY source
@@ -988,15 +1024,17 @@ def corpus_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b3 = b2.join(dups, "doc_id", "left_anti")
 
-    blocklist = (
+    # 8-gram decontamination against the benchmark set (r8) — grams and
+    # the benchmark both read from the persisted base (no second scan)
+    from cdc_practice_spark.operators.corpus import decontaminate
+
+    bench = (
         base.filter(F.col("doc_id") % 97 == 0)
-        .select(F.col("fp").alias("_bfp"))
+        .select(F.explode("g8").alias("g"))
         .distinct()
     )
-    b4 = tracked_persist(
-        b3.join(F.broadcast(blocklist), b3["fp"] == F.col("_bfp"), "left_anti")
-    )
-    c4 = c2.join(F.broadcast(blocklist), c2["fp"] == F.col("_bfp"), "left_anti")
+    b4 = tracked_persist(decontaminate(b3, bench))
+    c4 = decontaminate(c2, bench)
 
     stats = c4.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("n_s")

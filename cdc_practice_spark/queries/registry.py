@@ -43,13 +43,15 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # even if the LRU rotation would push it back).  Reset each round after
 # the driver records the new CORRECTNESS file.
 #
-# r7: streaming_heavy_hitters re-parameterized k=3 → k=9 (the oracle row
-# must show spark_rows > 0); cdc_incremental_mv / cdc_incremental_topk_mv
-# switched to the dedup-free feed in r6 but missed that round's prefix.
+# r8: the composed corpus surfaces switched their decontamination stage
+# (s4) from exact content-fingerprint to the GPT-3/Pile 8-gram rule, so
+# every query that runs the pipeline changed semantics and needs a fresh
+# driver row.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "streaming_heavy_hitters",
-    "cdc_incremental_mv",
-    "cdc_incremental_topk_mv",
+    "corpus_e2e_pipeline",
+    "corpus_e2e_funnel",
+    "corpus_e2e_incremental",
+    "streaming_corpus_ingest",
 )
 
 

@@ -752,12 +752,24 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     _split_docs_batch_into_files(spark, docs.filter(is_batch), src)
 
     feats_c = tracked_persist(corpus_features(docs.filter(~is_batch)))
+    # the frozen benchmark-gram blocklist (r8: the 8-gram rule) — the
+    # benchmark is doc_id % 97 over the FULL fixture, so its grams come
+    # from a JVM pass over the raw docs (the production shape: the eval
+    # set is separate from the standing corpus' feature store)
     from cdc_practice_spark.functions import text as T
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.operators.corpus import DECON_GRAM_K
 
     blocklist = [
-        r["fp"]
+        int(r["g"])
         for r in docs.filter(F.col("doc_id") % 97 == 0)
-        .select(T.fingerprint_sorted_tokens(F.col("text")).alias("fp"))
+        .select(T.tokens(F.col("text")).alias("_toks"))
+        .select(
+            F.explode(
+                D.shingles_from_tokens(F.col("_toks"), k=DECON_GRAM_K)
+            ).alias("s")
+        )
+        .select(D.token_hash60(F.col("s")).alias("g"))
         .distinct()
         .collect()
     ]

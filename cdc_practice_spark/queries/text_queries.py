@@ -1583,7 +1583,10 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy("race_key", "doc_id").limit(50)
 
 
-_NGRAM_K = 8  # GPT-3/Pile-style decontamination n-gram order
+# GPT-3/Pile-style decontamination n-gram order — ONE definition shared
+# with the composed pipeline's s4 (operators/corpus.py)
+from cdc_practice_spark.operators.corpus import DECON_GRAM_K as _NGRAM_K
+
 _NGRAM_BENCH_MOD = 11  # doc_id % 11 == 0 plays the benchmark set
 
 

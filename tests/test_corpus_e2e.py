@@ -175,3 +175,46 @@ def test_e2e_incremental_disposition_partitions_batch(spark, sf_dir):
             assert r.bin_id is not None and r.bin_fill is not None
         else:
             assert r.bin_id is None and r.bin_fill is None
+
+def test_decontaminate_catches_partial_copy_fp_misses(spark):
+    """The r8 8-gram rule is strictly stronger where it matters: a doc
+    that EMBEDS a benchmark passage (shared 8-gram) but differs as a
+    whole document (different sorted-distinct-token fingerprint — the
+    r7 rule's key) must be dropped, while a doc merely sharing
+    vocabulary with the benchmark (same token SET, no 8-token span in
+    common — which the old fp rule wrongly dropped) must survive."""
+    from cdc_practice_spark.operators.corpus import (
+        corpus_features,
+        decontaminate,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (100, "bench", bench_text),
+        # partial copy: new prefix + the full benchmark 8-gram
+        (1, "web", "totally unrelated preamble text " + bench_text),
+        # vocabulary-only overlap: same token SET as the benchmark,
+        # different order → same fp, zero shared 8-grams
+        (2, "web", "theta eta zeta epsilon delta gamma beta alpha"),
+        # clean doc
+        (3, "web", "completely different words with no overlap at all"),
+    ]
+    feats = corpus_features(
+        spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    ).persist()
+    bench = (
+        feats.filter(F.col("doc_id") == 100)
+        .select(F.explode("g8").alias("g"))
+        .distinct()
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(
+            feats.filter(F.col("doc_id") != 100), bench
+        ).collect()
+    }
+    assert kept == {2, 3}, kept
+    # sanity: doc 2 shares the benchmark's fp (the old rule would have
+    # dropped it), doc 1 does not (the old rule would have missed it)
+    fps = {r["doc_id"]: r["fp"] for r in feats.select("doc_id", "fp").collect()}
+    assert fps[2] == fps[100] and fps[1] != fps[100]

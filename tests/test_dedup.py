@@ -132,6 +132,51 @@ def test_minhash_arrow_matches_jvm_on_adversarial_whitespace(spark):
     assert arw_hs_map == jvm_hs_map
 
 
+def test_minhash_arrow_g8_matches_jvm(spark):
+    """The kernel's 8-gram hash column (gram_k=8, r8 decontamination)
+    must equal the JVM pair transform(shingles_from_tokens(toks, 8),
+    token_hash60) — the expression the frozen-blocklist builder and the
+    DuckDB oracle's _g8_sql mirror — on the same adversarial texts."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today again"),
+        (2, ""),
+        (3, "short doc"),  # < 8 tokens → one full-string gram
+        (4, "tab\tseparated\ttokens and more words here to cross eight"),
+        (5, "a b c d e f g h a b c d e f g h"),  # repeated grams collapse
+        (6, "multi   \t \n  space separated words one two three four five"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    jvm = {
+        r.doc_id: list(r.g8)
+        for r in docs.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.transform(
+                D.shingles_from_tokens(F.col("_toks"), k=8), D.token_hash60
+            ).alias("g8"),
+        )
+        .collect()
+    }
+    arw = {
+        r.doc_id: list(r.g8)
+        for r in D.with_minhash_arrow(docs, gram_k=8).collect()
+    }
+    assert arw == jvm
+
+
+def test_minhash_arrow_rejects_reserved_passthrough(spark):
+    """A passthrough column colliding with a generated output column
+    must raise instead of silently overwriting it (r7 ADVICE)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "some text", "x")], ["doc_id", "text", "hs"]
+    )
+    with pytest.raises(ValueError, match="passthrough"):
+        D.with_minhash_arrow(docs, passthrough=["hs"])
+
+
 def test_incremental_dedup_matches_full_pairs(spark, sf_dir):
     """Incremental verdicts must agree with the full-corpus pair list:
     a batch doc is a duplicate iff the full LSH pair set links it to any

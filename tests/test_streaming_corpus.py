@@ -36,11 +36,20 @@ def _run_ingest(spark, sf_dir, work, n_files=3):
         _split_docs_batch_into_files(spark, docs.filter(is_batch), src, n_files)
     store = os.path.join(work, "store")
     if not os.path.isdir(store):
+        from cdc_practice_spark.operators import dedup as D
+        from cdc_practice_spark.operators.corpus import DECON_GRAM_K
+
         feats_c = tracked_persist(corpus_features(docs.filter(~is_batch)))
         blocklist = [
-            r["fp"]
+            int(r["g"])
             for r in docs.filter(F.col("doc_id") % 97 == 0)
-            .select(T.fingerprint_sorted_tokens(F.col("text")).alias("fp"))
+            .select(T.tokens(F.col("text")).alias("_toks"))
+            .select(
+                F.explode(
+                    D.shingles_from_tokens(F.col("_toks"), k=DECON_GRAM_K)
+                ).alias("s")
+            )
+            .select(D.token_hash60(F.col("s")).alias("g"))
             .distinct()
             .collect()
         ]
@@ -53,7 +62,7 @@ def _run_ingest(spark, sf_dir, work, n_files=3):
                 {
                     "q25": stats.q25,
                     "rates": stats.rates,
-                    "blocklist": list(stats.blocklist_fps),
+                    "blocklist": list(stats.blocklist_grams),
                 },
                 fh,
             )
@@ -66,7 +75,7 @@ def _run_ingest(spark, sf_dir, work, n_files=3):
     stats = FrozenCorpusStats(
         q25=d["q25"],
         rates=d["rates"],
-        blocklist_fps=tuple(d["blocklist"]),
+        blocklist_grams=tuple(d["blocklist"]),
     )
     stream = (
         spark.readStream.schema(docs.schema)
@@ -205,3 +214,72 @@ def test_compact_ingest_index_preserves_index_and_resumability(spark, sf_dir):
     # compacting twice is a no-op on content
     n2 = compact_ingest_index(spark, store)
     assert n2 == n
+
+def test_wiped_checkpoint_same_path_fresh_run(spark, sf_dir):
+    """r8 (VERDICT r7 wrong #3 + ADVICE medium): wiping the checkpoint
+    and restarting at the SAME path against the SAME store must behave
+    as a brand-new run — a fresh run token (no stale pre-epoch pin
+    reuse) and store epochs offset past the committed ones (no in-place
+    overwrite of committed deltas).  Every re-delivered doc must come
+    back dropped (its first copy is in the index) — zero double-
+    admissions — and run 1's committed dispositions survive untouched."""
+    import shutil
+
+    from cdc_practice_spark.streaming.corpus import (
+        _read_manifest,
+        load_ingest_dispositions,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="corpus_wipe_", dir=TMP_ROOT)
+    store = _run_ingest(spark, sf_dir, work)
+    before = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    epochs_before = _read_manifest(store)
+    shutil.rmtree(os.path.join(work, "ckpt"))  # the wiped-and-reused path
+    store2 = _run_ingest(spark, sf_dir, work)
+    after = load_ingest_dispositions(spark, store2).collect()
+    after_t = sorted(tuple(r) for r in after)
+    # run 1's rows are intact (no delta dir was overwritten in place)
+    assert set(before) <= set(after_t)
+    # every batch doc has exactly two rows now — one per run
+    from collections import Counter
+
+    assert all(c == 2 for c in Counter(t[0] for t in after_t).values())
+    # no double-admission: the re-delivered copies never re-enter the
+    # kept set (each matches its own first copy in the index)
+    kept_after = [t for t in after_t if t[3] == "kept"]
+    kept_before = [t for t in before if t[3] == "kept"]
+    assert kept_after == kept_before
+    # and the new run's epochs extended the manifest, no collisions
+    epochs_after = _read_manifest(store2)
+    assert len(epochs_after) == len(set(epochs_after))
+    assert set(epochs_before) < set(epochs_after)
+
+
+def test_streaming_funnel_sums_to_batch(spark, sf_dir):
+    """r8 (VERDICT r7 ask #8): the per-epoch funnel deltas summed over
+    epochs must equal the batch pipeline's disposition histogram — an
+    ingest operator can watch quality drift per epoch without replaying
+    dispositions."""
+    from collections import Counter
+
+    from cdc_practice_spark.queries.pipeline_queries import (
+        corpus_e2e_incremental,
+    )
+    from cdc_practice_spark.streaming.corpus import load_ingest_funnel
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="corpus_funnel_", dir=TMP_ROOT)
+    store = _run_ingest(spark, sf_dir, work)
+    funnel = load_ingest_funnel(spark, store).collect()
+    assert len({r["epoch"] for r in funnel}) >= 2, "per-epoch granularity"
+    summed = Counter()
+    for r in funnel:
+        summed[r["stage"]] += r["n"]
+    batch = Counter(
+        r["disposition"]
+        for r in corpus_e2e_incremental(spark, sf_dir).collect()
+    )
+    assert summed == batch
