@@ -474,7 +474,12 @@ def _two_phase_components(
                 jumps_per_round=jumps_per_round,
                 loop_aqe=loop_aqe,
                 two_phase=False,
-                n_edges_hint=n_super,  # already measured — skip recount
+                # n_super is TRUNCATED at the gate (limit t+1), so it
+                # must not size the loop's shuffle partitions — pass no
+                # hint and let the fallback count the persisted quotient
+                # (one cheap job) instead of underpartitioning (r7
+                # ADVICE)
+                n_edges_hint=None,
             ).select(
                 F.col("node").alias("g_root"),
                 F.col("component").alias("g_final"),

@@ -222,6 +222,7 @@ def rp_lsh_ingest(
     planes,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_replays: bool = False,
 ) -> DataFrame:
     """Append a NEW batch of vectors into an existing signature store at
     O(batch) cost — the ANN twin of ``operators/dedup.py::
@@ -233,9 +234,93 @@ def rp_lsh_ingest(
     rebuild over corpus ∪ batch (asserted by the
     ``ann_incremental_ingest`` oracle query and tests).  At 100 TB the
     union is a partition append into the (table, sig)-bucketed store
-    (tools/ab_ann.py --ingest measures the flat cost)."""
+    (tools/ab_ann.py --ingest measures the flat cost).
+
+    INPUT CONTRACT (r7 ADVICE): the default path assumes EXACTLY-ONCE
+    batch delivery — a re-delivered batch would duplicate its signature
+    rows and break the ingest==rebuild row identity.  Callers on an
+    at-least-once bus pass ``dedup_replays=True``: already-present batch
+    ids are detected with one broadcast semi probe of the index (the
+    batch's id set broadcasts — never an index-sized shuffle) and their
+    rows are dropped before the union, making ingest idempotent."""
     new_sigs = rp_lsh_signatures(new_vectors, planes, id_col, vec_col)
+    if dedup_replays:
+        present = (
+            index_sigs.join(
+                F.broadcast(new_vectors.select(id_col).distinct()),
+                id_col,
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+        new_sigs = new_sigs.join(F.broadcast(present), id_col, "left_anti")
     return index_sigs.unionByName(new_sigs)
+
+
+def compact_ann_store(
+    spark, store_path: str, delta_path: str, n_bucket_files: int = 256
+) -> int:
+    """Fold the LSM-style ingest delta files into the (table, sig)-
+    bucketed signature store — the maintenance twin of
+    ``streaming/corpus.py::compact_ingest_index`` (r7 VERDICT ask #3):
+    without it an ANN service's read amplification grows by one delta
+    scan per ingested batch forever.
+
+    TOUCHED BUCKETS ONLY: the delta's distinct (table, sig) pairs (a
+    delta-sized driver list) prune the store read to just those bucket
+    partitions; each touched bucket is rewritten as merged rows via a
+    tmp-dir write and per-bucket directory swap, and buckets the delta
+    never touched are neither read nor written — the fold costs
+    O(delta + touched buckets), not O(store).  New (table, sig) pairs
+    appearing only in the delta become new bucket dirs.  Run on a
+    quiescent store (no concurrent queries/ingests — same single-writer
+    discipline as the dedup-index compaction; a query racing the swap
+    could briefly miss a bucket).
+
+    Crash-idempotent: the merge full-row-dedups before writing (the
+    store's invariant is one row per (id, table) — ``dedup_replays``
+    exists to preserve it), so re-running after a crash at ANY point —
+    mid-swap, or between the swap loop and the delta delete — collapses
+    already-folded rows instead of doubling them; the delta dir is
+    deleted last.  Returns the merged row count of the touched
+    buckets."""
+    import os
+    import shutil
+
+    delta = spark.read.parquet(delta_path)
+    touched = [
+        (int(r["table"]), int(r["sig"]))
+        for r in delta.select("table", "sig").distinct().collect()
+    ]
+    if not touched:  # empty delta: nothing to fold
+        shutil.rmtree(delta_path)
+        return 0
+    by_table: dict[int, list[int]] = {}
+    for t, s in touched:
+        by_table.setdefault(t, []).append(s)
+    cond = None
+    for t, sigs in by_table.items():
+        leg = (F.col("table") == t) & F.col("sig").isin(sigs)
+        cond = leg if cond is None else (cond | leg)
+    store = spark.read.parquet(store_path)
+    merged = store.filter(cond).unionByName(delta).dropDuplicates()
+    tmp = store_path + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.repartition(n_bucket_files, "table", "sig").write.mode(
+        "overwrite"
+    ).partitionBy("table", "sig").parquet(tmp)
+    n = int(spark.read.parquet(tmp).count())
+    for t, s in touched:
+        src = os.path.join(tmp, f"table={t}", f"sig={s}")
+        dst = os.path.join(store_path, f"table={t}", f"sig={s}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(delta_path)
+    return n
 
 
 def kmeans_fit_assign(
