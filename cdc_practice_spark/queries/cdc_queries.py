@@ -775,6 +775,108 @@ def cdc_schema_evolution_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_schema_evolution_rename",
+    oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS t FROM events),
+feed AS (
+  SELECT event_id AS kafka_offset,
+         user_id AS original_id,
+         value,
+         event_id > (SELECT t FROM t) AND value IS NOT NULL AS from_renamed,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+           AS __deleted
+  FROM events
+),
+typed AS (
+  SELECT *,
+         CASE WHEN __deleted = 'true' THEN 'DELETE'
+              WHEN lag(__deleted) OVER w IS NULL
+                OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
+              ELSE 'UPDATE' END AS change_type
+  FROM feed
+  WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
+)
+SELECT original_id, kafka_offset, value AS balance, from_renamed, change_type
+FROM typed
+""",
+)
+def cdc_schema_evolution_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed schema evolution, RENAME direction (r8 — completes the
+    ADD/DROP/RENAME triple, VERDICT r7 ask #5): the upstream table
+    renames ``account`` → ``balance`` at the feed's midpoint, so wire
+    events after offset T carry the NEW field name and the topic prefix
+    still carries the old one (to_json drops nulls — byte-for-byte the
+    mixed-vintage binlog topic Debezium's schema-history implies).  The
+    engine maps old → new instead of re-reading either vintage
+    (schemas.rename_columns: retire(old) + add(new, same type) + linking
+    metadata): ONE from_json StructType parses both vintages, the reader
+    unifies with coalesce(new, old) per schemas.renamed_pairs, and the
+    unified column is VALUE-CONTINUOUS per key across the boundary —
+    change-type dispatch (a lag window spanning the rename point) is
+    untouched.  The full unified history is hash-checked against a
+    DuckDB recomputation straight from ``events``: a parse path that
+    loses either vintage, unifies in the wrong direction, or breaks the
+    per-key window across the DDL fails the hash.
+
+    Plan: one projection + one window over a single key exchange —
+    rename is schema-on-read metadata, zero rewrite cost at any scale."""
+    from cdc_practice_spark.cdc.history import with_change_type
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.schemas import (
+        CHANGE_EVENT_SCHEMA,
+        rename_columns,
+        renamed_pairs,
+    )
+    from cdc_practice_spark.sources.kafka import parse_debezium
+
+    ev = load_table(spark, sf_dir, "events")
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+    wire = ev.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("user_id").alias("user_id"),
+                # the RENAME: pre-T events write `account`, post-T
+                # events write `balance` — never both
+                F.when(F.col("event_id") <= t, F.col("value").cast("string"))
+                .alias("account"),
+                F.when(F.col("event_id") > t, F.col("value").cast("string"))
+                .alias("balance"),
+                F.col("ts").cast("string").alias("registered_at"),
+                F.when(F.col("event_type") == "error", "true")
+                .otherwise("false")
+                .alias("__deleted"),
+            )
+        ).alias("value"),
+    )
+    schema = rename_columns(CHANGE_EVENT_SCHEMA, {"account": "balance"})
+    parsed = parse_debezium(wire, schema=schema)
+    # reader-side unification straight from the schema's rename metadata
+    # — no query-side knowledge of which columns were renamed
+    ((new, old),) = renamed_pairs(schema)
+    feed = parsed.select(
+        "kafka_offset",
+        F.col("id").alias("original_id"),
+        F.coalesce(F.col(new), F.col(old)).cast("double").alias("balance"),
+        F.col(new).isNotNull().alias("from_renamed"),
+        "__deleted",
+    )
+    return with_change_type(feed).select(
+        "original_id",
+        "kafka_offset",
+        "balance",
+        "from_renamed",
+        "change_type",
+    )
+
+
 # SCD2 oracle CTE: versions with half-open [valid_from, valid_to) bounds —
 # mirrors cdc/scd2.py::build_scd2 (one lead() over the feed's key/offset sort).
 SCD2_CTE = """

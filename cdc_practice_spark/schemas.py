@@ -116,3 +116,61 @@ def retire_columns(base: StructType, names: list[str]) -> StructType:
             for f in base.fields
         ]
     )
+
+
+def rename_columns(base: StructType, renames: dict[str, str]) -> StructType:
+    """The RENAME direction of schema evolution (r8 — completes the
+    ADD/DROP/RENAME triple): the upstream table renames a column
+    mid-feed, so Debezium emits the NEW field name after the DDL and the
+    topic's prefix still carries the OLD one.  A rename is modeled as
+    retire(old) + add(new with the SAME type) + metadata linking the two
+    (``renamed_to`` / ``renamed_from``), so ONE ``from_json`` StructType
+    parses both vintages — pre-DDL rows fill the old field (new is
+    null), post-DDL rows fill the new field (old is null) — and readers
+    unify with ``coalesce(new, old)`` per ``renamed_pairs``, preserving
+    per-key value continuity across the boundary (carry windows and
+    snapshots never see a gap).
+
+    Raises when the old name is unknown, the new name already exists, or
+    old == new — each is a config error, not an evolution."""
+    existing = {f.name for f in base.fields}
+    for old, new in renames.items():
+        if old not in existing:
+            raise ValueError(
+                f"rename_columns: unknown column {old!r} — cannot rename "
+                f"a column that was never part of the schema"
+            )
+        if new in existing or old == new:
+            raise ValueError(
+                f"rename_columns: target name {new!r} collides with an "
+                f"existing column — that is a migration, not an evolution"
+            )
+    by_old = dict(renames)
+    fields = [
+        StructField(
+            f.name,
+            f.dataType,
+            f.nullable,
+            {**(f.metadata or {}), "retired": True, "renamed_to": by_old[f.name]}
+            if f.name in by_old
+            else f.metadata,
+        )
+        for f in base.fields
+    ]
+    type_of = {f.name: (f.dataType, f.nullable) for f in base.fields}
+    fields += [
+        StructField(new, *type_of[old], {"renamed_from": old})
+        for old, new in renames.items()
+    ]
+    return StructType(fields)
+
+
+def renamed_pairs(schema: StructType) -> list[tuple[str, str]]:
+    """(new, old) pairs recorded by ``rename_columns`` — the reader-side
+    unification map: project ``coalesce(new, old) AS new`` and drop
+    ``old``."""
+    return [
+        (f.name, f.metadata["renamed_from"])
+        for f in schema.fields
+        if f.metadata and "renamed_from" in f.metadata
+    ]

@@ -175,3 +175,63 @@ def test_schema_drop_null_fills_post_ddl_and_carries(spark, sf_dir):
         if r.original_id in post_drop_keys and r.value_carried is not None
     ]
     assert carried_alive, "carry-forward across the drop never exercised"
+
+
+def test_rename_columns_links_and_validates():
+    """rename_columns (r8) tags the old field retired+renamed_to, appends
+    the new field with the SAME type and a renamed_from backlink, and
+    rejects unknown/colliding/no-op renames."""
+    from cdc_practice_spark.schemas import rename_columns, renamed_pairs
+
+    s = rename_columns(CHANGE_EVENT_SCHEMA, {"account": "balance"})
+    names = [f.name for f in s.fields]
+    assert names == [f.name for f in CHANGE_EVENT_SCHEMA.fields] + ["balance"]
+    old = next(f for f in s.fields if f.name == "account")
+    new = next(f for f in s.fields if f.name == "balance")
+    assert old.metadata.get("retired") and old.metadata["renamed_to"] == "balance"
+    assert new.metadata["renamed_from"] == "account"
+    assert new.dataType == old.dataType
+    assert renamed_pairs(s) == [("balance", "account")]
+    with pytest.raises(ValueError, match="never part"):
+        rename_columns(CHANGE_EVENT_SCHEMA, {"nope": "x"})
+    with pytest.raises(ValueError, match="collides"):
+        rename_columns(CHANGE_EVENT_SCHEMA, {"account": "user_id"})
+    with pytest.raises(ValueError, match="collides"):
+        rename_columns(CHANGE_EVENT_SCHEMA, {"account": "account"})
+
+
+def test_schema_rename_unifies_both_vintages(spark):
+    """One renamed StructType parses a mixed-vintage wire: pre-DDL rows
+    fill the old field, post-DDL rows the new one, and coalesce(new, old)
+    is value-continuous — no nulls across the boundary."""
+    from cdc_practice_spark.schemas import rename_columns, renamed_pairs
+
+    rows = [
+        # (offset, json) — offsets 1-2 pre-DDL (`account`), 3-4 post
+        (1, '{"id": 7, "user_id": 7, "account": "10.5", "__deleted": "false"}'),
+        (2, '{"id": 7, "user_id": 7, "account": "11.5", "__deleted": "false"}'),
+        (3, '{"id": 7, "user_id": 7, "balance": "12.5", "__deleted": "false"}'),
+        (4, '{"id": 7, "user_id": 7, "balance": "13.5", "__deleted": "true"}'),
+    ]
+    wire = spark.createDataFrame(rows, ["offset", "value"]).select(
+        F.lit("t").alias("topic"), F.lit(0).alias("partition"), "offset", "value"
+    )
+    schema = rename_columns(CHANGE_EVENT_SCHEMA, {"account": "balance"})
+    parsed = parse_debezium(wire, schema=schema)
+    ((new, old),) = renamed_pairs(schema)
+    got = {
+        r["kafka_offset"]: (
+            r[old],
+            r[new],
+            float(r["unified"]) if r["unified"] is not None else None,
+        )
+        for r in parsed.withColumn(
+            "unified", F.coalesce(F.col(new), F.col(old)).cast("double")
+        ).collect()
+    }
+    assert got == {
+        1: ("10.5", None, 10.5),
+        2: ("11.5", None, 11.5),
+        3: (None, "12.5", 12.5),
+        4: (None, "13.5", 13.5),
+    }
