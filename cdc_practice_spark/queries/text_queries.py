@@ -9,7 +9,7 @@ md5-derived hashing, identical regexes, identical fold order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_practice_spark.functions import text as T
@@ -1207,6 +1207,303 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.length("w")).cast("long").alias("n_chars"),
         F.sum(n_toks).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training (r8 — VERDICT r7 ask
+# #9, the BPE sibling).  Kudo 2018's algorithm, hard-EM form:
+#   seed: every single character + the top-M multi-char substrings (length
+#         2..K) of the word vocabulary, weighted by word frequency;
+#   E-step: per word, the VITERBI (min total cost) segmentation under the
+#         current piece costs — cost(p) = round(-ln(count_p / total)·1e6),
+#         an integer fixed-point NLL;
+#   M-step: re-count pieces over the Viterbi segmentations, recompute costs.
+#
+# Viterbi is a DP, not a greedy merge, so the BPE double-space replace trick
+# cannot express it; instead the DP rides ONE higher-order fold per word:
+# dp[i] = min over k≤K of dp[i−k] + cost(word[i−k+1..i]), with each dp entry
+# PACKED as cost·8 + k (one int64 — the min over packed values IS the
+# tie-break: lower cost, then shorter piece).  A second fold walks the
+# backpointers out of the packed entries.  Both folds are pure engine
+# expressions with integer arithmetic, bit-identical in Spark and DuckDB
+# (the oracle uses list_reduce with a prepended init element).
+#
+# Scale shape (same as BPE): the corpus is touched ONCE (word count); every
+# EM iteration runs on the persisted word VOCABULARY, and only the piece
+# cost table (≤ 26 + M rows — index metadata, not data) reaches the driver
+# per iteration.
+# ---------------------------------------------------------------------------
+
+_ULM_K = 4  # max piece length
+_ULM_SEED_MULTI = 50  # multi-char seed pieces kept (top by weighted count)
+_ULM_ITERS = 2  # EM iterations
+_ULM_INF = 1 << 40  # missing-piece cost (packed ·64 stays int64-safe)
+
+_ULM_WORDS_SQL = """
+words AS MATERIALIZED (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+  WHERE regexp_matches(t, '^[a-z]+$')
+  GROUP BY t
+)"""
+
+_ULM_SEED_SQL = f"""
+subs AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq,
+           unnest(flatten(list_transform(range(1, len(w) + 1),
+             i -> list_transform(range(1, least({_ULM_K}, len(w) - i + 1) + 1),
+               k -> substring(w, CAST(i AS INTEGER), CAST(k AS INTEGER))))))
+             AS piece
+    FROM words)
+  GROUP BY piece
+),
+seed AS MATERIALIZED (
+  SELECT piece, c FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM subs WHERE length(piece) > 1
+    ORDER BY c DESC, piece LIMIT {_ULM_SEED_MULTI})
+),
+tot0 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM seed),
+costs0 AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(-ln(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS cost
+  FROM seed, tot0
+)"""
+
+
+def _ulm_iter_sql(i: int) -> str:
+    """One EM iteration: Viterbi DP + backpointer walk under costs{i},
+    then re-count and re-cost into costs{i+1}.
+
+    DuckDB-safety note (debugged r8): ``list_reduce`` lambdas that
+    reference outer columns (the word, the dp array, the cost map) read
+    ANOTHER row's value under vectorized evaluation on some plans —
+    observed as run-to-run flaky segmentations where a word
+    reconstructed pieces of a different word.  So the oracle's DP and
+    backpointer walk are LAMBDA-FREE: both are recursive CTEs (the same
+    construct the e2e pipeline's packed CTE relies on), with the piece
+    costs joined relationally per candidate length — pure expressions,
+    no higher-order functions on the sequential path."""
+    j = i + 1
+    inf, infp = _ULM_INF, _ULM_INF * 64
+    # candidate k at new position i = pos + 1: dp[i - k] lives at list
+    # index pos + 2 - k; the piece cost arrives via LEFT JOIN c{k}
+    dp_cand = ", ".join(
+        f"""CASE WHEN pos + 1 >= {k}
+           THEN ((dp[CAST(pos + 2 - {k} AS INTEGER)] // 8)
+                 + coalesce(c{k}.cost, CAST({inf} AS BIGINT))) * 8 + {k}
+           ELSE CAST({infp} AS BIGINT) END"""
+        for k in range(1, _ULM_K + 1)
+    )
+    cost_joins = "\n  ".join(
+        f"LEFT JOIN costs{i} c{k} ON pos + 1 >= {k} AND "
+        f"c{k}.piece = substring(w, CAST(pos + 2 - {k} AS INTEGER), {k})"
+        for k in range(1, _ULM_K + 1)
+    )
+    return f"""
+dpr{i}(w, freq, pos, dp) AS (
+  SELECT w, freq, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)] FROM words
+  UNION ALL
+  SELECT w, freq, pos + 1, dp || [least({dp_cand})]
+  FROM dpr{i}
+  {cost_joins}
+  WHERE pos < len(w)
+),
+dpf{i} AS MATERIALIZED (
+  SELECT w, freq, dp FROM dpr{i} WHERE pos = len(w)
+),
+wk{i}(w, freq, pos, piece) AS (
+  SELECT w, freq, CAST(len(w) AS BIGINT), CAST(NULL AS VARCHAR) FROM dpf{i}
+  UNION ALL
+  SELECT k.w, k.freq,
+         k.pos - d.dp[CAST(k.pos + 1 AS INTEGER)] % 8,
+         substring(k.w,
+                   CAST(k.pos - d.dp[CAST(k.pos + 1 AS INTEGER)] % 8 + 1
+                        AS INTEGER),
+                   CAST(d.dp[CAST(k.pos + 1 AS INTEGER)] % 8 AS INTEGER))
+  FROM wk{i} k JOIN dpf{i} d ON k.w = d.w
+  WHERE k.pos > 0
+),
+cnt{j} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+  FROM wk{i} WHERE piece IS NOT NULL
+  GROUP BY piece
+),
+tot{j} AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt{j}),
+costs{j} AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(-ln(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS cost
+  FROM cnt{j}, tot{j}
+)"""
+
+
+def _ulm_cost_expr(c: Column, t: Column) -> Column:
+    """round(-ln(c/t)·1e6) as BIGINT — the ORACLE-PAIRED fixed-point NLL
+    (collected costs are re-used as next-iteration literals, so they must
+    be computed in-engine with this exact expression — never re-derived
+    in Python floats)."""
+    return (
+        F.round(-F.log(c.cast("double") / t.cast("double")) * 1000000, 0)
+        .cast("long")
+    )
+
+
+def _unigram_viterbi_pieces(costs: dict[str, int]) -> Column:
+    """Viterbi pieces of column ``w`` under a frozen cost map — two
+    engine folds (see the section comment): the packed-int64 DP, then
+    the backpointer walk.  Pure codegen-able expressions, no UDF."""
+    m = F.create_map(
+        *[F.lit(x) for p in sorted(costs) for x in (p, costs[p])]
+    )
+    inf = F.lit(_ULM_INF).cast("long")
+
+    def cand(acc, i, k):
+        piece = F.col("w").substr(i - F.lit(k) + 1, F.lit(k))
+        pc = F.coalesce(F.try_element_at(m, piece), inf)
+        prev = F.shiftright(
+            F.element_at(acc, (i - F.lit(k) + 1).cast("int")), 3
+        )
+        return F.when(i >= k, (prev + pc) * 8 + k).otherwise(
+            F.lit(_ULM_INF * 64).cast("long")
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(
+            acc,
+            F.array(
+                F.least(*[cand(acc, i, k) for k in range(1, _ULM_K + 1)])
+            ),
+        ),
+    )
+
+    def walk(dp_col):
+        def step(acc, _):
+            k = F.element_at(dp_col, (acc["pos"] + 1).cast("int")) % 8
+            piece = F.col("w").substr(
+                (acc["pos"] - k + 1).cast("int"), k.cast("int")
+            )
+            return F.when(
+                acc["pos"] > 0,
+                F.struct(
+                    (acc["pos"] - k).alias("pos"),
+                    F.concat(acc["ps"], F.array(piece)).alias("ps"),
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length("w")),
+            F.struct(
+                F.length("w").cast("long").alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            step,
+        )["ps"]
+
+    # dp rides as a materialized column so the walk doesn't recompute it
+    return dp, walk
+
+
+def _unigram_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the hard-EM loop and return the final [(piece, count, cost)]
+    sorted by piece.  Memoized per corpus (the BM25-stats pattern): a
+    tokenizer is trained once and applied many times."""
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    cache_key = ("unigram_lm", sf_dir)
+    if cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    words = tracked_persist(
+        docs.select(word)
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # seed: all substrings of length 1..K, weighted by word frequency
+    L = F.length("w")
+    subs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(_ULM_K), L - i + 1)),
+                lambda k: F.col("w").substr(i, k),
+            ),
+        )
+    )
+    subs = tracked_persist(
+        words.select("freq", F.explode(subs_arr).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(_ULM_SEED_MULTI)
+    )
+    seed = chars.unionByName(multi)
+    tot = seed.agg(F.sum("c").alias("t"))
+    costs = {
+        r["piece"]: int(r["cost"])
+        for r in seed.crossJoin(F.broadcast(tot))
+        .select("piece", _ulm_cost_expr(F.col("c"), F.col("t")).alias("cost"))
+        .collect()
+    }
+    final_rows: list[tuple] = []
+    for _ in range(_ULM_ITERS):
+        dp, walk = _unigram_viterbi_pieces(costs)
+        seg = words.withColumn("dp", dp).select(
+            "freq", F.explode(walk(F.col("dp"))).alias("piece")
+        )
+        cnt = seg.groupBy("piece").agg(F.sum("freq").alias("c"))
+        tot = cnt.agg(F.sum("c").alias("t"))
+        rows = (
+            cnt.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                F.col("c").cast("long").alias("c"),
+                _ulm_cost_expr(F.col("c"), F.col("t")).alias("cost"),
+            )
+            .collect()
+        )
+        costs = {r["piece"]: int(r["cost"]) for r in rows}
+        final_rows = sorted(
+            (r["piece"], int(r["c"]), int(r["cost"])) for r in rows
+        )
+    _STATS_CACHE[cache_key] = final_rows
+    return final_rows
+
+
+@register(
+    "unigram_lm_train",
+    oracle="WITH RECURSIVE "
+    + _ULM_WORDS_SQL
+    + ","
+    + _ULM_SEED_SQL
+    + ","
+    + ",".join(_ulm_iter_sql(i) for i in range(_ULM_ITERS))
+    + f"""
+SELECT piece, c AS count, cost FROM costs{_ULM_ITERS} ORDER BY piece
+""",
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training — see the
+    section comment above for the algorithm and the packed-int64 Viterbi
+    encoding.  Output: the trained vocabulary after the hard-EM
+    iterations — (piece, Viterbi-weighted count, fixed-point NLL cost) —
+    hash-checked against DuckDB's independent recomputation of the seed,
+    both DP folds, and both cost updates.  Evidence bar matches BPE: an
+    independent pure-Python trainer test (tests/test_text.py) checks the
+    same output on a controlled corpus."""
+    return spark.createDataFrame(
+        _unigram_train(spark, sf_dir), "piece string, count long, cost long"
     )
 
 

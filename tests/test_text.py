@@ -299,3 +299,90 @@ def test_dsir_importance_ranks_target_like_docs(spark, tmp_path):
     assert got == expect
     # the en-vocabulary doc outranks the de-vocabulary doc
     assert got[2] > got[3]
+
+
+def test_unigram_lm_matches_pure_python_reference(spark, tmp_path):
+    """unigram_lm_train (queries/text_queries.py) vs a from-scratch
+    hard-EM unigram-LM trainer on a handcrafted corpus — substring
+    seeding, fixed-point NLL costs, packed-int64 Viterbi with the
+    (lower cost, shorter last piece) tiebreak, and per-iteration
+    re-costing.  Validates the two engine folds against an
+    implementation that shares none of their machinery."""
+    import collections
+    import math
+
+    from cdc_practice_spark.queries.text_queries import (
+        _ULM_ITERS,
+        _ULM_K,
+        _ULM_SEED_MULTI,
+        unigram_lm_train,
+    )
+
+    texts = [
+        "the cats sat on the mats",
+        "the rats saw the cats",
+        "inter intern internal international nation",
+        "nation national nations the inter",
+    ]
+    words = collections.Counter(
+        w for t in texts for w in t.lower().split() if w.isalpha()
+    )
+
+    def halfup(x):  # engine ROUND: half away from zero (costs are >= 0)
+        return int(math.floor(x + 0.5))
+
+    subcnt: collections.Counter = collections.Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for k in range(1, min(_ULM_K, len(w) - i) + 1):
+                subcnt[w[i : i + k]] += f
+    seed = {p: c for p, c in subcnt.items() if len(p) == 1}
+    seed.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in subcnt.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:_ULM_SEED_MULTI]
+        )
+    )
+    total = sum(seed.values())
+    costs = {p: halfup(-math.log(c / total) * 1e6) for p, c in seed.items()}
+    INF = 1 << 40
+
+    def viterbi(w):
+        dp = [0]
+        for i in range(1, len(w) + 1):
+            dp.append(
+                min(
+                    ((dp[i - k] >> 3) + costs.get(w[i - k : i], INF)) * 8 + k
+                    for k in range(1, min(_ULM_K, i) + 1)
+                )
+            )
+        pieces, pos = [], len(w)
+        while pos > 0:
+            k = dp[pos] % 8
+            pieces.append(w[pos - k : pos])
+            pos -= k
+        return pieces
+
+    cnt: collections.Counter = collections.Counter()
+    for _ in range(_ULM_ITERS):
+        cnt = collections.Counter()
+        for w, f in words.items():
+            for p in viterbi(w):
+                cnt[p] += f
+        total = sum(cnt.values())
+        costs = {p: halfup(-math.log(c / total) * 1e6) for p, c in cnt.items()}
+    expect = sorted((p, c, costs[p]) for p, c in cnt.items())
+
+    sf_dir = _stage_documents(
+        spark, tmp_path, [(i, t, "en", "unit") for i, t in enumerate(texts)]
+    )
+    got = [
+        (r["piece"], r["count"], r["cost"])
+        for r in unigram_lm_train(spark, sf_dir).orderBy("piece").collect()
+    ]
+    assert got == expect
+    # the trained vocab must actually use multi-char pieces (EM is
+    # load-bearing, not a char fallback)
+    assert any(len(p) > 1 for p, _, _ in got)
