@@ -259,7 +259,11 @@ def rp_lsh_ingest(
 
 
 def compact_ann_store(
-    spark, store_path: str, delta_path: str, n_bucket_files: int = 256
+    spark,
+    store_path: str,
+    delta_path: str,
+    n_bucket_files: int = 256,
+    full_rewrite_frac: float = 0.3,
 ) -> int:
     """Fold the LSM-style ingest delta files into the (table, sig)-
     bucketed signature store — the maintenance twin of
@@ -267,26 +271,44 @@ def compact_ann_store(
     without it an ANN service's read amplification grows by one delta
     scan per ingested batch forever.
 
-    TOUCHED BUCKETS ONLY: the delta's distinct (table, sig) pairs (a
-    delta-sized driver list) prune the store read to just those bucket
-    partitions; each touched bucket is rewritten as merged rows via a
-    tmp-dir write and per-bucket directory swap, and buckets the delta
-    never touched are neither read nor written — the fold costs
-    O(delta + touched buckets), not O(store).  New (table, sig) pairs
-    appearing only in the delta become new bucket dirs.  Run on a
-    quiescent store (no concurrent queries/ingests — same single-writer
-    discipline as the dedup-index compaction; a query racing the swap
-    could briefly miss a bucket).
+    Two fold tiers, picked by the delta's bucket spread (measured in
+    tools/ab_ann.py --ingest):
 
-    Crash-idempotent: the merge full-row-dedups before writing (the
+    - TOUCHED BUCKETS ONLY (spread ≤ ``full_rewrite_frac`` of the
+      store's buckets — clustered or small batches, the shape real
+      embedding traffic has): the delta's distinct (table, sig) pairs
+      (a delta-sized driver list) prune the store read to just those
+      bucket partitions; each touched bucket is rewritten via a tmp-dir
+      write and per-bucket directory swap, untouched buckets are
+      neither read nor written — O(delta + touched buckets), not
+      O(store).
+    - FULL REWRITE (spread above the threshold — a uniform batch over
+      few-thousand-bucket stores spreads across ~all of them, where
+      per-bucket swapping degenerates to a store rewrite PLUS one
+      filesystem swap per bucket — measured 161 s of mostly swap-loop
+      overhead): store ∪ delta is rewritten once and the WHOLE store
+      directory is swapped in two renames.
+
+    Run on a quiescent store (no concurrent queries/ingests — same
+    single-writer discipline as the dedup-index compaction; a query
+    racing the swap could briefly miss a bucket or the store).
+
+    Crash-idempotent: both tiers full-row-dedup before writing (the
     store's invariant is one row per (id, table) — ``dedup_replays``
-    exists to preserve it), so re-running after a crash at ANY point —
-    mid-swap, or between the swap loop and the delta delete — collapses
-    already-folded rows instead of doubling them; the delta dir is
-    deleted last.  Returns the merged row count of the touched
-    buckets."""
+    exists to preserve it), so re-running after a crash collapses
+    already-folded rows instead of doubling them; the full tier's
+    between-renames window (store temporarily absent, ``.old`` present)
+    self-heals at the next call; the delta dir is deleted last.
+    Returns the merged row count of the rewritten buckets."""
     import os
     import shutil
+
+    # self-heal a crash between the full-tier's two renames: the store
+    # dir is missing but its .old twin exists — restore and continue
+    old = store_path + ".old"
+    if not os.path.isdir(store_path) and os.path.isdir(old):
+        os.rename(old, store_path)
+    shutil.rmtree(old, ignore_errors=True)
 
     delta = spark.read.parquet(delta_path)
     touched = [
@@ -296,24 +318,49 @@ def compact_ann_store(
     if not touched:  # empty delta: nothing to fold
         shutil.rmtree(delta_path)
         return 0
+    existing = [
+        (int(t.split("=")[1]), int(s.split("=")[1]))
+        for t in os.listdir(store_path)
+        if t.startswith("table=")
+        for s in os.listdir(os.path.join(store_path, t))
+        if s.startswith("sig=")
+    ]
+    spread = len(set(touched) & set(existing)) / max(len(existing), 1)
+    store = spark.read.parquet(store_path)
+    tmp = store_path + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if spread > full_rewrite_frac:
+        # full tier: one rewrite, ONE directory swap (not one per
+        # bucket — the per-bucket loop at ~16k buckets is pure
+        # filesystem overhead when nearly everything is touched)
+        merged = store.unionByName(delta).dropDuplicates()
+        merged.repartition(n_bucket_files, "table", "sig").write.mode(
+            "overwrite"
+        ).partitionBy("table", "sig").parquet(tmp)
+        n = int(spark.read.parquet(tmp).count())
+        os.rename(store_path, old)
+        os.rename(tmp, store_path)
+        shutil.rmtree(old)
+        shutil.rmtree(delta_path)
+        return n
+    rewrite = sorted(set(touched))
     by_table: dict[int, list[int]] = {}
-    for t, s in touched:
+    for t, s in rewrite:
         by_table.setdefault(t, []).append(s)
     cond = None
     for t, sigs in by_table.items():
         leg = (F.col("table") == t) & F.col("sig").isin(sigs)
         cond = leg if cond is None else (cond | leg)
-    store = spark.read.parquet(store_path)
     merged = store.filter(cond).unionByName(delta).dropDuplicates()
-    tmp = store_path + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
     merged.repartition(n_bucket_files, "table", "sig").write.mode(
         "overwrite"
     ).partitionBy("table", "sig").parquet(tmp)
     n = int(spark.read.parquet(tmp).count())
-    for t, s in touched:
+    for t, s in rewrite:
         src = os.path.join(tmp, f"table={t}", f"sig={s}")
         dst = os.path.join(store_path, f"table={t}", f"sig={s}")
+        if not os.path.isdir(src):
+            continue  # dedup emptied the bucket (degenerate input)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         if os.path.isdir(dst):
             shutil.rmtree(dst)

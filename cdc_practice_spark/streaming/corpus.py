@@ -10,9 +10,19 @@ per-epoch overwrite-idempotent delta dirs, atomic manifest swap):
     survivors joining the LSH index later batches dedup against;
   - ``disp_delta_v{k}`` — the epoch's per-doc dispositions + bin
     assignments (the ingest audit log);
+  - ``funnel_delta_v{k}`` (r8) — the epoch's six-way disposition
+    histogram (epoch, stage, n): the observability row an operator
+    watches for quality drift; summed over epochs it equals the batch
+    funnel;
   - ``pack_state_v{k}`` — per-source (bin_id, bin_fill) END state, so
     greedy packing CONTINUES across micro-batches: id-ordered chunked
     packing is bit-identical to packing the whole stream at once.
+
+``k`` here is the STORE epoch id: checkpoint epoch ids are offset past
+the store's committed epochs per run (``_epoch_offset``), and replay
+pins are keyed by a run token persisted inside the checkpoint dir
+(``_run_token``) — together these make a fresh or wiped-and-reused
+checkpoint against an existing store safe (r8).
 
 Because the index accretes every batch's quality survivors and chunks
 arrive in id order, the union of streamed dispositions is EXACTLY the

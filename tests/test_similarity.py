@@ -364,7 +364,10 @@ def test_compact_ann_store_preserves_queries_and_bounds_reads(emb, spark, tmp_pa
         os.path.join(store_path, f"table={t0}", f"sig={s0}")
     )
 
-    n = S.compact_ann_store(spark, store_path, delta_path, n_bucket_files=8)
+    # pin the TOUCHED-BUCKETS tier (frac > 1 disables the full tier)
+    n = S.compact_ann_store(
+        spark, store_path, delta_path, n_bucket_files=8, full_rewrite_frac=1.1
+    )
     assert n > 0
     assert not os.path.isdir(delta_path), "delta must be deleted"
     after = read_all()
@@ -373,6 +376,56 @@ def test_compact_ann_store_preserves_queries_and_bounds_reads(emb, spark, tmp_pa
     for p, mtime in untouched_before.items():
         assert os.path.isdir(p)
         assert os.stat(p).st_mtime_ns == mtime, f"untouched bucket rewritten: {p}"
+
+
+def test_compact_ann_store_full_tier_preserves_rows(emb, spark, tmp_path):
+    """The full-rewrite tier (wide bucket spread): one whole-store swap,
+    row set identical, delta gone, and the self-heal path restores a
+    store stranded between the two renames."""
+    import os
+    import shutil
+
+    planes = S.rp_lsh_planes(64, 8, 4, seed=7)
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    store_path = str(tmp_path / "store")
+    delta_path = str(tmp_path / "delta")
+    S.rp_lsh_signatures(corpus, planes).repartition(
+        8, "table", "sig"
+    ).write.partitionBy("table", "sig").parquet(store_path)
+    S.rp_lsh_signatures(batch, planes).coalesce(1).write.parquet(delta_path)
+    before = sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in spark.read.parquet(store_path)
+        .unionByName(spark.read.parquet(delta_path))
+        .collect()
+    )
+    # force the full tier
+    n = S.compact_ann_store(
+        spark, store_path, delta_path, n_bucket_files=8, full_rewrite_frac=0.0
+    )
+    assert n == len(before)
+    assert not os.path.isdir(delta_path)
+    assert not os.path.isdir(store_path + ".old")
+    after = sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in spark.read.parquet(store_path).collect()
+    )
+    assert after == before
+    # simulate the between-renames crash window: store renamed away
+    os.rename(store_path, store_path + ".old")
+    spark.createDataFrame(
+        [(999999, 0, 1)], "vec_id long, table int, sig long"
+    ).coalesce(1).write.parquet(delta_path)
+    n2 = S.compact_ann_store(
+        spark, store_path, delta_path, n_bucket_files=8, full_rewrite_frac=1.1
+    )
+    assert n2 >= 1
+    healed = sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in spark.read.parquet(store_path).collect()
+    )
+    assert set(before) < set(healed), "self-heal must restore the store"
 
 
 def test_rp_lsh_ingest_dedup_replays_is_idempotent(emb, spark):

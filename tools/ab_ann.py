@@ -159,6 +159,22 @@ def main_ingest() -> None:
     files across 16k partition dirs; the delta file is the fix, and it
     is exactly ``rp_lsh_ingest``'s union semantics on disk.
 
+    The fold (r8): data is CLUSTERED like main()'s — the shape real
+    embedding traffic has — so a batch drawn from a few clusters
+    touches FEW buckets and compact_ann_store's touched-buckets tier
+    rewrites only those; a uniform batch spreads over ~every bucket and
+    the full-rewrite tier degenerates to one store rewrite.
+
+    Measured (local[32], 250k corpus, 10k batch, 16k-bucket store):
+      clustered batch: ingest 23 s, fold 71 s touching 92,550 bucket
+        rows (9% of the store — the touched-tier claim);
+      uniform batch:   ingest  6 s, fold = one store rewrite (~230 s,
+        dominated by the 16k tiny bucket files this LOCAL layout has;
+        at production bucket sizing the rewrite is row-group-sequential).
+    Amortization rule either way: fold every N batches with N sized so
+    the amortized fold stays under the ingest cost — reads meanwhile
+    pay one extra small delta scan per unfolded batch.
+
     Usage: python tools/ab_ann.py --ingest [corpus_sizes ...]
     """
     import numpy as np
@@ -172,8 +188,11 @@ def main_ingest() -> None:
     spark = get_spark("ab-ann-ingest")
     spark.sparkContext.setLogLevel("ERROR")
     planes = S.rp_lsh_planes(DIM, N_PLANES, N_TABLES)
+    centers_global = np.array(
+        [np.random.default_rng(c).standard_normal(DIM) for c in range(N_CLUSTERS)]
+    )
 
-    def mk(n, offset=0):
+    def mk(n, offset=0, n_clusters=N_CLUSTERS):
         def gen(batches):
             import pandas as pd
 
@@ -182,7 +201,9 @@ def main_ingest() -> None:
                     continue
                 ids = pdf["id"].to_numpy() + offset
                 rng = np.random.default_rng(2**32 + int(ids[0]))
-                vecs = rng.standard_normal((len(ids), DIM))
+                vecs = centers_global[
+                    ids % n_clusters
+                ] + 0.15 * rng.standard_normal((len(ids), DIM))
                 yield pd.DataFrame(
                     {
                         "vec_id": ids,
@@ -208,7 +229,8 @@ def main_ingest() -> None:
         ).write.mode("overwrite").partitionBy("table", "sig").parquet(store_path)
         t_build = time.perf_counter() - t0
 
-        batch = mk(batch_n, offset=n)
+        # clustered batch (8 clusters): the real-traffic fold shape
+        batch = mk(batch_n, offset=n, n_clusters=8)
         t0 = time.perf_counter()
         # the incremental path: hash ONLY the batch, one delta file
         S.rp_lsh_signatures(batch, planes).coalesce(1).write.mode(
@@ -219,9 +241,16 @@ def main_ingest() -> None:
             spark.read.parquet(store_path).count()
             + spark.read.parquet(delta_path).count()
         )
+        t0 = time.perf_counter()
+        n_merged = S.compact_ann_store(spark, store_path, delta_path)
+        t_fold = time.perf_counter() - t0
+        total_after = spark.read.parquet(store_path).count()
+        assert total_after == total, (total_after, total)
         print(
             f"corpus={n:>9,}  rebuild={t_build:6.1f}s  "
-            f"ingest({batch_n:,})={t_ingest:5.1f}s  store+delta_rows={total:,}",
+            f"ingest({batch_n:,})={t_ingest:5.1f}s  "
+            f"fold[clustered]={t_fold:5.1f}s ({n_merged:,} bucket rows "
+            f"touched)  store_rows={total:,}",
             flush=True,
         )
 
