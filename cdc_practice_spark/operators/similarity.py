@@ -318,13 +318,26 @@ def compact_ann_store(
     if not touched:  # empty delta: nothing to fold
         shutil.rmtree(delta_path)
         return 0
-    existing = [
-        (int(t.split("=")[1]), int(s.split("=")[1]))
-        for t in os.listdir(store_path)
-        if t.startswith("table=")
-        for s in os.listdir(os.path.join(store_path, t))
-        if s.startswith("sig=")
-    ]
+    existing = []
+    for t in os.listdir(store_path):
+        if not t.startswith("table="):
+            continue
+        for s in os.listdir(os.path.join(store_path, t)):
+            p = os.path.join(store_path, t, s)
+            if s.startswith("sig=") and s.endswith(".old"):
+                # self-heal the touched tier's per-bucket swap window:
+                # main dir missing ⇒ the crash hit between the rename
+                # and the replace — restore; main present ⇒ stale
+                twin = p[: -len(".old")]
+                if os.path.isdir(twin):
+                    shutil.rmtree(p)
+                else:
+                    os.rename(p, twin)
+                    s = s[: -len(".old")]
+            if s.startswith("sig=") and not s.endswith(".old"):
+                existing.append(
+                    (int(t.split("=")[1]), int(s.split("=")[1]))
+                )
     spread = len(set(touched) & set(existing)) / max(len(existing), 1)
     store = spark.read.parquet(store_path)
     tmp = store_path + ".compacting"
@@ -362,9 +375,15 @@ def compact_ann_store(
         if not os.path.isdir(src):
             continue  # dedup emptied the bucket (degenerate input)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
+        # rename-aside rather than delete-then-replace: a crash between
+        # the two steps leaves the bucket's only copy as .old, which the
+        # next call's listing walk restores (delete-then-replace would
+        # lose the bucket's pre-existing rows forever)
+        bucket_old = dst + ".old"
         if os.path.isdir(dst):
-            shutil.rmtree(dst)
+            os.rename(dst, bucket_old)
         os.replace(src, dst)
+        shutil.rmtree(bucket_old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(delta_path)
     return n

@@ -1289,7 +1289,12 @@ def _ulm_iter_sql(i: int) -> str:
     costs joined relationally per candidate length — pure expressions,
     no higher-order functions on the sequential path."""
     j = i + 1
-    inf, infp = _ULM_INF, _ULM_INF * 64
+    # the invalid-position sentinel packs k = 1 (not 0): if every real
+    # candidate exceeds it (a long word of all-missing pieces — ≥ 8
+    # INF-cost steps), the walk still consumes one char per step and
+    # terminates; a k = 0 sentinel would loop the recursive walk forever
+    # (and make the Spark walk emit empty pieces)
+    inf, infp = _ULM_INF, _ULM_INF * 64 + 1
     # candidate k at new position i = pos + 1: dp[i - k] lives at list
     # index pos + 2 - k; the piece cost arrives via LEFT JOIN c{k}
     dp_cand = ", ".join(
@@ -1345,17 +1350,23 @@ def _ulm_cost_expr(c: Column, t: Column) -> Column:
     """round(-ln(c/t)·1e6) as BIGINT — the ORACLE-PAIRED fixed-point NLL
     (collected costs are re-used as next-iteration literals, so they must
     be computed in-engine with this exact expression — never re-derived
-    in Python floats)."""
+    in Python floats).  ln() parity note: JVM Math.log and DuckDB's libm
+    log are both sub-ulp; a cost flips only when -ln(c/t)·1e6 sits
+    within ~1e-9 of a .5 boundary (same accepted risk class as the
+    gate's existing round-6 ln/percentile expressions, e.g.
+    corpus_weighted_sample's -ln(u)/w race keys)."""
     return (
         F.round(-F.log(c.cast("double") / t.cast("double")) * 1000000, 0)
         .cast("long")
     )
 
 
-def _unigram_viterbi_pieces(costs: dict[str, int]) -> Column:
-    """Viterbi pieces of column ``w`` under a frozen cost map — two
-    engine folds (see the section comment): the packed-int64 DP, then
-    the backpointer walk.  Pure codegen-able expressions, no UDF."""
+def _unigram_viterbi_pieces(costs: dict[str, int]):
+    """Viterbi machinery for column ``w`` under a frozen cost map — two
+    engine folds (see the section comment): returns ``(dp, walk)`` where
+    ``dp`` is the packed-int64 DP array Column and ``walk(dp_col)``
+    builds the backpointer-walk Column over a MATERIALIZED dp column.
+    Pure codegen-able expressions, no UDF."""
     m = F.create_map(
         *[F.lit(x) for p in sorted(costs) for x in (p, costs[p])]
     )
@@ -1368,7 +1379,8 @@ def _unigram_viterbi_pieces(costs: dict[str, int]) -> Column:
             F.element_at(acc, (i - F.lit(k) + 1).cast("int")), 3
         )
         return F.when(i >= k, (prev + pc) * 8 + k).otherwise(
-            F.lit(_ULM_INF * 64).cast("long")
+            # k=1 sentinel — see _ulm_iter_sql's termination note
+            F.lit(_ULM_INF * 64 + 1).cast("long")
         )
 
     dp = F.aggregate(

@@ -134,13 +134,25 @@ def rename_columns(base: StructType, renames: dict[str, str]) -> StructType:
     Raises when the old name is unknown, the new name already exists, or
     old == new — each is a config error, not an evolution."""
     existing = {f.name for f in base.fields}
+    targets = list(renames.values())
+    dup = {n for n in targets if targets.count(n) > 1}
+    if dup:
+        raise ValueError(
+            f"rename_columns: multiple renames target the same new "
+            f"name(s) {sorted(dup)!r} — the result would carry duplicate "
+            f"fields"
+        )
     for old, new in renames.items():
         if old not in existing:
             raise ValueError(
                 f"rename_columns: unknown column {old!r} — cannot rename "
                 f"a column that was never part of the schema"
             )
-        if new in existing or old == new:
+        if old == new:
+            raise ValueError(
+                f"rename_columns: {old!r} -> {new!r} is a no-op rename"
+            )
+        if new in existing:
             raise ValueError(
                 f"rename_columns: target name {new!r} collides with an "
                 f"existing column — that is a migration, not an evolution"

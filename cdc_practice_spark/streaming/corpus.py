@@ -219,9 +219,22 @@ def stream_corpus_ingest(
     schema (doc_id, source, text, ...); ``stats`` is the frozen
     ingest-time calibration (operators/corpus.py::freeze_corpus_stats);
     the index must be seeded first (``seed_ingest_index``)."""
+    from cdc_practice_spark.operators.corpus import (
+        blocklist_gram_df,
+        decontaminate,
+    )
+
     os.makedirs(store_root, exist_ok=True)
     rates_items = sorted(stats.rates.items())
     blocklist = [int(g) for g in stats.blocklist_grams]
+    # materialize the frozen benchmark grams ONCE per run: rebuilding a
+    # createDataFrame from a (potentially eval-set-sized) driver list
+    # every micro-batch is per-epoch driver latency for a constant
+    bl_path = os.path.join(store_root, "_blocklist_grams")
+    if blocklist:
+        blocklist_gram_df(spark, blocklist).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(bl_path)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -285,13 +298,8 @@ def stream_corpus_ingest(
         b3 = b2.join(dups, "doc_id", "left_anti")
         # 8-gram decontamination against the frozen benchmark grams
         # (r8): same broadcast semi-join shape as the batch pipeline's s4
-        from cdc_practice_spark.operators.corpus import (
-            blocklist_gram_df,
-            decontaminate,
-        )
-
         b4 = (
-            decontaminate(b3, blocklist_gram_df(spark, blocklist))
+            decontaminate(b3, spark.read.schema("g long").parquet(bl_path))
             if blocklist
             else b3
         )
@@ -465,8 +473,15 @@ def compact_ingest_index(spark: SparkSession, store_root: str) -> int:
     ]
     _swap_manifest(store_root, [-2] + disp_epochs)
     # committed pins are dead weight now (their epochs can never replay
-    # within their run, and new runs use a fresh token) — clean them up
+    # within their run, and new runs use a fresh token) — clean them up,
+    # and the per-run epoch-offset records with them: a later-resumed
+    # run whose record is gone simply recomputes a fresh offset past
+    # max(manifest) for its next NEW epoch (safe — replays of
+    # uncommitted epochs are exactly what the pin check above refuses
+    # to compact over)
     for f in os.listdir(store_root):
-        if _re.fullmatch(r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)", f):
+        if _re.fullmatch(
+            r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)|_INGEST_RUN_[0-9a-f]+", f
+        ):
             os.unlink(os.path.join(store_root, f))
     return n

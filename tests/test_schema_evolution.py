@@ -196,8 +196,12 @@ def test_rename_columns_links_and_validates():
         rename_columns(CHANGE_EVENT_SCHEMA, {"nope": "x"})
     with pytest.raises(ValueError, match="collides"):
         rename_columns(CHANGE_EVENT_SCHEMA, {"account": "user_id"})
-    with pytest.raises(ValueError, match="collides"):
+    with pytest.raises(ValueError, match="no-op"):
         rename_columns(CHANGE_EVENT_SCHEMA, {"account": "account"})
+    with pytest.raises(ValueError, match="duplicate"):
+        rename_columns(
+            CHANGE_EVENT_SCHEMA, {"account": "x", "registered_at": "x"}
+        )
 
 
 def test_schema_rename_unifies_both_vintages(spark):

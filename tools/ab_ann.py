@@ -188,11 +188,15 @@ def main_ingest() -> None:
     spark = get_spark("ab-ann-ingest")
     spark.sparkContext.setLogLevel("ERROR")
     planes = S.rp_lsh_planes(DIM, N_PLANES, N_TABLES)
+    # NOT module-level N_CLUSTERS: in --ingest mode _POS_ARGS[1] is the
+    # second CORPUS SIZE, which would build a millions-wide center
+    # matrix and silently de-cluster the corpus
+    n_centers = 256
     centers_global = np.array(
-        [np.random.default_rng(c).standard_normal(DIM) for c in range(N_CLUSTERS)]
+        [np.random.default_rng(c).standard_normal(DIM) for c in range(n_centers)]
     )
 
-    def mk(n, offset=0, n_clusters=N_CLUSTERS):
+    def mk(n, offset=0, n_clusters=n_centers):
         def gen(batches):
             import pandas as pd
 
