@@ -1520,6 +1520,72 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_lm_encode",
+    oracle="WITH RECURSIVE "
+    + _ULM_WORDS_SQL
+    + ","
+    + _ULM_SEED_SQL
+    + ","
+    + ",".join(_ulm_iter_sql(i) for i in range(_ULM_ITERS + 1))
+    + f""",
+vmap AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_toks
+  FROM wk{_ULM_ITERS} WHERE piece IS NOT NULL
+  GROUP BY w
+),
+perword AS (
+  SELECT d.source, u.t AS w
+  FROM documents d,
+       LATERAL unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(t)
+  WHERE regexp_matches(u.t, '^[a-z]+$')
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(p.w)) AS BIGINT) AS n_chars,
+       CAST(sum(m.n_toks) AS BIGINT) AS n_tokens_unigram
+FROM perword p JOIN vmap m USING (w)
+GROUP BY p.source
+""",
+)
+def unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM vocabulary to the corpus — the
+    encode half of the tokenizer pair (train :func:`unigram_lm_train`,
+    then Viterbi-segment every document under the FROZEN piece costs),
+    mirroring the BPE train/encode symmetry.  Output is the per-source
+    audit: word count, character count, and token count under the
+    trained vocabulary.
+
+    Scale shape: segmentation runs ONCE PER DISTINCT WORD (the
+    vocabulary, ≪ occurrences) with the trained cost map as a broadcast
+    literal — the per-word token counts then broadcast-join onto the
+    occurrence stream, so encoding is a scan + one broadcast join + the
+    per-source aggregate; no per-occurrence DP, no corpus-sized shuffle
+    before the audit.  The oracle reruns the training chain plus ONE
+    more Viterbi pass under the final costs (wk{_ULM_ITERS}'s piece
+    counts per word)."""
+    costs = {p: c for p, _n, c in _unigram_train(spark, sf_dir)}
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    perword = docs.select("source", word).filter(F.col("w").rlike("^[a-z]+$"))
+    dp, walk = _unigram_viterbi_pieces(costs)
+    vmap = (
+        perword.select("w")
+        .distinct()
+        .withColumn("dp", dp)
+        .select("w", F.size(walk(F.col("dp"))).cast("long").alias("n_toks"))
+    )
+    return (
+        perword.join(F.broadcast(vmap), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_toks").cast("long").alias("n_tokens_unigram"),
+        )
+    )
+
+
+@register(
     "quality_classifier_margin",
     oracle=f"""
 WITH feat AS (

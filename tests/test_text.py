@@ -386,3 +386,90 @@ def test_unigram_lm_matches_pure_python_reference(spark, tmp_path):
     # the trained vocab must actually use multi-char pieces (EM is
     # load-bearing, not a char fallback)
     assert any(len(p) > 1 for p, _, _ in got)
+
+
+def test_unigram_lm_encode_matches_pure_python(spark, tmp_path):
+    """unigram_lm_encode vs a from-scratch encoder: train with the
+    pure-Python reference (shared with the trainer test), Viterbi-encode
+    every occurrence under the frozen costs, aggregate per source."""
+    import collections
+    import math
+
+    from cdc_practice_spark.queries.text_queries import (
+        _ULM_ITERS,
+        _ULM_K,
+        _ULM_SEED_MULTI,
+        unigram_lm_encode,
+    )
+
+    rows = [
+        (0, "the cats sat on the mats", "en", "web"),
+        (1, "the rats saw the cats", "en", "web"),
+        (2, "inter intern internal international nation", "en", "code"),
+        (3, "nation national nations the inter", "en", "code"),
+    ]
+    words = collections.Counter(
+        w for _, t, _, _ in rows for w in t.lower().split() if w.isalpha()
+    )
+
+    def halfup(x):
+        return int(math.floor(x + 0.5))
+
+    subcnt: collections.Counter = collections.Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for k in range(1, min(_ULM_K, len(w) - i) + 1):
+                subcnt[w[i : i + k]] += f
+    seed = {p: c for p, c in subcnt.items() if len(p) == 1}
+    seed.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in subcnt.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:_ULM_SEED_MULTI]
+        )
+    )
+    total = sum(seed.values())
+    costs = {p: halfup(-math.log(c / total) * 1e6) for p, c in seed.items()}
+    INF = 1 << 40
+
+    def viterbi(w):
+        dp = [0]
+        for i in range(1, len(w) + 1):
+            dp.append(
+                min(
+                    ((dp[i - k] >> 3) + costs.get(w[i - k : i], INF)) * 8 + k
+                    for k in range(1, min(_ULM_K, i) + 1)
+                )
+            )
+        pieces, pos = [], len(w)
+        while pos > 0:
+            k = dp[pos] % 8
+            pieces.append(w[pos - k : pos])
+            pos -= k
+        return pieces
+
+    for _ in range(_ULM_ITERS):
+        cnt: collections.Counter = collections.Counter()
+        for w, f in words.items():
+            for p in viterbi(w):
+                cnt[p] += f
+        total = sum(cnt.values())
+        costs = {p: halfup(-math.log(c / total) * 1e6) for p, c in cnt.items()}
+
+    expect: dict = {}
+    for _, t, _, src in rows:
+        for w in t.lower().split():
+            if not w.isalpha():
+                continue
+            nw, nc, nt = expect.get(src, (0, 0, 0))
+            expect[src] = (nw + 1, nc + len(w), nt + len(viterbi(w)))
+
+    sf_dir = _stage_documents(
+        spark, tmp_path, [(i, t, lang, src) for i, t, lang, src in rows]
+    )
+    got = {
+        r["source"]: (r["n_words"], r["n_chars"], r["n_tokens_unigram"])
+        for r in unigram_lm_encode(spark, sf_dir).collect()
+    }
+    assert got == expect
