@@ -716,33 +716,25 @@ def _incr_oracle_for_stream() -> str:
     return _e2e_incr_oracle()
 
 
-@register("streaming_corpus_ingest", oracle=_incr_oracle_for_stream())
-def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation pipeline as a STREAM (streaming/corpus.py), under
-    the SAME full-hash oracle as the batch incremental query: the
-    arriving batch (doc_id % 7 == 3) replays as 3 id-ordered
-    micro-batches through ``stream_corpus_ingest`` — frozen corpus
-    stats, persistent LSH index accreting each epoch's quality
-    survivors, per-source pack state carried across epochs — and the
-    union of the per-epoch disposition deltas must be row-identical to
-    running the whole batch at once (``corpus_e2e_incremental``'s
-    oracle).  That identity is the operator's correctness contract:
-    chunking must not change ANY curation decision, because the index
-    grows by exactly the docs the single-batch rule would have compared
-    against (id-ordered chunks ⇒ 'already indexed' ≡ 'smaller id') and
-    greedy packing continues from the carried per-source fill state."""
+def _corpus_ingest_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run the streaming corpus ingest once per corpus and return the
+    finished store root — shared (memoized) by the disposition and
+    funnel queries so checking both costs ONE stream run."""
     from cdc_practice_spark.operators.corpus import (
         corpus_features,
         freeze_corpus_stats,
     )
     from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
     from cdc_practice_spark.queries.pipeline_queries import _INCR_BATCH_MOD
     from cdc_practice_spark.streaming.corpus import (
-        load_ingest_dispositions,
         seed_ingest_index,
         stream_corpus_ingest,
     )
 
+    cache_key = ("corpus_ingest_store", sf_dir)
+    if cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
     os.makedirs(TMP_ROOT, exist_ok=True)
     work = tempfile.mkdtemp(prefix="corpus_ingest_", dir=TMP_ROOT)
     src = os.path.join(work, "src")
@@ -785,4 +777,51 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stream, stats, store, os.path.join(work, "ckpt")
     )
     q.awaitTermination()
+    _STATS_CACHE[cache_key] = store
+    return store
+
+
+@register("streaming_corpus_ingest", oracle=_incr_oracle_for_stream())
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as a STREAM (streaming/corpus.py), under
+    the SAME full-hash oracle as the batch incremental query: the
+    arriving batch (doc_id % 7 == 3) replays as 3 id-ordered
+    micro-batches through ``stream_corpus_ingest`` — frozen corpus
+    stats, persistent LSH index accreting each epoch's quality
+    survivors, per-source pack state carried across epochs — and the
+    union of the per-epoch disposition deltas must be row-identical to
+    running the whole batch at once (``corpus_e2e_incremental``'s
+    oracle).  That identity is the operator's correctness contract:
+    chunking must not change ANY curation decision, because the index
+    grows by exactly the docs the single-batch rule would have compared
+    against (id-ordered chunks ⇒ 'already indexed' ≡ 'smaller id') and
+    greedy packing continues from the carried per-source fill state."""
+    from cdc_practice_spark.streaming.corpus import load_ingest_dispositions
+
+    store = _corpus_ingest_store(spark, sf_dir)
     return load_ingest_dispositions(spark, store).orderBy("doc_id")
+
+
+@register(
+    "streaming_corpus_funnel",
+    oracle="SELECT disposition AS stage, CAST(count(*) AS BIGINT) AS n\n"
+    "FROM (" + _incr_oracle_for_stream() + ")\n"
+    "GROUP BY disposition ORDER BY stage",
+)
+def streaming_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming sink's per-epoch funnel deltas (r8 — the
+    observability table an ingest operator watches), summed over epochs
+    and hash-checked against the BATCH disposition histogram the DuckDB
+    oracle recomputes: per-epoch emission must lose or double-count
+    nothing relative to running the whole batch at once.  Per-epoch
+    granularity itself (≥2 distinct epochs; sums match per stage) is
+    pinned in tests/test_streaming_corpus.py."""
+    from cdc_practice_spark.streaming.corpus import load_ingest_funnel
+
+    store = _corpus_ingest_store(spark, sf_dir)
+    return (
+        load_ingest_funnel(spark, store)
+        .groupBy("stage")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy("stage")
+    )

@@ -473,3 +473,64 @@ def test_unigram_lm_encode_matches_pure_python(spark, tmp_path):
         for r in unigram_lm_encode(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_unigram_viterbi_fold_is_optimal_vs_bruteforce(spark):
+    """The packed-int64 DP fold must pick a MINIMUM-total-cost
+    segmentation among ALL segmentations with piece length <= K (missing
+    pieces priced at INF), with the documented tiebreak — checked by
+    exhaustive enumeration over short words under adversarial cost maps
+    (a piece cheaper than its parts, a trap char, ties)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.queries.text_queries import (
+        _ULM_INF,
+        _ULM_K,
+        _unigram_viterbi_pieces,
+    )
+
+    words = ["a", "ab", "abc", "abab", "ababa", "aaaaaa", "xaybz", "banana"]
+    cost_maps = [
+        {"a": 10, "b": 12, "ab": 15, "ba": 9, "aba": 40, "ban": 7, "n": 3},
+        {"a": 5, "b": 5, "c": 5, "abc": 20, "bc": 4, "x": 1, "y": 1, "z": 1},
+        {"a": 7, "ab": 14, "abab": 20, "b": 7},  # exact tie ab+ab vs abab
+    ]
+
+    def brute(w, costs):
+        best = None
+        for cuts in itertools.product(
+            range(1, _ULM_K + 1), repeat=len(w)
+        ):  # overshoot; filtered below
+            pos, pieces, total = 0, [], 0
+            for k in cuts:
+                if pos >= len(w):
+                    break
+                k = min(k, len(w) - pos)
+                pieces.append(w[pos : pos + k])
+                total += costs.get(w[pos : pos + k], _ULM_INF)
+                pos += k
+            if pos != len(w):
+                continue
+            if best is None or total < best:
+                best = total
+        return best
+
+    for costs in cost_maps:
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        dp, walk = _unigram_viterbi_pieces(costs)
+        got = {
+            r["w"]: list(r["ps"])
+            for r in df.withColumn("dp", dp)
+            .select("w", walk(F.col("dp")).alias("ps"))
+            .collect()
+        }
+        for w in words:
+            pieces = got[w]
+            assert "".join(reversed(pieces)) == w or "".join(pieces) == w, (
+                w,
+                pieces,
+            )
+            total = sum(costs.get(p, _ULM_INF) for p in pieces)
+            assert total == brute(w, costs), (w, pieces, total)
