@@ -780,6 +780,70 @@ def corpus_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+_RETRO_BENCH_MOD = 89  # doc_id % 89 == 0 plays the NEW eval suite (v2)
+
+
+@register(
+    "corpus_decontaminate_retroactive",
+    oracle=_e2e_oracle_chain()
+    + f""",
+bench2 AS MATERIALIZED (
+  SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % {_RETRO_BENCH_MOD} = 0
+),
+retro AS (
+  SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_v2
+  FROM (SELECT doc_id, unnest(gs) AS g FROM g8 JOIN s5 USING (doc_id)) cg
+  JOIN bench2 USING (g)
+  GROUP BY cg.doc_id
+)
+SELECT s4.doc_id, s4.source, r.n_shared_v2
+FROM retro r JOIN s4 ON s4.doc_id = r.doc_id
+ORDER BY s4.doc_id
+""",
+)
+def corpus_decontaminate_retroactive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETROACTIVE decontamination (r8) — the audit a curation team runs
+    when a NEW eval suite ships AFTER the corpus was admitted: which
+    already-admitted documents (the composed pipeline's mix survivors)
+    share any 8-gram with the new benchmark (doc_id % 89 plays v2)
+    and must be purged before the next training run.  The data-removal
+    sibling of the GDPR-erasure queries: erasure purges by key,
+    retro-decontamination purges by CONTENT overlap discovered after
+    the fact.
+
+    Scale shape: NO pipeline re-run per new benchmark beyond what is
+    already stored — the admitted set and its g8 arrays are the feature
+    store's columns (here recomputed through the same cached base the
+    pipeline uses, one documents scan total); the new benchmark's
+    distinct grams broadcast, admitted grams explode map-side, only
+    hits shuffle into the per-doc count.  Output: every newly-
+    contaminated admitted doc with its shared-gram count (the purge
+    list + evidence)."""
+    from cdc_practice_spark.operators.corpus import DECON_GRAM_K  # noqa: F401
+
+    st = corpus_e2e_stages(spark, sf_dir)
+    base, s4, s5 = st["s0_base"], st["s4_decontam"], st["s5_mix"]
+    bench2 = (
+        base.filter(F.col("doc_id") % _RETRO_BENCH_MOD == 0)
+        .select(F.explode("g8").alias("g"))
+        .distinct()
+    )
+    admitted = s4.join(s5.select("doc_id"), "doc_id", "left_semi")
+    hits = (
+        admitted.select("doc_id", F.explode("g8").alias("g"))
+        .join(F.broadcast(bench2), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_v2"))
+    )
+    return (
+        hits.join(admitted.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_shared_v2")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental corpus ingest (r7) — the composed pipeline's PRODUCTION mode:
 # a NEW batch of documents (doc_id % 7 == 3; coprime with the fixture's 20
