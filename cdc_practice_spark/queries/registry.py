@@ -43,16 +43,17 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # even if the LRU rotation would push it back).  Reset each round after
 # the driver records the new CORRECTNESS file.
 #
-# r8: the composed corpus surfaces switched their decontamination stage
-# (s4) from exact content-fingerprint to the GPT-3/Pile 8-gram rule, so
-# every query that runs the pipeline changed semantics and needs a fresh
-# driver row.
-CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "corpus_e2e_pipeline",
-    "corpus_e2e_funnel",
-    "corpus_e2e_incremental",
-    "streaming_corpus_ingest",
-)
+# r9: reset at round start (the four r8 pins earned their CORRECTNESS_r08
+# rows).  Repopulated below as r9 semantic changes land.
+#
+# CHANGED_ROUND states which round the pins belong to; once the driver
+# has written CORRECTNESS_r{CHANGED_ROUND}.json with a green row for
+# every pinned name, the pins are SPENT and a test
+# (tests/test_registry.py::test_changed_this_round_pins_not_spent)
+# fails until the tuple is reset — so the reset stops being a
+# recurring verdict chore (r8 VERDICT wrong #1).
+CHANGED_ROUND: int = 9
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _rotate_lru() -> None:
