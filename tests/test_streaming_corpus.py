@@ -283,3 +283,233 @@ def test_streaming_funnel_sums_to_batch(spark, sf_dir):
         for r in corpus_e2e_incremental(spark, sf_dir).collect()
     )
     assert summed == batch
+
+
+# ---------------------------------------------------------------------------
+# Retroactive purge (r9): un-admit flagged docs from the maintained store.
+# Synthetic harness — full control over dedup interactions so the
+# never-admitted-rebuild identity is exact by construction (no purged doc
+# is a near-dup partner of any other doc).
+# ---------------------------------------------------------------------------
+
+
+def _purge_harness_docs(spark, exclude_batch_ids=()):
+    """20 corpus docs (ids 0..19) + 16 batch docs (ids 100..115), all
+    English, all textually unique (no near-dups anywhere)."""
+    rows = []
+    for i in list(range(20)) + [b for b in range(100, 116)
+                                if b not in exclude_batch_ids]:
+        words = " ".join(f"w{i}x{j}" for j in range(10))
+        rows.append((i, f"s{i % 2}", f"the {words} and item {i} of note"))
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def _run_purge_ingest(spark, work, exclude_batch_ids=(), capacity=40):
+    """Seed from the synthetic corpus, stream the batch docs as 2
+    id-ordered chunks, return the store root."""
+    import json
+
+    from cdc_practice_spark.operators.corpus import (
+        FrozenCorpusStats,
+        corpus_features,
+        freeze_corpus_stats,
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.streaming.corpus import (
+        seed_ingest_index,
+        stream_corpus_ingest,
+    )
+
+    docs = _purge_harness_docs(spark, exclude_batch_ids)
+    corpus, batch = docs.filter("doc_id < 100"), docs.filter("doc_id >= 100")
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    for k, (lo, hi) in enumerate([(100, 108), (108, 116)]):
+        chunk = batch.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1)
+        part = os.path.join(src, f"_part{k}")
+        chunk.write.mode("overwrite").parquet(part)
+        nm = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(os.path.join(part, nm), os.path.join(src, f"c{k}.parquet"))
+        import shutil as _sh
+        import time as _t
+
+        _sh.rmtree(part)
+        _t.sleep(0.05)
+    stats_p = os.path.join(work, "stats.json")
+    if not os.path.exists(stats_p):
+        feats_c = tracked_persist(corpus_features(corpus))
+        st = freeze_corpus_stats(feats_c, [])
+        with open(stats_p, "w") as fh:
+            json.dump({"q25": st.q25, "rates": st.rates}, fh)
+        store = os.path.join(work, "store")
+        seed_ingest_index(spark, feats_c, store, st.q25)
+    with open(stats_p) as fh:
+        d = json.load(fh)
+    stats = FrozenCorpusStats(
+        q25=d["q25"], rates=d["rates"], blocklist_grams=()
+    )
+    store = os.path.join(work, "store")
+    q = stream_corpus_ingest(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        stats,
+        store,
+        os.path.join(work, "ckpt"),
+        capacity=capacity,
+    )
+    q.awaitTermination()
+    return store
+
+
+def _store_contents(spark, store):
+    from cdc_practice_spark.streaming.corpus import (
+        load_admitted_grams,
+        load_ingest_dispositions,
+        load_ingest_index,
+    )
+
+    disp = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    idx = sorted(
+        (r.doc_id, tuple(r.hs))
+        for r in load_ingest_index(spark, store).collect()
+    )
+    g8 = sorted(
+        (r.doc_id, tuple(r.g8))
+        for r in load_admitted_grams(spark, store).collect()
+    )
+    return disp, idx, g8
+
+
+def test_purge_equals_never_admitted_rebuild(spark):
+    """purge_ingest_docs: post-purge store state must equal a
+    from-scratch run that never admitted the purged docs — index rows,
+    admitted grams, kept dispositions WITH bin assignments, and the
+    carried pack state; purged docs keep their audit row flipped to
+    'purged_contaminated'; delta dirs with no changed row stay
+    byte-untouched."""
+    from cdc_practice_spark.streaming.corpus import (
+        PURGED_DISPOSITION,
+        purge_ingest_docs,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="purge_id_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    disp0, idx0, g80 = _store_contents(spark, store)
+    # purge two kept docs from the SECOND chunk (ids >= 108) so every
+    # epoch-0 dir is provably untouched
+    kept2 = [t[0] for t in disp0 if t[3] == "kept" and t[0] >= 108]
+    assert len(kept2) >= 2, "harness must keep >=2 docs in chunk 2"
+    purge = kept2[:2]
+    epoch0_files = {}
+    for d in os.listdir(store):
+        if d.endswith("_v0") and not d.startswith("_INGEST"):
+            p = os.path.join(store, d)
+            for f in os.listdir(p):
+                epoch0_files[os.path.join(p, f)] = os.path.getmtime(
+                    os.path.join(p, f)
+                )
+    assert epoch0_files, "expected epoch-0 delta dirs"
+
+    n = purge_ingest_docs(
+        spark,
+        store,
+        spark.createDataFrame([(i,) for i in purge], "doc_id long"),
+        capacity=40,
+    )
+    assert n == 2
+
+    # untouched dirs byte-identical (same files, same mtimes)
+    for path, mt in epoch0_files.items():
+        assert os.path.getmtime(path) == mt, f"epoch-0 file rewritten: {path}"
+
+    disp1, idx1, g81 = _store_contents(spark, store)
+    # rebuild that never saw the purged docs
+    work2 = tempfile.mkdtemp(prefix="purge_rb_", dir=TMP_ROOT)
+    store2 = _run_purge_ingest(spark, work2, exclude_batch_ids=tuple(purge))
+    disp2, idx2, g82 = _store_contents(spark, store2)
+
+    assert idx1 == idx2
+    assert g81 == g82
+    purged_rows = [t for t in disp1 if t[0] in purge]
+    assert [
+        (t[3], t[4], t[5]) for t in purged_rows
+    ] == [(PURGED_DISPOSITION, None, None)] * 2
+    assert [t for t in disp1 if t[0] not in purge] == disp2
+    # carried pack state equal → a resumed stream continues identically
+    from cdc_practice_spark.streaming.corpus import _PACK_SCHEMA, _read_manifest
+
+    def last_state(st):
+        eps = [
+            e
+            for e in _read_manifest(st)
+            if os.path.isdir(os.path.join(st, f"pack_state_v{e}"))
+        ]
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(_PACK_SCHEMA)
+            .parquet(os.path.join(st, f"pack_state_v{eps[-1]}"))
+            .collect()
+        )
+
+    assert last_state(store) == last_state(store2)
+    # idempotent: the same purge again is a no-op
+    assert (
+        purge_ingest_docs(
+            spark,
+            store,
+            spark.createDataFrame([(i,) for i in purge], "doc_id long"),
+            capacity=40,
+        )
+        == 0
+    )
+    assert _store_contents(spark, store)[0] == disp1
+
+
+def test_purge_heal_crash_windows(spark):
+    """_heal_purge_asides: every crash window of the stage-rename-swap
+    rolls back or completes on the next load — a reader never sees a
+    missing or doubled delta dir."""
+    import shutil
+
+    from cdc_practice_spark.streaming.corpus import (
+        _heal_purge_asides,
+        load_ingest_dispositions,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="purge_heal_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    disp0 = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    live = os.path.join(store, "disp_delta_v1")
+
+    # window 1: crash after staging, before any rename — stale .purging
+    shutil.copytree(live, live + ".purging")
+    _heal_purge_asides(store)
+    assert not os.path.isdir(live + ".purging")
+
+    # window 2: crash between rename-aside and rename-in — live missing
+    shutil.copytree(live, live + ".purging")
+    os.rename(live, live + ".purged.old")
+    got = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    assert got == disp0  # loader healed: rolled back, nothing lost
+    assert os.path.isdir(live)
+    assert not os.path.isdir(live + ".purged.old")
+
+    # window 3: crash after rename-in, before aside cleanup
+    shutil.copytree(live, live + ".purged.old")
+    got = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    assert got == disp0
+    assert not os.path.isdir(live + ".purged.old")
