@@ -860,7 +860,9 @@ def corpus_decontaminate_retroactive(
 _INCR_BATCH_MOD = 7  # doc_id % 7 == 3 plays the arriving batch
 
 
-def _e2e_incr_oracle() -> str:
+def _e2e_incr_chain() -> str:
+    """The incremental pipeline's CTE chain (through ``packed``), no
+    final SELECT — the retro-audit / purge oracles extend it."""
     from cdc_practice_spark.queries.dedup_queries import (
         _HASH,
         _band_list_sql,
@@ -993,6 +995,13 @@ packed AS (
               THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
   FROM toks2 t JOIN packed p ON t.source = p.source AND t.rn2 = p.rn2 + 1
 )
+"""
+
+
+def _e2e_incr_oracle() -> str:
+    return (
+        _e2e_incr_chain()
+        + """
 SELECT f.doc_id, f.source, f.n_tokens,
        CASE WHEN b1.doc_id IS NULL THEN 'dropped_lang'
             WHEN b2.doc_id IS NULL THEN 'dropped_quality'
@@ -1011,6 +1020,7 @@ LEFT JOIN packed p USING (doc_id)
 WHERE f.is_batch
 ORDER BY f.doc_id
 """
+    )
 
 
 @register("corpus_e2e_incremental", oracle=_e2e_incr_oracle())

@@ -52,8 +52,14 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # (tests/test_registry.py::test_changed_this_round_pins_not_spent)
 # fails until the tuple is reset — so the reset stops being a
 # recurring verdict chore (r8 VERDICT wrong #1).
+# r9: the streaming ingest store now persists per-epoch admitted-gram
+# deltas (g8_delta) — the two queries that run the shared store build
+# changed plan and need fresh driver rows.
 CHANGED_ROUND: int = 9
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_corpus_ingest",
+    "streaming_corpus_funnel",
+)
 
 
 def _rotate_lru() -> None:
