@@ -177,6 +177,80 @@ def rename_columns(base: StructType, renames: dict[str, str]) -> StructType:
     return StructType(fields)
 
 
+def widen_column(base: StructType, name: str, new_type) -> StructType:
+    """The type-WIDENING direction of schema evolution (r9 — the fourth
+    real Debezium direction after ADD/DROP/RENAME): the upstream column
+    outgrows its type (INT overflows, DECIMAL needs more precision) and
+    the table is ALTERed mid-feed.  The engine re-types its ONE
+    ``from_json`` StructType to the wider type: pre-DDL rows parse
+    losslessly into it (every int32 is an int64; every DECIMAL(p,s)
+    value fits DECIMAL(P,S) when S ≥ s and P−S ≥ p−s), post-DDL rows
+    carry values only the wide type can hold — no reprocessing, no
+    second topic, and per-key carry windows span the DDL boundary
+    untouched.
+
+    Only LOSSLESS promotions are allowed; anything else (narrowing,
+    scale loss, cross-family retypes like string→int) raises — that is
+    a migration, not an evolution.  The field records ``widened_from``
+    metadata so readers can tell a widened column from a born-wide
+    one."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        FloatType,
+        ShortType,
+    )
+
+    by_name = {f.name: f for f in base.fields}
+    if name not in by_name:
+        raise ValueError(
+            f"widen_column: unknown column {name!r} — cannot widen a "
+            f"column that was never part of the schema"
+        )
+    old_type = by_name[name].dataType
+    _int_rank = {ByteType: 0, ShortType: 1, IntegerType: 2, LongType: 3}
+
+    def _ok(old, new) -> bool:
+        if old == new:
+            return False  # no-op "widen" is a config error
+        ro, rn = _int_rank.get(type(old)), _int_rank.get(type(new))
+        if ro is not None and rn is not None:
+            return rn > ro
+        if isinstance(old, FloatType) and isinstance(new, DoubleType):
+            return True
+        if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+            return (
+                new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale
+                and (new.precision, new.scale)
+                != (old.precision, old.scale)
+            )
+        return False
+
+    if not _ok(old_type, new_type):
+        raise ValueError(
+            f"widen_column: {old_type.simpleString()} -> "
+            f"{new_type.simpleString()} is not a lossless widening — "
+            f"that is a migration, not an evolution"
+        )
+    return StructType(
+        [
+            StructField(
+                f.name,
+                new_type if f.name == name else f.dataType,
+                f.nullable,
+                {
+                    **(f.metadata or {}),
+                    "widened_from": old_type.simpleString(),
+                }
+                if f.name == name
+                else f.metadata,
+            )
+            for f in base.fields
+        ]
+    )
+
+
 def renamed_pairs(schema: StructType) -> list[tuple[str, str]]:
     """(new, old) pairs recorded by ``rename_columns`` — the reader-side
     unification map: project ``coalesce(new, old) AS new`` and drop

@@ -239,3 +239,99 @@ def test_schema_rename_unifies_both_vintages(spark):
         3: (None, "12.5", 12.5),
         4: (None, "13.5", 13.5),
     }
+
+
+def test_widen_column_validates():
+    """Only lossless promotions pass; narrowing / scale-loss / retype /
+    no-op / unknown column each raise."""
+    import pytest
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cdc_practice_spark.schemas import widen_column
+
+    base = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("n", IntegerType()),
+            StructField("f", FloatType()),
+            StructField("d", DecimalType(10, 2)),
+            StructField("s", StringType()),
+        ]
+    )
+    w = widen_column(base, "n", LongType())
+    assert isinstance(w["n"].dataType, LongType)
+    assert w["n"].metadata["widened_from"] == "int"
+    assert [f.name for f in w.fields] == [f.name for f in base.fields]
+    assert isinstance(
+        widen_column(base, "f", DoubleType())["f"].dataType, DoubleType
+    )
+    # decimal: scale and integer-digit capacity must both be preserved
+    assert widen_column(base, "d", DecimalType(20, 4))["d"].dataType == (
+        DecimalType(20, 4)
+    )
+    for name, bad in [
+        ("id", IntegerType()),          # narrowing
+        ("n", IntegerType()),           # no-op
+        ("d", DecimalType(10, 4)),      # scale up but integer digits lost
+        ("d", DecimalType(12, 1)),      # scale loss
+        ("s", LongType()),              # cross-family retype
+        ("f", FloatType()),             # no-op
+    ]:
+        with pytest.raises(ValueError):
+            widen_column(base, name, bad)
+    with pytest.raises(ValueError):
+        widen_column(base, "nope", LongType())
+
+
+def test_schema_widen_parses_both_vintages_no_silent_narrowing(spark):
+    """One widened StructType parses pre- and post-DDL rows losslessly;
+    the NARROW schema corrupts every post-DDL row (from_json nulls the
+    int32 overflow) — proving the widen is load-bearing, not cosmetic."""
+    from pyspark.sql.types import IntegerType, LongType, StructField
+
+    from cdc_practice_spark.schemas import (
+        CHANGE_EVENT_SCHEMA,
+        evolve_schema,
+        widen_column,
+    )
+    from cdc_practice_spark.sources.kafka import parse_debezium
+
+    rows = [
+        # offsets 1-2 pre-DDL (int32-representable), 3-4 post (overflow)
+        (1, '{"id": 7, "account": "1", "__deleted": "false", "amount_cents": 2100000000}'),
+        (2, '{"id": 7, "account": "1", "__deleted": "false", "amount_cents": -5}'),
+        (3, '{"id": 7, "account": "1", "__deleted": "false", "amount_cents": 5000000123}'),
+        (4, '{"id": 7, "account": "1", "__deleted": "true",  "amount_cents": 9000000000}'),
+    ]
+    wire = spark.createDataFrame(rows, ["offset", "value"]).select(
+        F.lit("t").alias("topic"), F.lit(0).alias("partition"), "offset", "value"
+    )
+    narrow = evolve_schema(
+        CHANGE_EVENT_SCHEMA, [StructField("amount_cents", IntegerType())]
+    )
+    wide = widen_column(narrow, "amount_cents", LongType())
+
+    got = {
+        r["kafka_offset"]: r["amount_cents"]
+        for r in parse_debezium(wire, schema=wide).collect()
+    }
+    assert got == {1: 2100000000, 2: -5, 3: 5000000123, 4: 9000000000}
+
+    narrowed = {
+        r["kafka_offset"]: r["amount_cents"]
+        for r in parse_debezium(wire, schema=narrow).collect()
+    }
+    assert narrowed[1] == 2100000000 and narrowed[2] == -5
+    assert narrowed[3] is None and narrowed[4] is None, (
+        "int32 parse of the post-DDL vintage must visibly corrupt, "
+        "else the widen test proves nothing"
+    )
