@@ -1249,7 +1249,8 @@ words AS MATERIALIZED (
   GROUP BY t
 )"""
 
-_ULM_SEED_SQL = f"""
+def _ulm_seed_sql(multi: int) -> str:
+    return f"""
 subs AS MATERIALIZED (
   SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq,
@@ -1265,7 +1266,7 @@ seed AS MATERIALIZED (
   UNION ALL
   SELECT piece, c FROM (
     SELECT piece, c FROM subs WHERE length(piece) > 1
-    ORDER BY c DESC, piece LIMIT {_ULM_SEED_MULTI})
+    ORDER BY c DESC, piece LIMIT {multi})
 ),
 tot0 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM seed),
 costs0 AS MATERIALIZED (
@@ -1275,7 +1276,10 @@ costs0 AS MATERIALIZED (
 )"""
 
 
-def _ulm_iter_sql(i: int) -> str:
+_ULM_SEED_SQL = _ulm_seed_sql(_ULM_SEED_MULTI)
+
+
+def _ulm_iter_sql(i: int, cost_in: str | None = None) -> str:
     """One EM iteration: Viterbi DP + backpointer walk under costs{i},
     then re-count and re-cost into costs{i+1}.
 
@@ -1295,6 +1299,7 @@ def _ulm_iter_sql(i: int) -> str:
     # terminates; a k = 0 sentinel would loop the recursive walk forever
     # (and make the Spark walk emit empty pieces)
     inf, infp = _ULM_INF, _ULM_INF * 64 + 1
+    cost_tbl = cost_in if cost_in is not None else f"costs{i}"
     # candidate k at new position i = pos + 1: dp[i - k] lives at list
     # index pos + 2 - k; the piece cost arrives via LEFT JOIN c{k}
     dp_cand = ", ".join(
@@ -1305,7 +1310,7 @@ def _ulm_iter_sql(i: int) -> str:
         for k in range(1, _ULM_K + 1)
     )
     cost_joins = "\n  ".join(
-        f"LEFT JOIN costs{i} c{k} ON pos + 1 >= {k} AND "
+        f"LEFT JOIN {cost_tbl} c{k} ON pos + 1 >= {k} AND "
         f"c{k}.piece = substring(w, CAST(pos + 2 - {k} AS INTEGER), {k})"
         for k in range(1, _ULM_K + 1)
     )
@@ -1361,12 +1366,18 @@ def _ulm_cost_expr(c: Column, t: Column) -> Column:
     )
 
 
-def _unigram_viterbi_pieces(costs: dict[str, int]):
+def _unigram_viterbi_pieces(costs: dict[str, int], exclude_self: bool = False):
     """Viterbi machinery for column ``w`` under a frozen cost map — two
     engine folds (see the section comment): returns ``(dp, walk)`` where
     ``dp`` is the packed-int64 DP array Column and ``walk(dp_col)``
     builds the backpointer-walk Column over a MATERIALIZED dp column.
-    Pure codegen-able expressions, no UDF."""
+    Pure codegen-able expressions, no UDF.
+
+    ``exclude_self=True`` treats a candidate equal to the WHOLE row
+    string as missing — segmenting a vocabulary piece by the rest of the
+    vocabulary, the ALTERNATIVE segmentation Kudo's prune step scores
+    (a proper substring can never equal the full string, so this
+    excludes exactly the piece itself)."""
     m = F.create_map(
         *[F.lit(x) for p in sorted(costs) for x in (p, costs[p])]
     )
@@ -1375,6 +1386,8 @@ def _unigram_viterbi_pieces(costs: dict[str, int]):
     def cand(acc, i, k):
         piece = F.col("w").substr(i - F.lit(k) + 1, F.lit(k))
         pc = F.coalesce(F.try_element_at(m, piece), inf)
+        if exclude_self:
+            pc = F.when(piece == F.col("w"), inf).otherwise(pc)
         prev = F.shiftright(
             F.element_at(acc, (i - F.lit(k) + 1).cast("int")), 3
         )
@@ -1421,15 +1434,12 @@ def _unigram_viterbi_pieces(costs: dict[str, int]):
     return dp, walk
 
 
-def _unigram_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """Run the hard-EM loop and return the final [(piece, count, cost)]
-    sorted by piece.  Memoized per corpus (the BM25-stats pattern): a
-    tokenizer is trained once and applied many times."""
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
-
-    cache_key = ("unigram_lm", sf_dir)
-    if cache_key in _STATS_CACHE:
-        return _STATS_CACHE[cache_key]
+def _ulm_words_and_seed(
+    spark: SparkSession, sf_dir: str, multi: int
+) -> tuple[DataFrame, dict[str, int]]:
+    """The corpus' word vocabulary (persisted) and the substring-seeded
+    initial cost map (single chars + top-``multi`` multi-char
+    substrings, weighted by word frequency)."""
     docs = load_table(spark, sf_dir, "documents")
     word = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     words = tracked_persist(
@@ -1438,7 +1448,6 @@ def _unigram_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # seed: all substrings of length 1..K, weighted by word frequency
     L = F.length("w")
     subs_arr = F.flatten(
         F.transform(
@@ -1455,12 +1464,12 @@ def _unigram_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
         .agg(F.sum("freq").alias("c"))
     )
     chars = subs.filter(F.length("piece") == 1)
-    multi = (
+    top = (
         subs.filter(F.length("piece") > 1)
         .orderBy(F.col("c").desc(), "piece")
-        .limit(_ULM_SEED_MULTI)
+        .limit(multi)
     )
-    seed = chars.unionByName(multi)
+    seed = chars.unionByName(top)
     tot = seed.agg(F.sum("c").alias("t"))
     costs = {
         r["piece"]: int(r["cost"])
@@ -1468,23 +1477,43 @@ def _unigram_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
         .select("piece", _ulm_cost_expr(F.col("c"), F.col("t")).alias("cost"))
         .collect()
     }
+    return words, costs
+
+
+def _ulm_em_step(words: DataFrame, costs: dict[str, int]) -> list:
+    """One hard-EM iteration over the persisted word vocabulary: Viterbi
+    under ``costs``, re-count, re-cost.  Returns the vocab-sized
+    [(piece, c, cost)] rows (only the cost table reaches the driver)."""
+    dp, walk = _unigram_viterbi_pieces(costs)
+    seg = words.withColumn("dp", dp).select(
+        "freq", F.explode(walk(F.col("dp"))).alias("piece")
+    )
+    cnt = seg.groupBy("piece").agg(F.sum("freq").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.col("c").cast("long").alias("c"),
+            _ulm_cost_expr(F.col("c"), F.col("t")).alias("cost"),
+        )
+        .collect()
+    )
+
+
+def _unigram_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the hard-EM loop and return the final [(piece, count, cost)]
+    sorted by piece.  Memoized per corpus (the BM25-stats pattern): a
+    tokenizer is trained once and applied many times."""
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    cache_key = ("unigram_lm", sf_dir)
+    if cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
+    words, costs = _ulm_words_and_seed(spark, sf_dir, _ULM_SEED_MULTI)
     final_rows: list[tuple] = []
     for _ in range(_ULM_ITERS):
-        dp, walk = _unigram_viterbi_pieces(costs)
-        seg = words.withColumn("dp", dp).select(
-            "freq", F.explode(walk(F.col("dp"))).alias("piece")
-        )
-        cnt = seg.groupBy("piece").agg(F.sum("freq").alias("c"))
-        tot = cnt.agg(F.sum("c").alias("t"))
-        rows = (
-            cnt.crossJoin(F.broadcast(tot))
-            .select(
-                "piece",
-                F.col("c").cast("long").alias("c"),
-                _ulm_cost_expr(F.col("c"), F.col("t")).alias("cost"),
-            )
-            .collect()
-        )
+        rows = _ulm_em_step(words, costs)
         costs = {r["piece"]: int(r["cost"]) for r in rows}
         final_rows = sorted(
             (r["piece"], int(r["c"]), int(r["cost"])) for r in rows
@@ -1516,6 +1545,163 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     same output on a controlled corpus."""
     return spark.createDataFrame(
         _unigram_train(spark, sf_dir), "piece string, count long, cost long"
+    )
+
+
+_ULM_PRUNE_SEED = 80  # over-seeded multi-char pieces (Kudo: seed large...)
+_ULM_PRUNE_KEEP = 40  # ...then prune toward the target vocabulary size
+
+
+def _ulm_prune_sql(i: int, keep: int) -> str:
+    """Kudo's prune step in DuckDB: for every multi-char piece of
+    costs{i}, the ALTERNATIVE segmentation cost (Viterbi over the piece's
+    own string with the piece itself excluded — same recursive-CTE DP as
+    the word E-step), then loss = count × (alt − cost), keep single
+    chars unconditionally + the top-``keep`` multi pieces by loss, and
+    renormalize the survivors' costs into ``costsP``."""
+    inf, infp = _ULM_INF, _ULM_INF * 64 + 1
+    dp_cand = ", ".join(
+        f"""CASE WHEN pos + 1 >= {k}
+           THEN ((dp[CAST(pos + 2 - {k} AS INTEGER)] // 8)
+                 + coalesce(c{k}.cost, CAST({inf} AS BIGINT))) * 8 + {k}
+           ELSE CAST({infp} AS BIGINT) END"""
+        for k in range(1, _ULM_K + 1)
+    )
+    cost_joins = "\n  ".join(
+        f"LEFT JOIN costs{i} c{k} ON pos + 1 >= {k} AND "
+        f"c{k}.piece = substring(w, CAST(pos + 2 - {k} AS INTEGER), {k}) "
+        f"AND c{k}.piece <> w"
+        for k in range(1, _ULM_K + 1)
+    )
+    return f"""
+pdr(w, pos, dp) AS (
+  SELECT piece, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]
+  FROM costs{i} WHERE length(piece) > 1
+  UNION ALL
+  SELECT w, pos + 1, dp || [least({dp_cand})]
+  FROM pdr
+  {cost_joins}
+  WHERE pos < len(w)
+),
+ploss AS MATERIALIZED (
+  SELECT c0.piece, c0.c,
+         c0.c * ((p.dp[CAST(len(p.w) + 1 AS INTEGER)] // 8) - c0.cost)
+           AS loss
+  FROM pdr p JOIN costs{i} c0 ON c0.piece = p.w AND p.pos = len(p.w)
+),
+keepv AS MATERIALIZED (
+  SELECT piece, c FROM costs{i} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM ploss ORDER BY loss DESC, piece LIMIT {keep})
+),
+totP AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM keepv),
+costsP AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(-ln(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS cost
+  FROM keepv, totP
+)"""
+
+
+def _unigram_train_pruned(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Kudo's FULL algorithm (r9 — VERDICT r8 ask #2): over-seed the
+    vocabulary (``_ULM_PRUNE_SEED`` multi-char pieces), run the hard-EM
+    iterations, PRUNE pieces by likelihood loss toward the target size,
+    then one more EM pass under the pruned costs.
+
+    The prune score is SentencePiece's: for each multi-char piece, the
+    Viterbi cost of segmenting the piece's OWN string with the piece
+    excluded (its best alternative under the rest of the vocabulary);
+    loss = count × (alt − cost) — how much total encoding cost the
+    corpus pays if the piece disappears.  Single-char pieces are kept
+    unconditionally (they guarantee every word stays segmentable).  The
+    alternative-segmentation DP is the same packed-int64 engine fold as
+    the E-step with a self-exclusion guard, run over the VOCABULARY
+    (≪ words ≪ corpus) — driver traffic stays vocab-sized."""
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    cache_key = ("unigram_lm_pruned", sf_dir)
+    if cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
+    words, costs = _ulm_words_and_seed(spark, sf_dir, _ULM_PRUNE_SEED)
+    rows: list = []
+    for _ in range(_ULM_ITERS):
+        rows = _ulm_em_step(words, costs)
+        costs = {r["piece"]: int(r["cost"]) for r in rows}
+
+    # prune: alternative-segmentation loss per multi-char piece
+    multi = [(r["piece"],) for r in rows if len(r["piece"]) > 1]
+    by_piece = {r["piece"]: (int(r["c"]), int(r["cost"])) for r in rows}
+    dp, _walk = _unigram_viterbi_pieces(costs, exclude_self=True)
+    alt_rows = (
+        spark.createDataFrame(multi, "w string")
+        .withColumn("dp", dp)
+        .select(
+            "w",
+            F.shiftright(
+                F.element_at("dp", (F.length("w") + 1).cast("int")), 3
+            ).alias("alt"),
+        )
+        .collect()
+    )
+    losses = sorted(
+        (
+            -by_piece[r["w"]][0] * (int(r["alt"]) - by_piece[r["w"]][1]),
+            r["w"],
+        )
+        for r in alt_rows
+    )
+    kept_multi = {w for _neg, w in losses[:_ULM_PRUNE_KEEP]}
+    survivors = [
+        (p, c)
+        for p, (c, _cost) in sorted(by_piece.items())
+        if len(p) == 1 or p in kept_multi
+    ]
+    tot = spark.createDataFrame(survivors, "piece string, c long")
+    totv = tot.agg(F.sum("c").alias("t"))
+    costs = {
+        r["piece"]: int(r["cost"])
+        for r in tot.crossJoin(F.broadcast(totv))
+        .select("piece", _ulm_cost_expr(F.col("c"), F.col("t")).alias("cost"))
+        .collect()
+    }
+
+    # one more EM pass under the pruned vocabulary
+    rows = _ulm_em_step(words, costs)
+    final_rows = sorted((r["piece"], int(r["c"]), int(r["cost"])) for r in rows)
+    _STATS_CACHE[cache_key] = final_rows
+    return final_rows
+
+
+@register(
+    "unigram_lm_train_pruned",
+    oracle="WITH RECURSIVE "
+    + _ULM_WORDS_SQL
+    + ","
+    + _ulm_seed_sql(_ULM_PRUNE_SEED)
+    + ","
+    + ",".join(_ulm_iter_sql(i) for i in range(_ULM_ITERS))
+    + ","
+    + _ulm_prune_sql(_ULM_ITERS, _ULM_PRUNE_KEEP)
+    + ","
+    + _ulm_iter_sql(_ULM_ITERS, cost_in="costsP")
+    + f"""
+SELECT piece, c AS count, cost FROM costs{_ULM_ITERS + 1} ORDER BY piece
+""",
+)
+def unigram_lm_train_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with Kudo's vocabulary PRUNING (r9): a larger
+    seed (_ULM_PRUNE_SEED=80 multi-char pieces) converges to a SMALLER
+    final vocabulary (≤ _ULM_PRUNE_KEEP=40 multi-char survivors) by
+    likelihood-loss ranking — see :func:`_unigram_train_pruned`.  The
+    DuckDB oracle independently recomputes the over-seed, both EM
+    passes, the self-excluded alternative-segmentation DP, the loss
+    ranking, the renormalization, and the post-prune EM pass; the prune
+    decision is also parity-tested against a pure-Python trainer
+    (tests/test_text.py)."""
+    return spark.createDataFrame(
+        _unigram_train_pruned(spark, sf_dir),
+        "piece string, count long, cost long",
     )
 
 

@@ -534,3 +534,122 @@ def test_unigram_viterbi_fold_is_optimal_vs_bruteforce(spark):
             )
             total = sum(costs.get(p, _ULM_INF) for p in pieces)
             assert total == brute(w, costs), (w, pieces, total)
+
+
+def test_unigram_lm_pruned_matches_pure_python_reference(spark, tmp_path):
+    """unigram_lm_train_pruned vs a from-scratch implementation of the
+    FULL Kudo pipeline — over-seed, EM, alternative-segmentation loss
+    (self-excluded Viterbi per piece), loss-ranked prune keeping single
+    chars unconditionally, renormalize, final EM pass.  Extends the r8
+    parity test to the prune decision (VERDICT r8 ask #2)."""
+    import collections
+    import math
+
+    from cdc_practice_spark.queries.text_queries import (
+        _ULM_ITERS,
+        _ULM_K,
+        _ULM_PRUNE_KEEP,
+        _ULM_PRUNE_SEED,
+        unigram_lm_train_pruned,
+    )
+
+    texts = [
+        "the cats sat on the mats",
+        "the rats saw the cats",
+        "inter intern internal international nation",
+        "nation national nations the inter",
+        "station stationary rationally rational ratio",
+    ]
+    words = collections.Counter(
+        w for t in texts for w in t.lower().split() if w.isalpha()
+    )
+
+    def halfup(x):
+        return int(math.floor(x + 0.5))
+
+    subcnt: collections.Counter = collections.Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for k in range(1, min(_ULM_K, len(w) - i) + 1):
+                subcnt[w[i : i + k]] += f
+    seed = {p: c for p, c in subcnt.items() if len(p) == 1}
+    seed.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in subcnt.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:_ULM_PRUNE_SEED]
+        )
+    )
+    total = sum(seed.values())
+    costs = {p: halfup(-math.log(c / total) * 1e6) for p, c in seed.items()}
+    INF = 1 << 40
+
+    def viterbi_dp(w, costs, exclude_self=False):
+        dp = [0]
+        for i in range(1, len(w) + 1):
+            cands = []
+            for k in range(1, min(_ULM_K, i) + 1):
+                piece = w[i - k : i]
+                pc = INF if (exclude_self and piece == w) else costs.get(
+                    piece, INF
+                )
+                cands.append(((dp[i - k] >> 3) + pc) * 8 + k)
+            dp.append(min(cands))
+        return dp
+
+    def segment(w, costs):
+        dp = viterbi_dp(w, costs)
+        pieces, pos = [], len(w)
+        while pos > 0:
+            k = dp[pos] % 8
+            pieces.append(w[pos - k : pos])
+            pos -= k
+        return pieces
+
+    def em_step(costs):
+        cnt: collections.Counter = collections.Counter()
+        for w, f in words.items():
+            for p in segment(w, costs):
+                cnt[p] += f
+        total = sum(cnt.values())
+        return cnt, {
+            p: halfup(-math.log(c / total) * 1e6) for p, c in cnt.items()
+        }
+
+    cnt: collections.Counter = collections.Counter()
+    for _ in range(_ULM_ITERS):
+        cnt, costs = em_step(costs)
+
+    # prune: loss = count * (self-excluded alt cost - own cost)
+    losses = []
+    for p, c in cnt.items():
+        if len(p) == 1:
+            continue
+        alt = viterbi_dp(p, costs, exclude_self=True)[len(p)] >> 3
+        losses.append((-c * (alt - costs[p]), p))
+    kept_multi = {p for _neg, p in sorted(losses)[:_ULM_PRUNE_KEEP]}
+    survivors = {
+        p: c for p, c in cnt.items() if len(p) == 1 or p in kept_multi
+    }
+    total = sum(survivors.values())
+    costs = {
+        p: halfup(-math.log(c / total) * 1e6) for p, c in survivors.items()
+    }
+    cnt, costs = em_step(costs)
+    expect = sorted((p, c, costs[p]) for p, c in cnt.items())
+
+    sf_dir = _stage_documents(
+        spark, tmp_path, [(i, t, "en", "unit") for i, t in enumerate(texts)]
+    )
+    got = [
+        (r["piece"], r["count"], r["cost"])
+        for r in unigram_lm_train_pruned(spark, sf_dir)
+        .orderBy("piece")
+        .collect()
+    ]
+    assert got == expect
+    # the prune is load-bearing: a larger seed converged to no more than
+    # the target number of multi-char survivors
+    n_multi = sum(1 for p, _, _ in got if len(p) > 1)
+    assert 0 < n_multi <= _ULM_PRUNE_KEEP < _ULM_PRUNE_SEED
