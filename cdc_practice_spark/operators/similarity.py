@@ -17,6 +17,9 @@ re-walk the query matrix per row.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -245,16 +248,24 @@ def rp_lsh_ingest(
     rows are dropped before the union, making ingest idempotent."""
     new_sigs = rp_lsh_signatures(new_vectors, planes, id_col, vec_col)
     if dedup_replays:
+        # anti-join on the full (id, table) PAIR, not the id alone (r8
+        # ADVICE): a prior delivery that crashed after writing only a
+        # subset of an id's table rows is REPAIRED by the replay — the
+        # missing table rows pass the anti-join, the present ones are
+        # skipped.  `present` is batch-bounded (batch ids × n_tables),
+        # still broadcast-sized.
         present = (
             index_sigs.join(
                 F.broadcast(new_vectors.select(id_col).distinct()),
                 id_col,
                 "left_semi",
             )
-            .select(id_col)
+            .select(id_col, "table")
             .distinct()
         )
-        new_sigs = new_sigs.join(F.broadcast(present), id_col, "left_anti")
+        new_sigs = new_sigs.join(
+            F.broadcast(present), [id_col, "table"], "left_anti"
+        )
     return index_sigs.unionByName(new_sigs)
 
 
@@ -303,12 +314,7 @@ def compact_ann_store(
     import os
     import shutil
 
-    # self-heal a crash between the full-tier's two renames: the store
-    # dir is missing but its .old twin exists — restore and continue
-    old = store_path + ".old"
-    if not os.path.isdir(store_path) and os.path.isdir(old):
-        os.rename(old, store_path)
-    shutil.rmtree(old, ignore_errors=True)
+    heal_ann_store(store_path)
 
     delta = spark.read.parquet(delta_path)
     touched = [
@@ -323,18 +329,7 @@ def compact_ann_store(
         if not t.startswith("table="):
             continue
         for s in os.listdir(os.path.join(store_path, t)):
-            p = os.path.join(store_path, t, s)
-            if s.startswith("sig=") and s.endswith(".old"):
-                # self-heal the touched tier's per-bucket swap window:
-                # main dir missing ⇒ the crash hit between the rename
-                # and the replace — restore; main present ⇒ stale
-                twin = p[: -len(".old")]
-                if os.path.isdir(twin):
-                    shutil.rmtree(p)
-                else:
-                    os.rename(p, twin)
-                    s = s[: -len(".old")]
-            if s.startswith("sig=") and not s.endswith(".old"):
+            if s.startswith("sig="):
                 existing.append(
                     (int(t.split("=")[1]), int(s.split("=")[1]))
                 )
@@ -351,6 +346,7 @@ def compact_ann_store(
             "overwrite"
         ).partitionBy("table", "sig").parquet(tmp)
         n = int(spark.read.parquet(tmp).count())
+        old = store_path + ".old"
         os.rename(store_path, old)
         os.rename(tmp, store_path)
         shutil.rmtree(old)
@@ -376,10 +372,13 @@ def compact_ann_store(
             continue  # dedup emptied the bucket (degenerate input)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         # rename-aside rather than delete-then-replace: a crash between
-        # the two steps leaves the bucket's only copy as .old, which the
-        # next call's listing walk restores (delete-then-replace would
-        # lose the bucket's pre-existing rows forever)
-        bucket_old = dst + ".old"
+        # the two steps leaves the bucket's only copy as the aside, which
+        # heal_ann_store restores (delete-then-replace would lose the
+        # bucket's pre-existing rows forever).  The aside is UNDERSCORE-
+        # prefixed (r8 ADVICE): Spark's partition discovery skips _names,
+        # so a reader hitting the store before the heal runs never sees
+        # a mixed-type 'sig' partition value or stale duplicate rows.
+        bucket_old = _ann_bucket_aside(dst)
         if os.path.isdir(dst):
             os.rename(dst, bucket_old)
         os.replace(src, dst)
@@ -387,6 +386,54 @@ def compact_ann_store(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(delta_path)
     return n
+
+
+def _ann_bucket_aside(bucket_dir: str) -> str:
+    d, b = os.path.split(bucket_dir)
+    return os.path.join(d, "_old." + b)
+
+
+def heal_ann_store(store_path: str) -> None:
+    """Restore an ANN-store compaction interrupted in any crash window —
+    runs at compaction entry AND in the load path (``load_ann_store``),
+    so a store is never read half-swapped (r8 ADVICE):
+
+      - full tier, between its two renames: the store dir is missing but
+        its ``.old`` twin exists — rename it back;
+      - full tier, after the swap: a stale ``.old`` twin — drop it;
+      - touched tier, between a bucket's rename-aside and replace: the
+        live bucket is missing, its ``_old.sig=N`` aside holds the only
+        copy — rename it back; live bucket present ⇒ the aside is stale
+        — drop it.  (Asides are underscore-prefixed so partition
+        discovery ignores them even before this walk runs.)"""
+    old = store_path + ".old"
+    if not os.path.isdir(store_path) and os.path.isdir(old):
+        os.rename(old, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+    if not os.path.isdir(store_path):
+        return
+    for t in os.listdir(store_path):
+        tp = os.path.join(store_path, t)
+        if not t.startswith("table=") or not os.path.isdir(tp):
+            continue
+        for s in os.listdir(tp):
+            if not s.startswith("_old.sig="):
+                continue
+            aside = os.path.join(tp, s)
+            twin = os.path.join(tp, s[len("_old."):])
+            if os.path.isdir(twin):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, twin)
+
+
+def load_ann_store(spark, store_path: str) -> DataFrame:
+    """Read the bucketed (id, table, sig) signature store, healing any
+    interrupted compaction first — the reader-side half of the crash
+    protocol (the aside naming keeps even an un-healed store readable;
+    the heal makes it exact)."""
+    heal_ann_store(store_path)
+    return spark.read.parquet(store_path)
 
 
 def kmeans_fit_assign(

@@ -444,3 +444,115 @@ def test_rp_lsh_ingest_dedup_replays_is_idempotent(emb, spark):
     twice = S.rp_lsh_ingest(batch, once, planes, dedup_replays=True)
     assert twice.count() == n_once
     assert twice.exceptAll(once).count() == 0
+
+
+def test_ann_store_multi_cycle_lifecycle_with_crashes(
+    emb, qvec, spark, tmp_path, monkeypatch
+):
+    """r9 (VERDICT r8 ask #8): the full maintenance lifecycle — ingest →
+    compact → ingest → compact → query — with a crash INJECTED inside
+    each tier's swap window.  After every heal+refold the store must be
+    row-identical to a from-scratch rebuild, and the served top-k must
+    match a query over freshly-computed signatures."""
+    import os
+    import shutil
+
+    planes = S.rp_lsh_planes(64, 8, 4, seed=7)
+    corpus = emb.filter(F.col("vec_id") % 7 < 5)
+    b1 = emb.filter(F.col("vec_id") % 7 == 5)
+    b2 = emb.filter(F.col("vec_id") % 7 == 6)
+    store_path = str(tmp_path / "store")
+    delta_path = str(tmp_path / "delta")
+    S.rp_lsh_signatures(corpus, planes).repartition(
+        8, "table", "sig"
+    ).write.partitionBy("table", "sig").parquet(store_path)
+
+    def rows_of(df):
+        return sorted((r.vec_id, r.table, r.sig) for r in df.collect())
+
+    def rebuild(vectors):
+        return rows_of(S.rp_lsh_signatures(vectors, planes))
+
+    # ---- cycle 1: ingest b1, crash in the TOUCHED tier's per-bucket
+    # window (between rename-aside and replace) ----
+    S.rp_lsh_signatures(b1, planes).coalesce(1).write.parquet(delta_path)
+    orig_replace = os.replace
+
+    def boom_replace(src, dst, *a, **k):
+        if str(tmp_path) in str(dst) and "sig=" in str(dst):
+            raise RuntimeError("injected crash: touched-tier swap window")
+        return orig_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "replace", boom_replace)
+    try:
+        S.compact_ann_store(
+            spark, store_path, delta_path,
+            n_bucket_files=8, full_rewrite_frac=1.1,
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(os, "replace", orig_replace)
+    # an aside must exist and the live bucket be gone (the crash window)
+    asides = [
+        os.path.join(store_path, t, s)
+        for t in os.listdir(store_path)
+        if t.startswith("table=")
+        for s in os.listdir(os.path.join(store_path, t))
+        if s.startswith("_old.sig=")
+    ]
+    assert asides, "crash must strand at least one aside"
+    # a reader BEFORE any heal: load_ann_store heals and serves exactly
+    # the pre-fold store (no lost bucket, no duplicate rows)
+    healed = rows_of(S.load_ann_store(spark, store_path))
+    assert healed == rebuild(corpus)
+    assert os.path.isdir(delta_path), "delta must survive the crash"
+    # refold to completion
+    n = S.compact_ann_store(
+        spark, store_path, delta_path, n_bucket_files=8, full_rewrite_frac=1.1
+    )
+    assert n > 0 and not os.path.isdir(delta_path)
+    assert rows_of(S.load_ann_store(spark, store_path)) == rebuild(
+        corpus.unionByName(b1)
+    )
+
+    # ---- cycle 2: ingest b2, crash in the FULL tier's between-renames
+    # window (store renamed away, tmp not yet renamed in) ----
+    S.rp_lsh_signatures(b2, planes).coalesce(1).write.parquet(delta_path)
+    orig_rename = os.rename
+
+    def boom_rename(src, dst, *a, **k):
+        if str(src).endswith(".compacting"):
+            raise RuntimeError("injected crash: full-tier swap window")
+        return orig_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "rename", boom_rename)
+    try:
+        S.compact_ann_store(
+            spark, store_path, delta_path,
+            n_bucket_files=8, full_rewrite_frac=0.0,
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(os, "rename", orig_rename)
+    assert not os.path.isdir(store_path), "crash window: store is away"
+    assert os.path.isdir(store_path + ".old")
+    # reader heals the stranded store
+    healed = rows_of(S.load_ann_store(spark, store_path))
+    assert healed == rebuild(corpus.unionByName(b1))
+    n = S.compact_ann_store(
+        spark, store_path, delta_path, n_bucket_files=8, full_rewrite_frac=0.0
+    )
+    everything = corpus.unionByName(b1).unionByName(b2)
+    assert rows_of(S.load_ann_store(spark, store_path)) == rebuild(everything)
+    shutil.rmtree(store_path + ".old", ignore_errors=True)
+
+    # ---- query identity after 2 folds + 2 heals ----
+    served = S.rp_lsh_topk_from_index(
+        everything, S.load_ann_store(spark, store_path), planes, qvec, k=5
+    ).collect()
+    fresh = S.rp_lsh_topk_from_index(
+        everything, S.rp_lsh_signatures(everything, planes), planes, qvec, k=5
+    ).collect()
+    assert [r.vec_id for r in served] == [r.vec_id for r in fresh]
