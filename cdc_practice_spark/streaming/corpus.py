@@ -116,6 +116,89 @@ def _run_token(checkpoint_dir: str) -> str:
         return fh.read().strip()
 
 
+def _lease_path(root: str) -> str:
+    return os.path.join(root, "_INGEST_WRITER_LOCK")
+
+
+def _acquire_writer_lease(spark: SparkSession, root: str, token: str) -> None:
+    """Single-writer enforcement for the ingest store (r9 — r8 ADVICE):
+    two CONCURRENT runs (different checkpoints) against one store would
+    both derive the same epoch offset from the same manifest and
+    silently overwrite each other's delta dirs; the documented
+    single-writer assumption is now enforced, not assumed.
+
+    The lease is an O_CREAT|O_EXCL JSON record {token, pid, query_id}.
+    A contender may take it over only when the holder is provably done:
+      - same token (a resume/replay of the same checkpointed run);
+      - holder's pid is dead (crashed process — pid-reuse is the
+        accepted residual risk);
+      - holder's pid is THIS process and its recorded streaming query is
+        no longer active (a finished availableNow run that never
+        'closes' the store — there is no close hook to release at).
+    A live holder (active query, or another live process we cannot
+    introspect) raises instead of corrupting the store."""
+    os.makedirs(root, exist_ok=True)
+    lease = _lease_path(root)
+    rec = json.dumps({"token": token, "pid": os.getpid(), "query_id": None})
+    for _ in range(8):  # a steal retries the exclusive create
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(rec)
+            return
+        except FileExistsError:
+            pass
+        try:
+            with open(lease) as fh:
+                held = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            held = None  # half-written or vanished — treat as stale
+        if held is not None:
+            if held.get("token") == token:
+                return  # our own run resumed/replayed
+            pid = int(held.get("pid", -1))
+            alive = True
+            try:
+                os.kill(pid, 0)
+            except (OSError, ProcessLookupError):
+                alive = False
+            if alive:
+                if pid != os.getpid():
+                    raise RuntimeError(
+                        f"stream_corpus_ingest: store {root!r} is held by "
+                        f"a live writer (pid {pid}) — concurrent ingest "
+                        f"runs against one store are not supported"
+                    )
+                qid = held.get("query_id")
+                active = {str(q.id) for q in spark.streams.active}
+                if qid is None or qid in active:
+                    raise RuntimeError(
+                        f"stream_corpus_ingest: store {root!r} is held by "
+                        f"an active run in this process (query "
+                        f"{qid or 'starting'}) — drain it first"
+                    )
+        # stale — steal by removing and retrying the exclusive create
+        try:
+            os.unlink(lease)
+        except FileNotFoundError:
+            pass
+    raise RuntimeError(
+        f"stream_corpus_ingest: could not acquire the writer lease on "
+        f"{root!r} (persistent contention)"
+    )
+
+
+def _record_lease_query(root: str, token: str, query_id: str) -> None:
+    """Stamp the started query's id into our lease so a later contender
+    can tell 'finished availableNow run' from 'still streaming'."""
+    tmp = _lease_path(root) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"token": token, "pid": os.getpid(), "query_id": query_id}, fh
+        )
+    os.replace(tmp, _lease_path(root))
+
+
 def _epoch_offset(root: str, token: str, epoch_id: int) -> int:
     """Map this run's CHECKPOINT epoch ids onto STORE epoch ids that can
     never collide with epochs committed by previous runs (r8 — ADVICE r7
@@ -716,12 +799,20 @@ def stream_corpus_ingest(
         if store_epoch not in pre_epochs:
             _swap_manifest(store_root, pre_epochs + [store_epoch])
 
-    return (
+    # single-writer lease BEFORE the stream starts (r9 — r8 ADVICE): a
+    # second concurrent run against this store fails fast here instead
+    # of colliding on store epoch ids.  The token minted now is the one
+    # apply_batch re-reads per epoch (persisted in the checkpoint dir).
+    token = _run_token(checkpoint_dir)
+    _acquire_writer_lease(spark, store_root, token)
+    q = (
         docs_stream.writeStream.foreachBatch(_scoped(apply_batch))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    _record_lease_query(store_root, token, str(q.id))
+    return q
 
 
 def compact_ingest_index(spark: SparkSession, store_root: str) -> int:

@@ -513,3 +513,65 @@ def test_purge_heal_crash_windows(spark):
     )
     assert got == disp0
     assert not os.path.isdir(live + ".purged.old")
+
+
+def test_ingest_writer_lease_excludes_concurrent_runs(spark, tmp_path):
+    """r9 (r8 ADVICE): the store's single-writer assumption is enforced —
+    a live concurrent writer is refused; a crashed process or a finished
+    availableNow run is stolen from."""
+    import json
+
+    import pytest
+
+    from cdc_practice_spark.streaming.corpus import (
+        _acquire_writer_lease,
+        _lease_path,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    lease = _lease_path(store)
+
+    # dead pid → stale → steal
+    with open(lease, "w") as fh:
+        json.dump({"token": "aaaa", "pid": 2**22 + 12345, "query_id": "x"}, fh)
+    _acquire_writer_lease(spark, store, "bbbb")
+    assert json.load(open(lease))["token"] == "bbbb"
+
+    # same token → resume allowed, lease untouched
+    _acquire_writer_lease(spark, store, "bbbb")
+
+    # our pid, query no longer active (finished availableNow run) → steal
+    with open(lease, "w") as fh:
+        json.dump(
+            {"token": "cccc", "pid": os.getpid(), "query_id": "not-active"},
+            fh,
+        )
+    _acquire_writer_lease(spark, store, "dddd")
+    assert json.load(open(lease))["token"] == "dddd"
+
+    # our pid, query STILL ACTIVE → refused
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .start()
+    )
+    try:
+        with open(lease, "w") as fh:
+            json.dump(
+                {"token": "eeee", "pid": os.getpid(), "query_id": str(q.id)},
+                fh,
+            )
+        with pytest.raises(RuntimeError, match="active run"):
+            _acquire_writer_lease(spark, store, "ffff")
+        # our pid, lease holder still starting (query_id None) → refused
+        with open(lease, "w") as fh:
+            json.dump(
+                {"token": "gggg", "pid": os.getpid(), "query_id": None}, fh
+            )
+        with pytest.raises(RuntimeError, match="active run"):
+            _acquire_writer_lease(spark, store, "hhhh")
+    finally:
+        q.stop()
