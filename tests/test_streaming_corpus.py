@@ -293,11 +293,11 @@ def test_streaming_funnel_sums_to_batch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _purge_harness_docs(spark, exclude_batch_ids=()):
-    """20 corpus docs (ids 0..19) + 16 batch docs (ids 100..115), all
-    English, all textually unique (no near-dups anywhere)."""
+def _purge_harness_docs(spark, exclude_batch_ids=(), batch_lo=100, batch_hi=116):
+    """20 corpus docs (ids 0..19) + 16 batch docs (default ids 100..115),
+    all English, all textually unique (no near-dups anywhere)."""
     rows = []
-    for i in list(range(20)) + [b for b in range(100, 116)
+    for i in list(range(20)) + [b for b in range(batch_lo, batch_hi)
                                 if b not in exclude_batch_ids]:
         words = " ".join(f"w{i}x{j}" for j in range(10))
         rows.append((i, f"s{i % 2}", f"the {words} and item {i} of note"))
@@ -306,9 +306,14 @@ def _purge_harness_docs(spark, exclude_batch_ids=()):
     )
 
 
-def _run_purge_ingest(spark, work, exclude_batch_ids=(), capacity=40):
+def _run_purge_ingest(
+    spark, work, exclude_batch_ids=(), capacity=40, batch_lo=100,
+    batch_hi=116, run="",
+):
     """Seed from the synthetic corpus, stream the batch docs as 2
-    id-ordered chunks, return the store root."""
+    id-ordered chunks, return the store root.  ``run`` names the
+    src/checkpoint pair so a SECOND stream run can continue the same
+    store (the continuation-after-purge test)."""
     import json
 
     from cdc_practice_spark.operators.corpus import (
@@ -322,11 +327,12 @@ def _run_purge_ingest(spark, work, exclude_batch_ids=(), capacity=40):
         stream_corpus_ingest,
     )
 
-    docs = _purge_harness_docs(spark, exclude_batch_ids)
+    docs = _purge_harness_docs(spark, exclude_batch_ids, batch_lo, batch_hi)
     corpus, batch = docs.filter("doc_id < 100"), docs.filter("doc_id >= 100")
-    src = os.path.join(work, "src")
+    src = os.path.join(work, f"src{run}")
     os.makedirs(src, exist_ok=True)
-    for k, (lo, hi) in enumerate([(100, 108), (108, 116)]):
+    mid = (batch_lo + batch_hi) // 2
+    for k, (lo, hi) in enumerate([(batch_lo, mid), (mid, batch_hi)]):
         chunk = batch.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1)
         part = os.path.join(src, f"_part{k}")
         chunk.write.mode("overwrite").parquet(part)
@@ -358,7 +364,7 @@ def _run_purge_ingest(spark, work, exclude_batch_ids=(), capacity=40):
         .parquet(src),
         stats,
         store,
-        os.path.join(work, "ckpt"),
+        os.path.join(work, f"ckpt{run}"),
         capacity=capacity,
     )
     q.awaitTermination()
@@ -575,3 +581,44 @@ def test_ingest_writer_lease_excludes_concurrent_runs(spark, tmp_path):
             _acquire_writer_lease(spark, store, "hhhh")
     finally:
         q.stop()
+
+
+def test_purge_then_continue_stream_identity(spark):
+    """The operational loop end-to-end: ingest → purge → a LATER batch
+    arrives and the stream continues.  The resumed run must pack from
+    the post-purge fill state (the rewritten pack_state_v* dirs), so the
+    final store equals a from-scratch history in which the purged docs
+    were never admitted — including the second batch's bin boundaries.
+    Also exercises the writer-lease takeover from a finished run."""
+    from cdc_practice_spark.streaming.corpus import purge_ingest_docs
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="purge_cont_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    disp0, _, _ = _store_contents(spark, store)
+    kept = [t[0] for t in disp0 if t[3] == "kept"]
+    assert len(kept) >= 2
+    purge = kept[:2]
+    purge_ingest_docs(
+        spark,
+        store,
+        spark.createDataFrame([(i,) for i in purge], "doc_id long"),
+        capacity=40,
+    )
+    # the later batch continues the SAME store through a new stream run
+    store = _run_purge_ingest(
+        spark, work, batch_lo=200, batch_hi=216, run="2"
+    )
+    disp1, idx1, g81 = _store_contents(spark, store)
+
+    # from-scratch history that never admitted the purged docs
+    work2 = tempfile.mkdtemp(prefix="purge_cont_rb_", dir=TMP_ROOT)
+    _run_purge_ingest(spark, work2, exclude_batch_ids=tuple(purge))
+    store2 = _run_purge_ingest(
+        spark, work2, batch_lo=200, batch_hi=216, run="2"
+    )
+    disp2, idx2, g82 = _store_contents(spark, store2)
+
+    assert idx1 == idx2
+    assert g81 == g82
+    assert [t for t in disp1 if t[0] not in purge] == disp2
