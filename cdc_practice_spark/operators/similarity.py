@@ -436,6 +436,82 @@ def load_ann_store(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(store_path)
 
 
+def rp_lsh_erase(
+    spark,
+    store_path: str,
+    erase_vectors: DataFrame,
+    planes,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bucket_files: int = 8,
+) -> int:
+    """GDPR-style erasure from the bucketed signature store at
+    O(erase + touched buckets) — the ANN sibling of the snapshot/MV
+    key-erasure family (cdc/incremental.py) and the content-purge
+    (streaming/corpus.py::purge_ingest_docs): a deletion request must
+    remove the subjects' rows from DERIVED stores too, not only the
+    primary table.
+
+    The erased ids' signatures are recomputed from their vectors (one
+    O(erase) GEMM — the deletion request arrives with, or joins to, the
+    primary embedding rows), which names the EXACT (table, sig) buckets
+    holding their rows: only those bucket partitions are read
+    (partition-pruned scan), anti-joined, and swapped via the same
+    underscore-prefixed rename-aside protocol as compaction — untouched
+    buckets are neither read nor written, a bucket emptied by the erase
+    is deleted, and any crash window heals in ``load_ann_store`` back to
+    the pre-erase bucket (no data loss; re-run the erase to complete it
+    — re-running is idempotent).  Returns the number of signature rows
+    removed."""
+    heal_ann_store(store_path)
+    sigs = tracked_persist(
+        rp_lsh_signatures(erase_vectors, planes, id_col, vec_col)
+    )
+    touched = sorted(
+        (int(r["table"]), int(r["sig"]))
+        for r in sigs.select("table", "sig").distinct().collect()
+    )
+    if not touched:
+        return 0
+    by_table: dict[int, list[int]] = {}
+    for t, s in touched:
+        by_table.setdefault(t, []).append(s)
+    cond = None
+    for t, ss in by_table.items():
+        leg = (F.col("table") == t) & F.col("sig").isin(ss)
+        cond = leg if cond is None else (cond | leg)
+    store = spark.read.parquet(store_path)
+    hit = store.filter(cond)
+    n_erased = int(
+        hit.join(
+            F.broadcast(sigs.select(id_col).distinct()), id_col, "left_semi"
+        ).count()
+    )
+    if n_erased == 0:
+        return 0
+    kept = hit.join(
+        F.broadcast(sigs.select(id_col).distinct()), id_col, "left_anti"
+    )
+    tmp = store_path + ".erasing"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.repartition(n_bucket_files, "table", "sig").write.mode(
+        "overwrite"
+    ).partitionBy("table", "sig").parquet(tmp)
+    for t, s in touched:
+        src = os.path.join(tmp, f"table={t}", f"sig={s}")
+        dst = os.path.join(store_path, f"table={t}", f"sig={s}")
+        if not os.path.isdir(dst):
+            continue  # the erase ids hashed to a bucket the store lacks
+        aside = _ann_bucket_aside(dst)
+        os.rename(dst, aside)
+        if os.path.isdir(src):
+            os.replace(src, dst)  # rewritten bucket
+        # else: the erase emptied the bucket — it simply stays deleted
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_erased
+
+
 def kmeans_fit_assign(
     embeddings: DataFrame,
     k: int = 8,

@@ -540,3 +540,95 @@ def ann_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_cand") < F.col("n_vectors")).alias("sublinear_ok"),
         )
     )
+
+
+@register(
+    "ann_store_erase",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_remaining,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_erased_ids,
+       TRUE AS erase_equals_rebuild,
+       TRUE AS erased_absent,
+       TRUE AS query_clean
+FROM embeddings
+""",
+)
+def ann_store_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style erasure from the ON-DISK bucketed ANN store (r9 — the
+    derived-store sibling of the snapshot/MV key-erasure family and the
+    ingest store's content purge): the deletion set (vec_id % 5 == 4)
+    is removed from the (table, sig)-partitioned signature store at
+    O(erase + touched buckets) via operators/similarity.py::
+    rp_lsh_erase — the erased vectors' own signatures name the exact
+    buckets, so untouched buckets are never read or written (asserted
+    by mtime in tests/test_similarity.py).
+
+    Signatures aren't SQL-replicable (random projections), so the
+    oracle gates DECISIONS beside the exact split counts:
+      - erase_equals_rebuild: the post-erase store is row-identical to
+        a from-scratch store over the remaining vectors (symmetric
+        exceptAll empty) — erase ≡ never-indexed;
+      - erased_absent: no erased id remains anywhere in the store;
+      - query_clean: a top-k served from the post-erase store returns
+        no erased id (the visible GDPR contract)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    remaining = emb.filter(F.col("vec_id") % 5 != 4)
+    erase = emb.filter(F.col("vec_id") % 5 == 4)
+    qv = _query_vec(spark, sf_dir)
+    planes = S.rp_lsh_planes(len(qv), n_planes=6, n_tables=4)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ann_erase_", dir=TMP_ROOT)
+    store_path = os.path.join(work, "store")
+    S.rp_lsh_signatures(emb, planes).repartition(
+        8, "table", "sig"
+    ).write.partitionBy("table", "sig").parquet(store_path)
+    n_erased_rows = S.rp_lsh_erase(spark, store_path, erase, planes)
+    store = tracked_persist(
+        S.load_ann_store(spark, store_path).select("vec_id", "table", "sig")
+    )
+
+    rebuilt = S.rp_lsh_signatures(remaining, planes)
+    d1 = store.exceptAll(rebuilt).agg(F.count(F.lit(1)).alias("d1"))
+    d2 = rebuilt.exceptAll(store).agg(F.count(F.lit(1)).alias("d2"))
+    left = store.join(
+        erase.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_left"))
+    topk = S.rp_lsh_topk_from_index(remaining, store, planes, qv, k=10)
+    dirty = topk.join(erase.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_dirty")
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_remaining"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_erased_ids"),
+    )
+    out = (
+        counts.crossJoin(d1)
+        .crossJoin(d2)
+        .crossJoin(left)
+        .crossJoin(dirty)
+        .select(
+            "n_remaining",
+            "n_erased_ids",
+            (
+                ((F.col("d1") + F.col("d2")) == 0)
+                & F.lit(n_erased_rows > 0)
+            ).alias("erase_equals_rebuild"),
+            (F.col("n_left") == 0).alias("erased_absent"),
+            (F.col("n_dirty") == 0).alias("query_clean"),
+        )
+    )
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -556,3 +556,92 @@ def test_ann_store_multi_cycle_lifecycle_with_crashes(
         everything, S.rp_lsh_signatures(everything, planes), planes, qvec, k=5
     ).collect()
     assert [r.vec_id for r in served] == [r.vec_id for r in fresh]
+
+
+def test_rp_lsh_erase_touches_only_named_buckets(emb, spark, tmp_path, monkeypatch):
+    """rp_lsh_erase (r9): erase == rebuild-over-remaining, erased ids
+    gone, UNTOUCHED buckets byte-untouched (mtime), idempotent re-run,
+    and the per-bucket crash window heals with no data loss."""
+    import os
+
+    planes = S.rp_lsh_planes(64, 6, 4, seed=7)
+    erase = emb.filter(F.col("vec_id") % 5 == 4)
+    remaining = emb.filter(F.col("vec_id") % 5 != 4)
+    store_path = str(tmp_path / "store")
+    S.rp_lsh_signatures(emb, planes).repartition(
+        8, "table", "sig"
+    ).write.partitionBy("table", "sig").parquet(store_path)
+
+    touched = {
+        (int(r["table"]), int(r["sig"]))
+        for r in S.rp_lsh_signatures(erase, planes)
+        .select("table", "sig")
+        .distinct()
+        .collect()
+    }
+    untouched_before = {}
+    for t_dir in os.listdir(store_path):
+        if not t_dir.startswith("table="):
+            continue
+        t = int(t_dir.split("=")[1])
+        for s_dir in os.listdir(os.path.join(store_path, t_dir)):
+            s = int(s_dir.split("=")[1])
+            if (t, s) not in touched:
+                p = os.path.join(store_path, t_dir, s_dir)
+                untouched_before[p] = os.stat(p).st_mtime_ns
+
+    n = S.rp_lsh_erase(spark, store_path, erase, planes)
+    assert n > 0
+    got = sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in S.load_ann_store(spark, store_path).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in S.rp_lsh_signatures(remaining, planes).collect()
+    )
+    assert got == want
+    for p, mtime in untouched_before.items():
+        assert os.path.isdir(p) and os.stat(p).st_mtime_ns == mtime, (
+            f"untouched bucket rewritten: {p}"
+        )
+    # idempotent: nothing left to erase
+    assert S.rp_lsh_erase(spark, store_path, erase, planes) == 0
+
+    # crash window: second store, fail the bucket replace mid-erase
+    store2 = str(tmp_path / "store2")
+    S.rp_lsh_signatures(emb, planes).repartition(
+        8, "table", "sig"
+    ).write.partitionBy("table", "sig").parquet(store2)
+    orig_replace = os.replace
+
+    def boom(src, dst, *a, **k):
+        if str(tmp_path) in str(dst) and "sig=" in str(dst):
+            raise RuntimeError("injected crash: erase swap window")
+        return orig_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "replace", boom)
+    try:
+        S.rp_lsh_erase(spark, store2, erase, planes)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(os, "replace", orig_replace)
+    import shutil
+
+    shutil.rmtree(store2 + ".erasing", ignore_errors=True)
+    # a reader heals back to the full pre-erase store (no data loss)...
+    healed = sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in S.load_ann_store(spark, store2).collect()
+    )
+    assert healed == sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in S.rp_lsh_signatures(emb, planes).collect()
+    )
+    # ...and re-running the erase completes it
+    assert S.rp_lsh_erase(spark, store2, erase, planes) > 0
+    assert sorted(
+        (r.vec_id, r.table, r.sig)
+        for r in S.load_ann_store(spark, store2).collect()
+    ) == want
