@@ -407,17 +407,39 @@ def purge_ingest_docs(
     O(purge + affected-source rows), never O(store).  Requires a
     quiescent store (same rule as compaction); post-purge state is
     identical to a from-scratch run that never admitted the purged docs
-    (tested, tests/test_streaming_corpus.py).  Returns the number of
-    docs un-admitted."""
+    (tested, tests/test_streaming_corpus.py).
+
+    Crash-resumable via a journal: the purge-id list is persisted to
+    ``_PURGE_JOURNAL`` BEFORE any mutation and removed after the last
+    phase, and every phase is idempotent — a purge interrupted between
+    phases (dispositions flipped but index rows not yet deleted, or
+    pack states not yet re-derived) completes on the next
+    purge_ingest_docs call, which unions the journal's ids with its
+    own.  Returns the number of docs whose disposition flipped in THIS
+    call (0 when resuming an already-flipped purge)."""
     from cdc_practice_spark.operators.packing import pack_greedy
     from cdc_practice_spark.plans.cache import tracked_persist
 
     _heal_purge_asides(store_root)
     _check_quiescent(store_root, "purge_ingest_docs")
     epochs = _read_manifest(store_root)
-    pids = tracked_persist(
-        purge_ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
-    )
+
+    # journal FIRST — any crash from here on resumes on the next call,
+    # which unions the journal's ids with its own.  Parquet, not a
+    # driver-side list: the purge set stays distributed at any size.
+    jdir = os.path.join(store_root, "_purge_journal")
+    ids = purge_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    if os.path.isdir(jdir):
+        ids = ids.unionByName(spark.read.schema("doc_id long").parquet(jdir))
+    pids = tracked_persist(ids.distinct())
+    if pids.isEmpty():
+        return 0
+    if os.path.isdir(jdir):
+        _swap_store_dir(store_root, "_purge_journal", pids)
+    else:
+        staging = jdir + ".purging"
+        pids.write.mode("overwrite").parquet(staging)
+        os.rename(staging, jdir)
 
     def _tagged_disp() -> DataFrame:
         parts = []
@@ -437,15 +459,54 @@ def purge_ingest_docs(
         return out
 
     disp = _tagged_disp()
-    purged = tracked_persist(
-        disp.filter(F.col("disposition") == "kept").join(
-            F.broadcast(pids), "doc_id", "left_semi"
-        )
+    # rows the purge concerns: currently admitted (to flip) plus rows a
+    # CRASHED earlier attempt already flipped (their epochs still need
+    # the idempotent funnel/pack re-derive below)
+    touched = tracked_persist(
+        disp.filter(
+            F.col("disposition").isin("kept", PURGED_DISPOSITION)
+        ).join(F.broadcast(pids), "doc_id", "left_semi")
+    )
+    n_purged = (
+        touched.filter(F.col("disposition") == "kept")
+        .select("doc_id")
+        .distinct()
+        .count()
     )
     affected_sources = [
-        r["source"] for r in purged.select("source").distinct().collect()
+        r["source"] for r in touched.select("source").distinct().collect()
     ]
+
+    def _drop_from_index_dirs() -> None:
+        # index + admitted-gram rows: drop the purged docs from every
+        # dir that contains them (touched dirs only; the manifest bounds
+        # the loop and compaction bounds the manifest).  Runs even when
+        # no disposition flips: an id can sit in the index as a quality
+        # survivor that was never admitted, and a resumed purge must
+        # still finish this phase.
+        for prefix, schema in (
+            ("idx_delta", _IDX_SCHEMA),
+            ("g8_delta", _G8_SCHEMA),
+        ):
+            for e in epochs:
+                name = f"{prefix}_v{e}"
+                p = os.path.join(store_root, name)
+                if not os.path.isdir(p):
+                    continue
+                cur = spark.read.schema(schema).parquet(p)
+                if cur.join(F.broadcast(pids), "doc_id", "left_semi").isEmpty():
+                    continue
+                _swap_store_dir(
+                    store_root,
+                    name,
+                    cur.join(F.broadcast(pids), "doc_id", "left_anti"),
+                )
+
     if not affected_sources:
+        _drop_from_index_dirs()
+        import shutil
+
+        shutil.rmtree(jdir, ignore_errors=True)
         return 0
 
     # repack the affected sources' surviving kept docs from scratch —
@@ -469,7 +530,7 @@ def purge_ingest_docs(
         )
     )
 
-    # dirty epochs: contain a purged row, or a kept row whose bin moved
+    # dirty epochs: contain a purge-concerned row, or a bin that moved
     moved = (
         affected.join(F.broadcast(pids), "doc_id", "left_anti")
         .join(repacked, "doc_id")
@@ -480,13 +541,12 @@ def purge_ingest_docs(
     )
     dirty = sorted(
         r["_epoch"]
-        for r in purged.select("_epoch")
+        for r in touched.select("_epoch")
         .union(moved.select("_epoch"))
         .distinct()
         .collect()
     )
 
-    n_purged = purged.select("doc_id").distinct().count()
     is_purged = F.col("_p").isNotNull() & (F.col("disposition") == "kept")
     for e in dirty:
         name = f"disp_delta_v{e}"
@@ -530,21 +590,7 @@ def purge_ingest_docs(
             )
             _swap_store_dir(store_root, fname, fn)
 
-    # index + admitted-gram rows: drop the purged docs from every dir
-    # that contains them (touched dirs only; the manifest bounds the
-    # loop and compaction bounds the manifest)
-    for prefix, schema in (("idx_delta", _IDX_SCHEMA), ("g8_delta", _G8_SCHEMA)):
-        for e in epochs:
-            name = f"{prefix}_v{e}"
-            p = os.path.join(store_root, name)
-            if not os.path.isdir(p):
-                continue
-            cur = spark.read.schema(schema).parquet(p)
-            if cur.join(F.broadcast(pids), "doc_id", "left_semi").isEmpty():
-                continue
-            _swap_store_dir(
-                store_root, name, cur.join(F.broadcast(pids), "doc_id", "left_anti")
-            )
+    _drop_from_index_dirs()
 
     # carried pack states: re-derive cumulatively from the first dirty
     # epoch on, so a resumed stream continues from the post-purge fill
@@ -585,6 +631,9 @@ def purge_ingest_docs(
                         _PACK_SCHEMA,
                     ),
                 )
+    import shutil
+
+    shutil.rmtree(jdir, ignore_errors=True)  # last: the purge is complete
     return n_purged
 
 

@@ -622,3 +622,52 @@ def test_purge_then_continue_stream_identity(spark):
     assert idx1 == idx2
     assert g81 == g82
     assert [t for t in disp1 if t[0] not in purge] == disp2
+
+
+def test_purge_crash_between_phases_resumes_from_journal(spark, monkeypatch):
+    """A purge that crashes AFTER flipping dispositions but BEFORE the
+    index/gram deletion must complete on the next call via the persisted
+    journal — the partial state can never become permanent."""
+    import shutil
+
+    import cdc_practice_spark.streaming.corpus as C
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="purge_jrnl_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    disp0, _, _ = _store_contents(spark, store)
+    purge = [t[0] for t in disp0 if t[3] == "kept"][:2]
+    pdf = spark.createDataFrame([(i,) for i in purge], "doc_id long")
+
+    # the expected end state: a clone purged WITHOUT a crash
+    ref_store = os.path.join(work, "ref_store")
+    shutil.copytree(store, ref_store)
+    C.purge_ingest_docs(spark, ref_store, pdf, capacity=40)
+    ref = _store_contents(spark, ref_store)
+
+    orig_swap = C._swap_store_dir
+
+    def boom(root, name, df):
+        if name.startswith("idx_delta"):
+            raise RuntimeError("injected crash: before index deletion")
+        return orig_swap(root, name, df)
+
+    monkeypatch.setattr(C, "_swap_store_dir", boom)
+    try:
+        C.purge_ingest_docs(spark, store, pdf, capacity=40)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(C, "_swap_store_dir", orig_swap)
+    assert os.path.isdir(os.path.join(store, "_purge_journal"))
+
+    # resume with an EMPTY purge list — the journal alone must finish it
+    n = C.purge_ingest_docs(
+        spark,
+        store,
+        spark.createDataFrame([], "doc_id long"),
+        capacity=40,
+    )
+    assert n == 0  # the flips already happened in the crashed attempt
+    assert not os.path.isdir(os.path.join(store, "_purge_journal"))
+    assert _store_contents(spark, store) == ref
