@@ -378,6 +378,40 @@ def _check_quiescent(root: str, op: str) -> None:
             )
 
 
+def _tagged_disp(
+    spark: SparkSession, root: str, epochs: list[int]
+) -> DataFrame:
+    """All disposition rows with ``_dir`` (the delta dir holding the
+    row) and ``_epoch`` (the row's TRUE ingest epoch).  Per-epoch dirs
+    carry their epoch in the dir name; the compacted base (dir -2)
+    persists each row's original epoch as a column — read with the
+    widened schema, missing in per-epoch dirs (null) and coalesced from
+    the dir id."""
+    parts = []
+    for e in epochs:
+        p = os.path.join(root, f"disp_delta_v{e}")
+        if os.path.isdir(p):
+            parts.append(
+                spark.read.schema(_DISP_SCHEMA + ", epoch long")
+                .parquet(p)
+                .select(
+                    *[f.strip().split()[0] for f in _DISP_SCHEMA.split(",")],
+                    F.lit(e).cast("long").alias("_dir"),
+                    F.coalesce(F.col("epoch"), F.lit(e).cast("long")).alias(
+                        "_epoch"
+                    ),
+                )
+            )
+    if not parts:
+        return spark.createDataFrame(
+            [], _DISP_SCHEMA + ", _dir long, _epoch long"
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def purge_ingest_docs(
     spark: SparkSession,
     store_root: str,
@@ -441,24 +475,7 @@ def purge_ingest_docs(
         pids.write.mode("overwrite").parquet(staging)
         os.rename(staging, jdir)
 
-    def _tagged_disp() -> DataFrame:
-        parts = []
-        for e in epochs:
-            p = os.path.join(store_root, f"disp_delta_v{e}")
-            if os.path.isdir(p):
-                parts.append(
-                    spark.read.schema(_DISP_SCHEMA)
-                    .parquet(p)
-                    .withColumn("_epoch", F.lit(e).cast("long"))
-                )
-        if not parts:
-            return spark.createDataFrame([], _DISP_SCHEMA + ", _epoch long")
-        out = parts[0]
-        for q in parts[1:]:
-            out = out.unionByName(q)
-        return out
-
-    disp = _tagged_disp()
+    disp = _tagged_disp(spark, store_root, epochs)
     # rows the purge concerns: currently admitted (to flip) plus rows a
     # CRASHED earlier attempt already flipped (their epochs still need
     # the idempotent funnel/pack re-derive below)
@@ -530,7 +547,9 @@ def purge_ingest_docs(
         )
     )
 
-    # dirty epochs: contain a purge-concerned row, or a bin that moved
+    # dirty DIRS (disp rewrite targets) and dirty TRUE EPOCHS (funnel
+    # recompute targets) — distinct after a full-store compaction folds
+    # many epochs' rows into the one base dir (-2)
     moved = (
         affected.join(F.broadcast(pids), "doc_id", "left_anti")
         .join(repacked, "doc_id")
@@ -539,18 +558,20 @@ def purge_ingest_docs(
             | (F.col("bin_fill") != F.col("_nf"))
         )
     )
-    dirty = sorted(
-        r["_epoch"]
-        for r in touched.select("_epoch")
-        .union(moved.select("_epoch"))
-        .distinct()
-        .collect()
+    concerned = touched.select("_dir", "_epoch").union(
+        moved.select("_dir", "_epoch")
+    )
+    dirty_dirs = sorted(
+        r["_dir"] for r in concerned.select("_dir").distinct().collect()
+    )
+    dirty_epochs = sorted(
+        r["_epoch"] for r in concerned.select("_epoch").distinct().collect()
     )
 
     is_purged = F.col("_p").isNotNull() & (F.col("disposition") == "kept")
-    for e in dirty:
+    for e in dirty_dirs:
         name = f"disp_delta_v{e}"
-        old = spark.read.schema(_DISP_SCHEMA).parquet(
+        old = spark.read.schema(_DISP_SCHEMA + ", epoch long").parquet(
             os.path.join(store_root, name)
         )
         new = (
@@ -571,15 +592,20 @@ def purge_ingest_docs(
                 .otherwise(F.coalesce("_nf", "bin_fill"))
                 .cast("long")
                 .alias("bin_fill"),
+                "epoch",  # the base dir's true-epoch column rides along
             )
         )
         _swap_store_dir(store_root, name, new)
-        # the epoch's funnel histogram follows its rewritten dispositions
+
+    # funnel histograms follow the rewritten dispositions, PER TRUE
+    # EPOCH (rows re-read post-rewrite, so a resumed purge recomputes
+    # the same values)
+    fresh = _tagged_disp(spark, store_root, epochs)
+    for e in dirty_epochs:
         fname = f"funnel_delta_v{e}"
         if os.path.isdir(os.path.join(store_root, fname)):
             fn = (
-                spark.read.schema(_DISP_SCHEMA)
-                .parquet(os.path.join(store_root, name))
+                fresh.filter(F.col("_epoch") == e)
                 .groupBy("disposition")
                 .agg(F.count(F.lit(1)).cast("long").alias("n"))
                 .select(
@@ -594,8 +620,10 @@ def purge_ingest_docs(
 
     # carried pack states: re-derive cumulatively from the first dirty
     # epoch on, so a resumed stream continues from the post-purge fill
-    if dirty:
-        first_pos = min(i for i, e in enumerate(epochs) if e in set(dirty))
+    if dirty_dirs:
+        first_pos = min(
+            i for i, e in enumerate(epochs) if e in set(dirty_dirs)
+        )
         state: dict[str, tuple[int, int]] = {}
         for e in reversed(epochs[:first_pos]):
             p = os.path.join(store_root, f"pack_state_v{e}")
@@ -925,3 +953,118 @@ def compact_ingest_index(spark: SparkSession, store_root: str) -> int:
         ):
             os.unlink(os.path.join(store_root, f))
     return n
+
+
+def compact_ingest_store(
+    spark: SparkSession,
+    store_root: str,
+    funnel_keep_epochs: int | None = None,
+) -> dict:
+    """Fold EVERY data-sized piece of the store into one base dir per
+    piece (r9 — completes what ``compact_ingest_index`` starts): an
+    ingest service accumulates one idx + disp + g8 + pack dir per
+    micro-batch forever; this bounds ALL of them, not just the index.
+
+      - ``idx_delta_v-2`` / ``g8_delta_v-2``: plain unions (rows carry
+        no epoch semantics);
+      - ``disp_delta_v-2``: the union WITH each row's true ingest epoch
+        persisted as an ``epoch`` column — loaders ignore it (explicit
+        read schema), but purge and the per-epoch funnel recompute keep
+        exact epoch attribution after the fold (``_tagged_disp``);
+      - ``pack_state_v-2``: the LATEST carried state only (earlier
+        states exist solely for replay pins, which quiescence rules out);
+      - funnel deltas are the per-epoch observability record and stay
+        per-epoch — they are metadata-sized (one histogram per epoch);
+        ``funnel_keep_epochs=N`` applies a retention policy, dropping
+        all but the newest N (None keeps all).
+
+    Same guards as the index fold: quiescent store only, refuses while
+    a crashed epoch's pin or an unfinished purge journal is pending.
+    Readers are never wrong mid-fold (tmp-write + replace per piece,
+    atomic manifest swap last).  Returns per-piece row counts."""
+    import re as _re
+    import shutil
+
+    _heal_purge_asides(store_root)
+    _check_quiescent(store_root, "compact_ingest_store")
+    if os.path.isdir(os.path.join(store_root, "_purge_journal")):
+        raise RuntimeError(
+            "compact_ingest_store: an unfinished purge journal is pending "
+            "— run purge_ingest_docs to completion first"
+        )
+    epochs = _read_manifest(store_root)
+    counts: dict[str, int] = {}
+
+    def _fold(name: str, df: DataFrame, schema: str) -> None:
+        out = os.path.join(store_root, f"{name}_v-2")
+        tmp = out + ".compacting"
+        # tmp-then-replace: the current base may be IN the input union
+        df.write.mode("overwrite").parquet(tmp)
+        counts[name] = int(spark.read.schema(schema).parquet(tmp).count())
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.replace(tmp, out)
+        for e in epochs:
+            if e == -2:
+                continue
+            folded = os.path.join(store_root, f"{name}_v{e}")
+            if os.path.isdir(folded):
+                shutil.rmtree(folded)
+
+    _fold(
+        "idx_delta",
+        _load_union(spark, store_root, "idx_delta", epochs, _IDX_SCHEMA),
+        _IDX_SCHEMA,
+    )
+    _fold(
+        "g8_delta",
+        _load_union(spark, store_root, "g8_delta", epochs, _G8_SCHEMA),
+        _G8_SCHEMA,
+    )
+    disp = _tagged_disp(spark, store_root, epochs)
+    _fold(
+        "disp_delta",
+        disp.select(
+            *[f.strip().split()[0] for f in _DISP_SCHEMA.split(",")],
+            F.col("_epoch").alias("epoch"),
+        ),
+        _DISP_SCHEMA,
+    )
+    # latest carried pack state → the base's pack state
+    state_rows = []
+    for e in reversed(epochs):
+        p = os.path.join(store_root, f"pack_state_v{e}")
+        if os.path.isdir(p):
+            state_rows = [
+                tuple(r)
+                for r in spark.read.schema(_PACK_SCHEMA).parquet(p).collect()
+            ]
+            break
+    _fold(
+        "pack_state",
+        spark.createDataFrame(sorted(state_rows), _PACK_SCHEMA),
+        _PACK_SCHEMA,
+    )
+
+    funnel_epochs = sorted(
+        e
+        for e in epochs
+        if e != -2
+        and os.path.isdir(os.path.join(store_root, f"funnel_delta_v{e}"))
+    )
+    if funnel_keep_epochs is not None:
+        for e in funnel_epochs[: max(len(funnel_epochs) - funnel_keep_epochs, 0)]:
+            shutil.rmtree(os.path.join(store_root, f"funnel_delta_v{e}"))
+        funnel_epochs = funnel_epochs[
+            max(len(funnel_epochs) - funnel_keep_epochs, 0):
+        ]
+    _swap_manifest(store_root, [-2] + funnel_epochs)
+
+    # committed pins + per-run offset records are dead weight (same
+    # reasoning as compact_ingest_index)
+    for f in os.listdir(store_root):
+        if _re.fullmatch(
+            r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)|_INGEST_RUN_[0-9a-f]+", f
+        ):
+            os.unlink(os.path.join(store_root, f))
+    return counts

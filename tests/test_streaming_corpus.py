@@ -671,3 +671,115 @@ def test_purge_crash_between_phases_resumes_from_journal(spark, monkeypatch):
     assert n == 0  # the flips already happened in the crashed attempt
     assert not os.path.isdir(os.path.join(store, "_purge_journal"))
     assert _store_contents(spark, store) == ref
+
+
+def _funnel_rows(spark, store):
+    from cdc_practice_spark.streaming.corpus import load_ingest_funnel
+
+    return sorted(tuple(r) for r in load_ingest_funnel(spark, store).collect())
+
+
+def _last_pack_state(spark, store):
+    from cdc_practice_spark.streaming.corpus import _PACK_SCHEMA, _read_manifest
+
+    eps = [
+        e
+        for e in _read_manifest(store)
+        if os.path.isdir(os.path.join(store, f"pack_state_v{e}"))
+    ]
+    return sorted(
+        tuple(r)
+        for r in spark.read.schema(_PACK_SCHEMA)
+        .parquet(os.path.join(store, f"pack_state_v{eps[-1]}"))
+        .collect()
+    )
+
+
+def test_compact_ingest_store_folds_everything_and_stream_continues(spark):
+    """compact_ingest_store (r9): every loader's output is identical
+    before/after the full fold, per-epoch funnel attribution survives,
+    the per-epoch dirs are gone, and a LATER stream run continues
+    packing from the folded pack state exactly like an uncompacted
+    twin."""
+    from cdc_practice_spark.streaming.corpus import compact_ingest_store
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="fullcomp_", dir=TMP_ROOT)
+    work_twin = tempfile.mkdtemp(prefix="fullcomp_twin_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    _run_purge_ingest(spark, work_twin)  # uncompacted control
+    before = _store_contents(spark, store)
+    before_funnel = _funnel_rows(spark, store)
+    before_pack = _last_pack_state(spark, store)
+
+    counts = compact_ingest_store(spark, store)
+    assert counts["disp_delta"] == len(before[0])
+    assert _store_contents(spark, store) == before
+    assert _funnel_rows(spark, store) == before_funnel
+    assert _last_pack_state(spark, store) == before_pack
+    for prefix in ("idx_delta", "disp_delta", "g8_delta", "pack_state"):
+        dirs = [
+            d
+            for d in os.listdir(store)
+            if d.startswith(prefix) and not d.startswith("_")
+        ]
+        assert dirs == [f"{prefix}_v-2"], f"{prefix}: {dirs}"
+
+    # a later batch continues the compacted store and must match the
+    # uncompacted twin's continuation row-for-row
+    store = _run_purge_ingest(spark, work, batch_lo=200, batch_hi=216, run="2")
+    twin = _run_purge_ingest(
+        spark, work_twin, batch_lo=200, batch_hi=216, run="2"
+    )
+    assert _store_contents(spark, store) == _store_contents(spark, twin)
+    assert _funnel_rows(spark, store) == _funnel_rows(spark, twin)
+    assert _last_pack_state(spark, store) == _last_pack_state(spark, twin)
+
+    # idempotent: folding again changes nothing
+    compact_ingest_store(spark, store)
+    assert _store_contents(spark, store) == _store_contents(spark, twin)
+
+    # funnel retention policy
+    n_funnel = len(
+        [d for d in os.listdir(store) if d.startswith("funnel_delta_v")]
+    )
+    assert n_funnel >= 4  # 2 epochs per run x 2 runs
+    compact_ingest_store(spark, store, funnel_keep_epochs=1)
+    assert (
+        len([d for d in os.listdir(store) if d.startswith("funnel_delta_v")])
+        == 1
+    )
+
+
+def test_purge_after_full_compaction_keeps_epoch_attribution(spark):
+    """Purging a FULLY-compacted store must produce exactly the state of
+    purging the uncompacted twin — dispositions, index, grams, AND the
+    per-epoch funnel rows (the folded disp base persists each row's true
+    epoch, so the funnel recompute never loses attribution)."""
+    from cdc_practice_spark.streaming.corpus import (
+        compact_ingest_store,
+        purge_ingest_docs,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="purgecomp_", dir=TMP_ROOT)
+    work_twin = tempfile.mkdtemp(prefix="purgecomp_twin_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    twin = _run_purge_ingest(spark, work_twin)
+    disp0, _, _ = _store_contents(spark, store)
+    purge = [t[0] for t in disp0 if t[3] == "kept"][:2]
+    pdf_rows = [(i,) for i in purge]
+
+    compact_ingest_store(spark, store)
+    n1 = purge_ingest_docs(
+        spark, store, spark.createDataFrame(pdf_rows, "doc_id long"),
+        capacity=40,
+    )
+    n2 = purge_ingest_docs(
+        spark, twin, spark.createDataFrame(pdf_rows, "doc_id long"),
+        capacity=40,
+    )
+    assert n1 == n2 == 2
+    assert _store_contents(spark, store) == _store_contents(spark, twin)
+    assert _funnel_rows(spark, store) == _funnel_rows(spark, twin)
+    assert _last_pack_state(spark, store) == _last_pack_state(spark, twin)
