@@ -348,3 +348,25 @@ def test_hybrid_rrf_no_cartesian_and_take_ordered(spark, sf_dir):
     body = plan.split("\n\n")[0]
     assert "CartesianProduct" not in body
     assert "TakeOrderedAndProject" in body
+
+
+def test_retro_audit_broadcasts_benchmark_no_cartesian(spark, sf_dir):
+    """streaming_corpus_retro_audit (r9): the new benchmark's gram set
+    must arrive as a BROADCAST side of an equality join — never a
+    shuffle of the admitted grams against it, never a nested loop —
+    and the audit's own plan must read the store's parquet, not rerun
+    the stream."""
+    plan = plan_of(spark, sf_dir, "streaming_corpus_retro_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_purge_apply_output_reads_store_only(spark, sf_dir):
+    """corpus_purge_apply's RESULT plan is a plain scan+sort over the
+    purged store's disposition parquet — the purge work happened in the
+    maintenance op, not in the query plan (no joins, no corpus scan)."""
+    plan = plan_of(spark, sf_dir, "corpus_purge_apply")
+    assert "FileScan parquet" in plan
+    assert "documents.parquet" not in plan
+    assert "Join" not in plan
