@@ -538,29 +538,45 @@ def kmeans_fit_assign(
     Raises if any cell empties out (can't happen on the fixtures; a real
     deployment re-seeds the cell — deterministic handling would differ
     per engine, so it's an error here rather than silent divergence)."""
+    cents = kmeans_centroids(embeddings, k, n_iter, id_col, vec_col)
+    return ivf_assign(embeddings, cents, id_col, vec_col)
+
+
+def _ivf_dists_col(centroids):
+    ds = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ds.append(F.round(d, 6))
+    return F.array(*ds)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The Lloyd's-iterations half of ``kmeans_fit_assign``, exposed so
+    the learned centroid matrix can be FROZEN and reused — the IVF
+    index's trained parameters (k×dim floats, driver-sized by
+    definition).  Same determinism contract as kmeans_fit_assign."""
     emb = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("v"))
+    # deterministic init: the first k vectors by id (equals ids 0..k-1
+    # on the full fixture, so the kmeans-build oracle is unchanged)
     cents = [
         [float(x) for x in r.v]
-        for r in emb.filter(F.col(id_col) < k).orderBy(id_col).limit(k).collect()
+        for r in emb.orderBy(id_col).limit(k).collect()
     ]
     if len(cents) != k:
-        raise ValueError(f"need vec ids 0..{k-1} for deterministic init")
-
-    def dists_col(centroids):
-        ds = []
-        for c in centroids:
-            lit_c = F.array(*[F.lit(x) for x in c])
-            d = F.aggregate(
-                F.zip_with(F.col("v"), lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            ds.append(F.round(d, 6))
-        return F.array(*ds)
-
-    assigned = None
+        raise ValueError(f"need at least {k} vectors for deterministic init")
     for _ in range(n_iter):
-        assigned = emb.withColumn("_d", dists_col(cents)).withColumn(
+        assigned = emb.withColumn("_d", _ivf_dists_col(cents)).withColumn(
             "cell",
             (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
         )
@@ -579,16 +595,33 @@ def kmeans_fit_assign(
             [float(r[f"c{i}"]) for i in range(len(cents[0]))]
             for r in sorted(new_cents, key=lambda r: r.cell)
         ]
+    return cents
 
-    # final assignment against the last centroids
-    final = emb.withColumn("_d", dists_col(cents)).select(
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-frozen-centroid assignment — the O(batch) INGEST half of
+    IVF maintenance (the IVF twin of ``rp_lsh_ingest``): an arriving
+    batch is assigned under the FROZEN trained centroids in one
+    codegen'd projection (distances to k literal centroids — no join,
+    no shuffle, the corpus is never re-assigned), so
+    ingest-then-union ≡ assigning corpus ∪ batch from scratch under the
+    same centroids (the invariant ``ann_ivf_ingest`` oracles).
+    Re-clustering (centroid drift) is the separate, rarer re-build job
+    — exactly the frozen-stats discipline the corpus pipeline uses.
+    Output: (id, cell, dist2), ties to the lower cell id."""
+    emb = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("v"))
+    return emb.withColumn("_d", _ivf_dists_col(centroids)).select(
         F.col(id_col),
         (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
         .cast("int")
         .alias("cell"),
         F.array_min(F.col("_d")).alias("dist2"),
     )
-    return final
 
 
 def topk_similar_pairs(

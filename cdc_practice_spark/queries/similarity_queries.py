@@ -632,3 +632,88 @@ def ann_store_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "ann_ivf_ingest",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_corpus,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_batch,
+       TRUE AS ingest_equals_rebuild,
+       TRUE AS recall_ok,
+       TRUE AS all_assigned
+FROM embeddings
+""",
+)
+def ann_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (r9 — the IVF twin of
+    ann_incremental_ingest): centroids are TRAINED on the standing
+    corpus (vec_id % 5 <> 4) and FROZEN; the arriving batch is assigned
+    to its nearest frozen centroid at O(batch) cost
+    (operators/similarity.py::ivf_assign — one codegen'd projection,
+    no join, no shuffle, the corpus is never re-assigned).
+    Re-clustering is the separate, rarer re-build job — the frozen-
+    stats discipline the corpus pipeline uses for its quality/mix
+    calibration.
+
+    Decision-gated oracle (k-means isn't SQL-replicable) beside the
+    exact split counts:
+      - ingest_equals_rebuild: corpus assignment ∪ batch assignment is
+        row-identical to assigning corpus ∪ batch from scratch under
+        the SAME frozen centroids (symmetric exceptAll empty) — the
+        invariant that makes O(batch) IVF ingest safe;
+      - recall_ok: an IVF top-10 probed over the merged assignment
+        reaches overlap ≥ 5 with exact brute force over everything;
+      - all_assigned: every vector has exactly one cell row."""
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    qv = _query_vec(spark, sf_dir)
+
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+    idx = tracked_persist(S.ivf_assign(corpus, cents))
+    idx.count()  # the standing index an ANN service keeps
+    merged = tracked_persist(
+        idx.unionByName(S.ivf_assign(batch, cents))
+    )
+    rebuilt = S.ivf_assign(emb, cents)
+    d1 = merged.exceptAll(rebuilt).agg(F.count(F.lit(1)).alias("d1"))
+    d2 = rebuilt.exceptAll(merged).agg(F.count(F.lit(1)).alias("d2"))
+
+    with_cells = emb.join(
+        merged.select("vec_id", "cell"), "vec_id"
+    )
+    ivf = S.ivf_topk(with_cells, qv, k=10, nprobe=3, cell_col="cell").select(
+        F.col("vec_id").alias("l_id")
+    )
+    exact = S.brute_force_topk(emb, qv, k=10).select("vec_id")
+    overlap = exact.join(ivf, exact["vec_id"] == F.col("l_id"), "left_semi").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )
+    n_assigned = merged.select("vec_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+    return (
+        counts.crossJoin(d1)
+        .crossJoin(d2)
+        .crossJoin(overlap)
+        .crossJoin(n_assigned)
+        .select(
+            "n_corpus",
+            "n_batch",
+            ((F.col("d1") + F.col("d2")) == 0).alias("ingest_equals_rebuild"),
+            (F.col("n_overlap") >= 5).alias("recall_ok"),
+            (F.col("n_assigned") == F.col("n_vectors")).alias("all_assigned"),
+        )
+    )
