@@ -311,9 +311,6 @@ def compact_ann_store(
     between-renames window (store temporarily absent, ``.old`` present)
     self-heals at the next call; the delta dir is deleted last.
     Returns the merged row count of the rewritten buckets."""
-    import os
-    import shutil
-
     heal_ann_store(store_path)
 
     delta = spark.read.parquet(delta_path)
@@ -412,28 +409,54 @@ def heal_ann_store(store_path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
     if not os.path.isdir(store_path):
         return
+    jrn = _erase_journal_path(store_path)
+    if not os.path.isdir(jrn) and os.path.isdir(jrn + ".old"):
+        os.rename(jrn + ".old", jrn)  # crash mid-journal-update
+    for stale in (jrn + ".old", jrn + ".staging"):
+        shutil.rmtree(stale, ignore_errors=True)
     for t in os.listdir(store_path):
         tp = os.path.join(store_path, t)
         if not t.startswith("table=") or not os.path.isdir(tp):
             continue
         for s in os.listdir(tp):
-            if not s.startswith("_old.sig="):
+            if s.startswith("_old.sig="):
+                aside = os.path.join(tp, s)
+                twin = os.path.join(tp, s[len("_old."):])
+            elif s.startswith("sig=") and s.endswith(".old"):
+                # legacy pre-r9 aside naming — same restore-or-drop rule
+                # (left behind by a crash under the old code, and a bare
+                # listing would mis-parse 'sig=5.old' as a bucket)
+                aside = os.path.join(tp, s)
+                twin = aside[: -len(".old")]
+            else:
                 continue
-            aside = os.path.join(tp, s)
-            twin = os.path.join(tp, s[len("_old."):])
             if os.path.isdir(twin):
                 shutil.rmtree(aside)
             else:
                 os.rename(aside, twin)
 
 
+def _erase_journal_path(store_path: str) -> str:
+    # underscore-prefixed: invisible to Spark's partition discovery
+    return os.path.join(store_path, "_erase_journal")
+
+
 def load_ann_store(spark, store_path: str) -> DataFrame:
     """Read the bucketed (id, table, sig) signature store, healing any
     interrupted compaction first — the reader-side half of the crash
     protocol (the aside naming keeps even an un-healed store readable;
-    the heal makes it exact)."""
+    the heal makes it exact).  A pending ERASE journal (a deletion that
+    crashed mid-apply) is read-repaired: its ids are anti-joined out of
+    the returned frame, so erased subjects never reappear in query
+    results even before the next ``rp_lsh_erase`` call completes the
+    physical deletion."""
     heal_ann_store(store_path)
-    return spark.read.parquet(store_path)
+    df = spark.read.parquet(store_path)
+    jrn = _erase_journal_path(store_path)
+    if os.path.isdir(jrn):
+        pending = spark.read.parquet(jrn).select(df.columns[0]).distinct()
+        df = df.join(F.broadcast(pending), df.columns[0], "left_anti")
+    return df
 
 
 def rp_lsh_erase(
@@ -458,21 +481,38 @@ def rp_lsh_erase(
     holding their rows: only those bucket partitions are read
     (partition-pruned scan), anti-joined, and swapped via the same
     underscore-prefixed rename-aside protocol as compaction — untouched
-    buckets are neither read nor written, a bucket emptied by the erase
-    is deleted, and any crash window heals in ``load_ann_store`` back to
-    the pre-erase bucket (no data loss; re-run the erase to complete it
-    — re-running is idempotent).  Returns the number of signature rows
-    removed."""
+    buckets are neither read nor written, and a bucket emptied by the
+    erase is deleted.
+
+    Crash-durable (review r9): the erase set's signatures are JOURNALED
+    inside the store before any mutation and removed only after the
+    last bucket swap, so a crash can never silently un-apply the
+    deletion — ``load_ann_store`` read-repairs pending journal ids out
+    of every read, and the next rp_lsh_erase call (even with an empty
+    new set) unions the journal and completes the physical deletion.
+    Returns the number of signature rows removed in THIS call."""
     heal_ann_store(store_path)
-    sigs = tracked_persist(
-        rp_lsh_signatures(erase_vectors, planes, id_col, vec_col)
-    )
+    new_sigs = rp_lsh_signatures(erase_vectors, planes, id_col, vec_col)
+    jrn = _erase_journal_path(store_path)
+    if os.path.isdir(jrn):
+        new_sigs = new_sigs.unionByName(
+            spark.read.parquet(jrn)
+        ).dropDuplicates()
+    sigs = tracked_persist(new_sigs)
     touched = sorted(
         (int(r["table"]), int(r["sig"]))
         for r in sigs.select("table", "sig").distinct().collect()
     )
     if not touched:
         return 0
+    # journal FIRST — the commit that makes the deletion durable
+    staging = jrn + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    sigs.write.mode("overwrite").parquet(staging)
+    if os.path.isdir(jrn):
+        os.rename(jrn, jrn + ".old")
+    os.rename(staging, jrn)
+    shutil.rmtree(jrn + ".old", ignore_errors=True)
     by_table: dict[int, list[int]] = {}
     for t, s in touched:
         by_table.setdefault(t, []).append(s)
@@ -488,6 +528,7 @@ def rp_lsh_erase(
         ).count()
     )
     if n_erased == 0:
+        shutil.rmtree(jrn, ignore_errors=True)  # nothing pending remains
         return 0
     kept = hit.join(
         F.broadcast(sigs.select(id_col).distinct()), id_col, "left_anti"
@@ -509,6 +550,7 @@ def rp_lsh_erase(
         # else: the erase emptied the bucket — it simply stays deleted
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(jrn, ignore_errors=True)  # last: the erase is complete
     return n_erased
 
 

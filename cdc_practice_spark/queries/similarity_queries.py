@@ -701,9 +701,9 @@ def ann_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_batch"),
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
     )
-    n_assigned = merged.select("vec_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_assigned")
-    )
+    # RAW count (not distinct): "exactly one cell row per vector" means
+    # duplicates must fail the gate too, not just missing vectors
+    n_assigned = merged.agg(F.count(F.lit(1)).alias("n_assigned"))
     return (
         counts.crossJoin(d1)
         .crossJoin(d2)

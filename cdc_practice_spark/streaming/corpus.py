@@ -68,20 +68,97 @@ def _manifest_path(root: str) -> str:
     return os.path.join(root, "_INGEST_MANIFEST")
 
 
-def _read_manifest(root: str) -> list[int]:
+def _read_manifest_full(root: str) -> dict:
+    """The manifest record: ``epochs`` (the delta dirs readers union),
+    ``funnel_epochs`` (epochs whose per-epoch funnel dir is retained
+    after their data dirs were folded into a base), and ``hwm`` (the
+    highest REAL epoch id ever committed — epoch-id allocation must
+    never go backwards even if retention drops every real epoch from
+    the lists, or a new run would reuse ids already recorded inside the
+    folded base's epoch column)."""
     p = _manifest_path(root)
     if not os.path.exists(p):
-        return []
+        return {"epochs": [], "funnel_epochs": [], "hwm": -1}
     with open(p) as fh:
-        return json.load(fh)["epochs"]
+        d = json.load(fh)
+    d.setdefault("funnel_epochs", [])
+    d.setdefault("hwm", max([e for e in d["epochs"] if e >= 0], default=-1))
+    return d
 
 
-def _swap_manifest(root: str, epochs: list[int]) -> None:
+def _read_manifest(root: str) -> list[int]:
+    return _read_manifest_full(root)["epochs"]
+
+
+def _swap_manifest(
+    root: str,
+    epochs: list[int],
+    funnel_epochs: list[int] | None = None,
+    hwm: int | None = None,
+) -> None:
+    """Atomically replace the manifest — the ONE commit point every
+    maintenance op relies on.  ``funnel_epochs``/``hwm`` default to
+    preserving the current record (the streaming sink only ever appends
+    to ``epochs``)."""
+    cur = _read_manifest_full(root)
+    rec = {
+        "epochs": epochs,
+        "funnel_epochs": (
+            funnel_epochs if funnel_epochs is not None else cur["funnel_epochs"]
+        ),
+        "hwm": max(
+            hwm if hwm is not None else cur["hwm"],
+            max([e for e in epochs if e >= 0], default=-1),
+        ),
+    }
     p = _manifest_path(root)
     tmp = p + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"epochs": epochs}, fh)
+        json.dump(rec, fh)
     os.replace(tmp, p)
+
+
+_PIECE_PREFIXES = (
+    "idx_delta",
+    "disp_delta",
+    "g8_delta",
+    "pack_state",
+    "funnel_delta",
+)
+
+
+def _gc_unreferenced(root: str) -> None:
+    """Drop store dirs no committed manifest references: staged
+    generation bases a crashed compaction never committed (negative ids
+    below the seed, invisible to readers by construction), bases an
+    already-committed compaction didn't get to clean up, and stray
+    ``.compacting`` staging dirs.  An unreferenced dir is garbage only
+    when it CANNOT belong to an in-flight epoch: negative ids (staged
+    generations, the folded seed) and real epochs at or below the
+    high-water mark (they committed — commit is what advances hwm — and
+    later left the lists via a fold); an in-flight epoch's id is always
+    past the hwm, so its pre-commit dirs are never touched."""
+    import re as _re
+    import shutil
+
+    man = _read_manifest_full(root)
+    ref = set(man["epochs"])
+    # funnel_epochs addresses ONLY funnel dirs — the fold that kept an
+    # epoch's funnel deleted (or is about to GC) its data dirs
+    funnel_ref = ref | set(man["funnel_epochs"])
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.endswith(".compacting") and os.path.isdir(p):
+            shutil.rmtree(p)
+            continue
+        m = _re.fullmatch(
+            r"(" + "|".join(_PIECE_PREFIXES) + r")_v(-?\d+)", d
+        )
+        if m:
+            e = int(m.group(2))
+            live = funnel_ref if m.group(1) == "funnel_delta" else ref
+            if e not in live and (e < 0 or e <= man["hwm"]):
+                shutil.rmtree(p)
 
 
 def _run_token(checkpoint_dir: str) -> str:
@@ -157,11 +234,17 @@ def _acquire_writer_lease(spark: SparkSession, root: str, token: str) -> None:
             if held.get("token") == token:
                 return  # our own run resumed/replayed
             pid = int(held.get("pid", -1))
-            alive = True
-            try:
-                os.kill(pid, 0)
-            except (OSError, ProcessLookupError):
-                alive = False
+            # ONLY ESRCH means dead: EPERM (PermissionError) means the
+            # process exists but belongs to another user — stealing on
+            # it would put two live writers on the store (review r9)
+            alive = pid > 0  # malformed pid = stale record
+            if alive:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    pass
             if alive:
                 if pid != os.getpid():
                     raise RuntimeError(
@@ -212,7 +295,17 @@ def _epoch_offset(root: str, token: str, epoch_id: int) -> int:
     run's committed dispositions and index rows."""
     p = os.path.join(root, f"_INGEST_RUN_{token}")
     if not os.path.exists(p):
-        start = max([e for e in _read_manifest(root) if e >= 0], default=-1) + 1
+        man = _read_manifest_full(root)
+        # hwm, not max(epochs): compaction + funnel retention can drop
+        # every real epoch from the lists while their ids live on inside
+        # the folded base's epoch column — allocation never goes back
+        start = (
+            max(
+                man["hwm"],
+                max([e for e in man["epochs"] if e >= 0], default=-1),
+            )
+            + 1
+        )
         tmp = p + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"offset": start - epoch_id}, fh)
@@ -292,10 +385,17 @@ def load_ingest_index(spark: SparkSession, root: str) -> DataFrame:
 def load_ingest_funnel(spark: SparkSession, root: str) -> DataFrame:
     """Per-epoch disposition histogram (epoch, stage, n) — the curation
     funnel an ingest operator monitors; summing n over epochs per stage
-    reproduces the batch pipeline's funnel exactly."""
+    reproduces the batch pipeline's funnel exactly.  Funnel dirs whose
+    data epochs were folded into a base stay addressed via the
+    manifest's ``funnel_epochs`` list."""
     _heal_purge_asides(root)
+    man = _read_manifest_full(root)
     return _load_union(
-        spark, root, "funnel_delta", _read_manifest(root), _FUNNEL_SCHEMA
+        spark,
+        root,
+        "funnel_delta",
+        man["epochs"] + man["funnel_epochs"],
+        _FUNNEL_SCHEMA,
     )
 
 
@@ -364,13 +464,21 @@ def _check_quiescent(root: str, op: str) -> None:
     """Refuse store maintenance while a CRASHED, not-yet-replayed epoch
     is pending: its pre-epoch pin references delta dirs the maintenance
     op would rewrite or delete, and the replay would silently act on the
-    mutated state."""
+    mutated state.
+
+    Pending means the pinned epoch neither sits in the manifest nor is
+    covered by its high-water mark: a committed fold moves epochs out of
+    the manifest (into the base) while raising ``hwm`` past them, so a
+    stale pin a crashed cleanup left behind must not block maintenance
+    forever — a genuinely pending epoch was allocated PAST the hwm and
+    has not committed (committing would have advanced it)."""
     import re as _re
 
-    committed = set(_read_manifest(root))
+    man = _read_manifest_full(root)
+    committed = set(man["epochs"])
     for f in os.listdir(root):
         m = _re.fullmatch(r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)", f)
-        if m and int(m.group(1)) not in committed:
+        if m and int(m.group(1)) not in committed and int(m.group(1)) > man["hwm"]:
             raise RuntimeError(
                 f"{op}: epoch {m.group(1)} started but never committed — "
                 f"a pending replay still references the delta dirs; drain "
@@ -437,8 +545,11 @@ def purge_ingest_docs(
         re-derived for the dirty suffix, so a resumed stream continues
         packing from the post-purge fill.
 
-    ``capacity`` must equal the ingest run's bin capacity.  Cost is
-    O(purge + affected-source rows), never O(store).  Requires a
+    ``capacity`` must equal the ingest run's bin capacity.  Data
+    rewritten is O(purge + affected-source rows), never O(store); the
+    index-membership probe is one column-pruned doc_id pass whose
+    IN-list predicate lets parquet row-group stats skip untouched files
+    (so probe IO tracks the purge's locality, not the store).  Requires a
     quiescent store (same rule as compaction); post-purge state is
     identical to a from-scratch run that never admitted the purged docs
     (tested, tests/test_streaming_corpus.py).
@@ -494,25 +605,52 @@ def purge_ingest_docs(
         r["source"] for r in touched.select("source").distinct().collect()
     ]
 
+    # purge sets are typically driver-small (an audit's output); as an
+    # IN-list the membership probe pushes into the parquet scans, so
+    # row-group doc_id min/max stats skip untouched files at the IO
+    # layer (a join-side probe can't push down)
+    small_ids = (
+        [int(r["doc_id"]) for r in pids.collect()]
+        if pids.limit(10001).count() <= 10000
+        else None
+    )
+
     def _drop_from_index_dirs() -> None:
         # index + admitted-gram rows: drop the purged docs from every
-        # dir that contains them (touched dirs only; the manifest bounds
-        # the loop and compaction bounds the manifest).  Runs even when
-        # no disposition flips: an id can sit in the index as a quality
-        # survivor that was never admitted, and a resumed purge must
-        # still finish this phase.
+        # dir that contains them.  Membership is ONE column-pruned pass
+        # per piece (doc_id only, IN-list pushdown when small), then
+        # only the dirty dirs are re-read and rewritten.  Runs even
+        # when no disposition flips: an id can sit in the index as a
+        # quality survivor that was never admitted, and a resumed purge
+        # must still finish this phase.
         for prefix, schema in (
             ("idx_delta", _IDX_SCHEMA),
             ("g8_delta", _G8_SCHEMA),
         ):
+            parts = []
             for e in epochs:
-                name = f"{prefix}_v{e}"
-                p = os.path.join(store_root, name)
-                if not os.path.isdir(p):
-                    continue
-                cur = spark.read.schema(schema).parquet(p)
-                if cur.join(F.broadcast(pids), "doc_id", "left_semi").isEmpty():
-                    continue
+                p = os.path.join(store_root, f"{prefix}_v{e}")
+                if os.path.isdir(p):
+                    parts.append(
+                        spark.read.schema(schema)
+                        .parquet(p)
+                        .select("doc_id", F.lit(e).cast("long").alias("_dir"))
+                    )
+            if not parts:
+                continue
+            u = parts[0]
+            for q in parts[1:]:
+                u = u.unionByName(q)
+            hits = (
+                u.filter(F.col("doc_id").isin(small_ids))
+                if small_ids is not None
+                else u.join(F.broadcast(pids), "doc_id", "left_semi")
+            )
+            for r in hits.select("_dir").distinct().collect():
+                name = f"{prefix}_v{int(r['_dir'])}"
+                cur = spark.read.schema(schema).parquet(
+                    os.path.join(store_root, name)
+                )
                 _swap_store_dir(
                     store_root,
                     name,
@@ -893,66 +1031,18 @@ def stream_corpus_ingest(
 
 
 def compact_ingest_index(spark: SparkSession, store_root: str) -> int:
-    """Fold every committed index delta into ONE base delta dir and swap
-    the manifest to it (epoch id -2, distinct from real epochs and the
-    seed) — the maintenance job that bounds the store's file count: an
-    ingest service otherwise accumulates one delta dir per micro-batch
-    forever.  Readers are never wrong mid-compaction (the manifest swap
-    is atomic; pre-epoch snapshots pin replays to the state they first
-    saw), and dispositions/pack state are untouched — only the index is
-    rewritten.  Refuses (raises) while a CRASHED, not-yet-replayed epoch
-    is pending: its pre-epoch pin references the delta dirs compaction
-    would delete, and the replay would silently dedup against an empty
-    index — run compaction on a quiescent store (stream drained).
-    Returns the compacted row count."""
-    _heal_purge_asides(store_root)
-    _check_quiescent(store_root, "compact_ingest_index")
-    epochs = _read_manifest(store_root)
-    import re as _re
-
-    idx = _load_union(spark, store_root, "idx_delta", epochs, _IDX_SCHEMA)
-    out = os.path.join(store_root, "idx_delta_v-2")
-    # write to a tmp dir then move: the current v-2 (from a previous
-    # compaction) may be IN the input union, so an in-place overwrite
-    # would destroy rows before they are read
-    tmp = out + ".compacting"
-    idx.write.mode("overwrite").parquet(tmp)
-    n = spark.read.schema(_IDX_SCHEMA).parquet(tmp).count()
-    import shutil
-
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    os.replace(tmp, out)
-    # disposition deltas + pack state stay addressed by their real
-    # epochs; the index collapses to the base.  The folded idx delta
-    # dirs MUST be deleted — a later load would double-count their rows
-    # (the manifest lists epochs whose disp dirs exist, and _load_union
-    # includes any idx dir among them).
-    for e in epochs:
-        if e == -2:
-            continue
-        folded = os.path.join(store_root, f"idx_delta_v{e}")
-        if os.path.isdir(folded):
-            shutil.rmtree(folded)
-    disp_epochs = [
-        e
-        for e in epochs
-        if os.path.isdir(os.path.join(store_root, f"disp_delta_v{e}"))
-    ]
-    _swap_manifest(store_root, [-2] + disp_epochs)
-    # committed pins are dead weight now (their epochs can never replay
-    # within their run, and new runs use a fresh token) — clean them up,
-    # and the per-run epoch-offset records with them: a later-resumed
-    # run whose record is gone simply recomputes a fresh offset past
-    # max(manifest) for its next NEW epoch (safe — replays of
-    # uncommitted epochs are exactly what the pin check above refuses
-    # to compact over)
-    for f in os.listdir(store_root):
-        if _re.fullmatch(
-            r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)|_INGEST_RUN_[0-9a-f]+", f
-        ):
-            os.unlink(os.path.join(store_root, f))
-    return n
+    """Fold the committed index deltas into one base dir — r8's
+    index-only maintenance entry point, since r9 a thin alias of
+    :func:`compact_ingest_store`: an index-only fold is UNSAFE under
+    crashes, because idx and disp dirs share the manifest's epoch list —
+    committing the folded index while per-epoch disp dirs stay listed
+    either double-counts surviving per-epoch idx dirs (cleanup after the
+    swap) or loses index rows on a crash (cleanup before it).  The
+    full-store fold commits everything under ONE atomic manifest swap
+    and the folded disp base keeps per-epoch attribution via its epoch
+    column, so nothing is lost by folding the other pieces too.
+    Returns the folded index row count."""
+    return int(compact_ingest_store(spark, store_root)["idx_delta"])
 
 
 def compact_ingest_store(
@@ -961,27 +1051,37 @@ def compact_ingest_store(
     funnel_keep_epochs: int | None = None,
 ) -> dict:
     """Fold EVERY data-sized piece of the store into one base dir per
-    piece (r9 — completes what ``compact_ingest_index`` starts): an
+    piece — the maintenance job that bounds the store's file count (an
     ingest service accumulates one idx + disp + g8 + pack dir per
-    micro-batch forever; this bounds ALL of them, not just the index.
+    micro-batch forever):
 
-      - ``idx_delta_v-2`` / ``g8_delta_v-2``: plain unions (rows carry
-        no epoch semantics);
-      - ``disp_delta_v-2``: the union WITH each row's true ingest epoch
+      - ``idx_delta`` / ``g8_delta``: plain unions (rows carry no epoch
+        semantics);
+      - ``disp_delta``: the union WITH each row's true ingest epoch
         persisted as an ``epoch`` column — loaders ignore it (explicit
         read schema), but purge and the per-epoch funnel recompute keep
         exact epoch attribution after the fold (``_tagged_disp``);
-      - ``pack_state_v-2``: the LATEST carried state only (earlier
-        states exist solely for replay pins, which quiescence rules out);
+      - ``pack_state``: the LATEST carried state only (earlier states
+        exist solely for replay pins, which quiescence rules out);
       - funnel deltas are the per-epoch observability record and stay
-        per-epoch — they are metadata-sized (one histogram per epoch);
+        per-epoch, re-addressed via the manifest's ``funnel_epochs``
+        list (they are metadata-sized — one histogram per epoch);
         ``funnel_keep_epochs=N`` applies a retention policy, dropping
         all but the newest N (None keeps all).
 
-    Same guards as the index fold: quiescent store only, refuses while
-    a crashed epoch's pin or an unfinished purge journal is pending.
-    Readers are never wrong mid-fold (tmp-write + replace per piece,
-    atomic manifest swap last).  Returns per-piece row counts."""
+    Guards: quiescent store only; refuses while a crashed epoch's pin
+    or an unfinished purge journal is pending.
+
+    Crash protocol (r9 — replaced a delete-then-swap window a review
+    caught): every folded base is STAGED at a fresh generation id no
+    manifest references (min(manifest)−1, always ≤ −2), the atomic
+    manifest swap is the ONE commit point, and old dirs are deleted
+    only after it — a crash anywhere leaves readers on a complete view
+    (old manifest → old dirs untouched; new manifest → staged bases
+    complete), and ``_gc_unreferenced`` at the next maintenance entry
+    collects whichever generation lost.  The manifest's ``hwm`` keeps
+    epoch-id allocation monotonic even when retention drops every real
+    epoch from the lists.  Returns per-piece row counts."""
     import re as _re
     import shutil
 
@@ -992,45 +1092,36 @@ def compact_ingest_store(
             "compact_ingest_store: an unfinished purge journal is pending "
             "— run purge_ingest_docs to completion first"
         )
-    epochs = _read_manifest(store_root)
+    _gc_unreferenced(store_root)
+    man = _read_manifest_full(store_root)
+    epochs = man["epochs"]
+    b = min([-1] + epochs) - 1  # fresh generation id, invisible to readers
     counts: dict[str, int] = {}
 
-    def _fold(name: str, df: DataFrame, schema: str) -> None:
-        out = os.path.join(store_root, f"{name}_v-2")
-        tmp = out + ".compacting"
-        # tmp-then-replace: the current base may be IN the input union
-        df.write.mode("overwrite").parquet(tmp)
-        counts[name] = int(spark.read.schema(schema).parquet(tmp).count())
-        if os.path.isdir(out):
-            shutil.rmtree(out)
-        os.replace(tmp, out)
-        for e in epochs:
-            if e == -2:
-                continue
-            folded = os.path.join(store_root, f"{name}_v{e}")
-            if os.path.isdir(folded):
-                shutil.rmtree(folded)
+    def _stage(name: str, df: DataFrame, schema: str) -> None:
+        out = os.path.join(store_root, f"{name}_v{b}")
+        df.write.mode("overwrite").parquet(out)
+        counts[name] = int(spark.read.schema(schema).parquet(out).count())
 
-    _fold(
+    _stage(
         "idx_delta",
         _load_union(spark, store_root, "idx_delta", epochs, _IDX_SCHEMA),
         _IDX_SCHEMA,
     )
-    _fold(
+    _stage(
         "g8_delta",
         _load_union(spark, store_root, "g8_delta", epochs, _G8_SCHEMA),
         _G8_SCHEMA,
     )
-    disp = _tagged_disp(spark, store_root, epochs)
-    _fold(
+    _stage(
         "disp_delta",
-        disp.select(
+        _tagged_disp(spark, store_root, epochs).select(
             *[f.strip().split()[0] for f in _DISP_SCHEMA.split(",")],
             F.col("_epoch").alias("epoch"),
         ),
         _DISP_SCHEMA,
     )
-    # latest carried pack state → the base's pack state
+    # latest carried pack state -> the base's pack state
     state_rows = []
     for e in reversed(epochs):
         p = os.path.join(store_root, f"pack_state_v{e}")
@@ -1040,28 +1131,50 @@ def compact_ingest_store(
                 for r in spark.read.schema(_PACK_SCHEMA).parquet(p).collect()
             ]
             break
-    _fold(
+    _stage(
         "pack_state",
         spark.createDataFrame(sorted(state_rows), _PACK_SCHEMA),
         _PACK_SCHEMA,
     )
 
-    funnel_epochs = sorted(
-        e
-        for e in epochs
-        if e != -2
-        and os.path.isdir(os.path.join(store_root, f"funnel_delta_v{e}"))
+    all_funnel = sorted(
+        {
+            e
+            for e in epochs + man["funnel_epochs"]
+            if e >= 0
+            and os.path.isdir(os.path.join(store_root, f"funnel_delta_v{e}"))
+        }
     )
-    if funnel_keep_epochs is not None:
-        for e in funnel_epochs[: max(len(funnel_epochs) - funnel_keep_epochs, 0)]:
-            shutil.rmtree(os.path.join(store_root, f"funnel_delta_v{e}"))
-        funnel_epochs = funnel_epochs[
-            max(len(funnel_epochs) - funnel_keep_epochs, 0):
-        ]
-    _swap_manifest(store_root, [-2] + funnel_epochs)
+    kept_funnel = (
+        all_funnel
+        if funnel_keep_epochs is None
+        else all_funnel[max(len(all_funnel) - funnel_keep_epochs, 0):]
+    )
+    hwm = max(
+        man["hwm"],
+        max([e for e in epochs if e >= 0], default=-1),
+        max(all_funnel, default=-1),
+    )
 
-    # committed pins + per-run offset records are dead weight (same
-    # reasoning as compact_ingest_index)
+    # THE commit point — one atomic swap moves readers to the staged
+    # generation; everything else below is reclaimable cleanup
+    _swap_manifest(store_root, [b], funnel_epochs=kept_funnel, hwm=hwm)
+
+    for e in epochs:
+        for prefix in ("idx_delta", "disp_delta", "g8_delta", "pack_state"):
+            folded = os.path.join(store_root, f"{prefix}_v{e}")
+            if e != b and os.path.isdir(folded):
+                shutil.rmtree(folded)
+    for e in all_funnel:
+        if e not in kept_funnel:
+            shutil.rmtree(os.path.join(store_root, f"funnel_delta_v{e}"))
+    # committed pins are dead weight now (their epochs can never replay
+    # within their run, and new runs use a fresh token) — clean them up,
+    # and the per-run epoch-offset records with them: a later-resumed
+    # run whose record is gone simply recomputes a fresh offset past
+    # the manifest's hwm for its next NEW epoch (safe — replays of
+    # uncommitted epochs are exactly what the pin check above refuses
+    # to compact over)
     for f in os.listdir(store_root):
         if _re.fullmatch(
             r"_INGEST_MANIFEST\.pre_[0-9a-f]+_v(-?\d+)|_INGEST_RUN_[0-9a-f]+", f

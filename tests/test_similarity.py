@@ -630,17 +630,18 @@ def test_rp_lsh_erase_touches_only_named_buckets(emb, spark, tmp_path, monkeypat
     import shutil
 
     shutil.rmtree(store2 + ".erasing", ignore_errors=True)
-    # a reader heals back to the full pre-erase store (no data loss)...
+    # a reader read-repairs via the pending erase journal: the erased
+    # subjects NEVER reappear, even though the physical deletion is
+    # incomplete (r9 review: the heal alone resurrected them)
+    assert os.path.isdir(os.path.join(store2, "_erase_journal"))
     healed = sorted(
         (r.vec_id, r.table, r.sig)
         for r in S.load_ann_store(spark, store2).collect()
     )
-    assert healed == sorted(
-        (r.vec_id, r.table, r.sig)
-        for r in S.rp_lsh_signatures(emb, planes).collect()
-    )
-    # ...and re-running the erase completes it
-    assert S.rp_lsh_erase(spark, store2, erase, planes) > 0
+    assert healed == want
+    # re-running (journal-driven, empty new set) completes the deletion
+    assert S.rp_lsh_erase(spark, store2, erase.limit(0), planes) > 0
+    assert not os.path.isdir(os.path.join(store2, "_erase_journal"))
     assert sorted(
         (r.vec_id, r.table, r.sig)
         for r in S.load_ann_store(spark, store2).collect()

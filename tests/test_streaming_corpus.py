@@ -783,3 +783,79 @@ def test_purge_after_full_compaction_keeps_epoch_attribution(spark):
     assert _store_contents(spark, store) == _store_contents(spark, twin)
     assert _funnel_rows(spark, store) == _funnel_rows(spark, twin)
     assert _last_pack_state(spark, store) == _last_pack_state(spark, twin)
+
+
+def test_compact_crash_windows_never_lose_or_double(spark, monkeypatch):
+    """The generation protocol's two crash windows: (a) crash BEFORE the
+    manifest swap → readers stay on the old, complete view and a re-run
+    GCs the orphaned staged bases; (b) crash AFTER the swap, before
+    cleanup → readers are on the new complete view with no double
+    counting, and the next maintenance entry GCs the old dirs."""
+    import cdc_practice_spark.streaming.corpus as C
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="compcrash_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    before = _store_contents(spark, store)
+    before_funnel = _funnel_rows(spark, store)
+
+    # (a) crash before the commit point: fail the manifest swap itself
+    orig_swap_manifest = C._swap_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash: before manifest swap")
+
+    monkeypatch.setattr(C, "_swap_manifest", boom)
+    try:
+        C.compact_ingest_store(spark, store)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(C, "_swap_manifest", orig_swap_manifest)
+    # staged orphan generation exists, readers unaffected
+    assert any(d.endswith("_v-2") for d in os.listdir(store))
+    assert _store_contents(spark, store) == before
+    assert _funnel_rows(spark, store) == before_funnel
+
+    # re-run completes (GCs the orphan, stages a fresh generation)
+    counts = C.compact_ingest_store(spark, store)
+    assert counts["disp_delta"] == len(before[0])
+    assert _store_contents(spark, store) == before
+    assert _funnel_rows(spark, store) == before_funnel
+
+    # (b) crash after the commit point: fail the first cleanup rmtree
+    work2 = tempfile.mkdtemp(prefix="compcrash2_", dir=TMP_ROOT)
+    store2 = _run_purge_ingest(spark, work2)
+    before2 = _store_contents(spark, store2)
+    import shutil as _sh
+
+    orig_rmtree = _sh.rmtree
+    fired = {"n": 0}
+
+    def boom_rm(path, *a, **k):
+        if "_delta_v" in str(path) or "pack_state_v" in str(path):
+            fired["n"] += 1
+            raise RuntimeError("injected crash: after manifest swap")
+        return orig_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(C.shutil if hasattr(C, "shutil") else _sh, "rmtree", boom_rm)
+    try:
+        C.compact_ingest_store(spark, store2)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(_sh, "rmtree", orig_rmtree)
+    assert fired["n"] == 1
+    # committed: readers are on the new base, no double counting even
+    # though old per-epoch dirs still exist on disk
+    assert _store_contents(spark, store2) == before2
+    # next maintenance entry garbage-collects the old generation
+    C.compact_ingest_store(spark, store2)
+    assert _store_contents(spark, store2) == before2
+    leftovers = [
+        d
+        for d in os.listdir(store2)
+        if d.startswith(("idx_delta_v", "disp_delta_v", "g8_delta_v"))
+        and not d.endswith("_v-3")
+    ]
+    assert leftovers == [], leftovers
