@@ -54,11 +54,15 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # recurring verdict chore (r8 VERDICT wrong #1).
 # r9: the streaming ingest store now persists per-epoch admitted-gram
 # deltas (g8_delta) — the two queries that run the shared store build
-# changed plan and need fresh driver rows.
+# changed plan and need fresh driver rows; the IVF pair's k-means init
+# generalized to first-k-by-id (same vectors on the fixtures, but the
+# init PLAN changed).
 CHANGED_ROUND: int = 9
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_corpus_ingest",
     "streaming_corpus_funnel",
+    "ann_ivf_kmeans_build",
+    "ann_ivf_topk",
 )
 
 
