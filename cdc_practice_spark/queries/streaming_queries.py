@@ -1033,3 +1033,63 @@ def corpus_purge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _purged_ingest_store(spark, sf_dir)
     return load_ingest_dispositions(spark, store).orderBy("doc_id")
+
+
+def _time_travel_corpus_oracle() -> str:
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _INCR_BATCH_MOD,
+        _e2e_incr_chain,
+    )
+
+    # chunk 1 of _split_docs_batch_into_files: [lo, lo + (hi-lo)//3 + 1)
+    # over the arriving batch — deterministic from the fixture
+    return (
+        _e2e_incr_chain()
+        + f""", bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi
+  FROM documents WHERE doc_id % {_INCR_BATCH_MOD} = 3
+)
+SELECT f.doc_id, f.source, f.n_tokens,
+       CASE WHEN b1.doc_id IS NULL THEN 'dropped_lang'
+            WHEN b2.doc_id IS NULL THEN 'dropped_quality'
+            WHEN b3.doc_id IS NULL THEN 'dropped_dup'
+            WHEN b4.doc_id IS NULL THEN 'dropped_contaminated'
+            WHEN b5.doc_id IS NULL THEN 'dropped_mix'
+            ELSE 'kept' END AS disposition,
+       p.bin_id, p.bin_fill
+FROM feat f
+LEFT JOIN b1 USING (doc_id)
+LEFT JOIN b2 USING (doc_id)
+LEFT JOIN b3 USING (doc_id)
+LEFT JOIN b4 USING (doc_id)
+LEFT JOIN b5 USING (doc_id)
+LEFT JOIN packed p USING (doc_id)
+WHERE f.is_batch
+  AND f.doc_id < (SELECT lo + (hi - lo) // 3 + 1 FROM bounds)
+ORDER BY f.doc_id
+"""
+    )
+
+
+@register("streaming_corpus_time_travel", oracle=_time_travel_corpus_oracle())
+def streaming_corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the ingest store's audit log (r9): the
+    disposition table AS OF the FIRST committed epoch, served from the
+    store's persisted state (streaming/corpus.py::
+    load_ingest_dispositions_at) — the corpus-store sibling of
+    streaming_state_time_travel.  The oracle recomputes the whole
+    incremental pipeline restricted to the first micro-batch's
+    deterministic doc_id range: because chunks arrive in id order and
+    every curation decision is prefix-stable, the as-of view must equal
+    what the store actually contained at that epoch's commit —
+    hash-checked at 3 SFs.  The view survives full-store compaction
+    (the folded base persists per-row true epochs; pinned in
+    tests/test_streaming_corpus.py)."""
+    from cdc_practice_spark.streaming.corpus import (
+        _read_manifest,
+        load_ingest_dispositions_at,
+    )
+
+    store = _corpus_ingest_store(spark, sf_dir)
+    first = min(e for e in _read_manifest(store) if e >= 0)
+    return load_ingest_dispositions_at(spark, store, first).orderBy("doc_id")

@@ -399,6 +399,34 @@ def load_ingest_funnel(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def load_ingest_dispositions_at(
+    spark: SparkSession, root: str, epoch: int
+) -> DataFrame:
+    """The disposition table AS OF the end of store ``epoch`` — time
+    travel over the ingest audit log (r9), the corpus-store sibling of
+    the CDC state's ``load_bucketed_state_at``.  Chunks arrive in id
+    order and every decision is prefix-stable (frozen stats; dedup
+    compares only against the index and earlier ids; greedy packing),
+    so the as-of view equals what the store actually contained then.
+
+    Works on COMPACTED stores too: the folded base persists each row's
+    true ingest epoch as a column (``_tagged_disp`` coalesces it with
+    the dir id), so folding the store never costs the history — only a
+    PURGE rewrites it, by design (un-admission is retroactive).
+
+    Note the purge interplay deliberately differs from CDC time travel:
+    the CDC state keeps byte-immutable old buckets, while purge edits
+    the audit log in place — a purged doc reads as purged at EVERY
+    epoch, because serving its content from any view is exactly what
+    the purge exists to stop."""
+    _heal_purge_asides(root)
+    return (
+        _tagged_disp(spark, root, _read_manifest(root))
+        .filter(F.col("_epoch") <= epoch)
+        .drop("_dir", "_epoch")
+    )
+
+
 def load_admitted_grams(spark: SparkSession, root: str) -> DataFrame:
     """(doc_id, g8) of every doc the stream ADMITTED (disposition kept,
     minus any later purge) — the retroactive-audit surface: a new eval

@@ -859,3 +859,59 @@ def test_compact_crash_windows_never_lose_or_double(spark, monkeypatch):
         and not d.endswith("_v-3")
     ]
     assert leftovers == [], leftovers
+
+
+def test_time_travel_survives_compaction_and_latest_equals_full(spark):
+    """load_ingest_dispositions_at (r9): the as-of view must be
+    identical before and after a FULL-STORE fold (the folded base keeps
+    per-row true epochs), and as-of the latest epoch equals the full
+    table."""
+    from cdc_practice_spark.streaming.corpus import (
+        _read_manifest,
+        compact_ingest_store,
+        load_ingest_dispositions,
+        load_ingest_dispositions_at,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="tt_corpus_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    real = sorted(e for e in _read_manifest(store) if e >= 0)
+    assert len(real) >= 2
+    asof_first = sorted(
+        tuple(r)
+        for r in load_ingest_dispositions_at(spark, store, real[0]).collect()
+    )
+    full = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+    asof_last = sorted(
+        tuple(r)
+        for r in load_ingest_dispositions_at(spark, store, real[-1]).collect()
+    )
+    assert asof_last == full
+    assert set(asof_first) < set(full)
+    # chunk 1 is the ids < chunk 2's range — prefix by construction
+    assert max(t[0] for t in asof_first) < min(
+        t[0] for t in set(full) - set(asof_first)
+    )
+
+    compact_ingest_store(spark, store)
+    assert (
+        sorted(
+            tuple(r)
+            for r in load_ingest_dispositions_at(
+                spark, store, real[0]
+            ).collect()
+        )
+        == asof_first
+    )
+    assert (
+        sorted(
+            tuple(r)
+            for r in load_ingest_dispositions_at(
+                spark, store, real[-1]
+            ).collect()
+        )
+        == full
+    )
