@@ -78,11 +78,12 @@ def _read_manifest_full(root: str) -> dict:
     folded base's epoch column)."""
     p = _manifest_path(root)
     if not os.path.exists(p):
-        return {"epochs": [], "funnel_epochs": [], "hwm": -1}
+        return {"epochs": [], "funnel_epochs": [], "hwm": -1, "owners": {}}
     with open(p) as fh:
         d = json.load(fh)
     d.setdefault("funnel_epochs", [])
     d.setdefault("hwm", max([e for e in d["epochs"] if e >= 0], default=-1))
+    d.setdefault("owners", {})
     return d
 
 
@@ -95,11 +96,13 @@ def _swap_manifest(
     epochs: list[int],
     funnel_epochs: list[int] | None = None,
     hwm: int | None = None,
+    owners: dict | None = None,
 ) -> None:
     """Atomically replace the manifest — the ONE commit point every
-    maintenance op relies on.  ``funnel_epochs``/``hwm`` default to
-    preserving the current record (the streaming sink only ever appends
-    to ``epochs``)."""
+    maintenance op relies on.  ``funnel_epochs``/``hwm``/``owners``
+    default to preserving the current record (the streaming sink only
+    ever appends to ``epochs``); read-modify-write is safe under the
+    writer lease."""
     cur = _read_manifest_full(root)
     rec = {
         "epochs": epochs,
@@ -110,6 +113,7 @@ def _swap_manifest(
             hwm if hwm is not None else cur["hwm"],
             max([e for e in epochs if e >= 0], default=-1),
         ),
+        "owners": owners if owners is not None else cur["owners"],
     }
     p = _manifest_path(root)
     tmp = p + ".tmp"
@@ -872,6 +876,22 @@ def stream_corpus_ingest(
         # token on its first epoch, not at closure-creation time
         token = _run_token(checkpoint_dir)
         store_epoch = epoch_id + _epoch_offset(store_root, token, epoch_id)
+        # abandoned-checkpoint guard (r9): a checkpoint paused before the
+        # store moved on — another run committed epochs past this run's
+        # frozen offset record — must NOT resume: its next store epoch id
+        # collides with the other run's COMMITTED epoch, and the
+        # overwrite-idempotent delta writes below would silently replace
+        # that run's data.  The manifest records each epoch's committing
+        # run token; same token ⇒ legitimate crash replay, proceed.
+        owner = _read_manifest_full(store_root)["owners"].get(str(store_epoch))
+        if owner is not None and owner != token:
+            raise RuntimeError(
+                f"stream_corpus_ingest: store epoch {store_epoch} was "
+                f"committed by another run ({owner}) after this checkpoint "
+                f"froze its epoch offset — this checkpoint is stale; start "
+                f"a FRESH checkpoint (its offset will allocate past the "
+                f"store's hwm)"
+            )
         pre_epochs = _pre_epoch_epochs(store_root, token, store_epoch)
         feats = tracked_persist(corpus_features(batch_df))
         b1 = feats.filter(F.col("lang_pred") != "und")
@@ -1040,7 +1060,12 @@ def stream_corpus_ingest(
             os.path.join(store_root, f"pack_state_v{store_epoch}")
         )
         if store_epoch not in pre_epochs:
-            _swap_manifest(store_root, pre_epochs + [store_epoch])
+            cur = _read_manifest_full(store_root)
+            _swap_manifest(
+                store_root,
+                pre_epochs + [store_epoch],
+                owners={**cur["owners"], str(store_epoch): token},
+            )
 
     # single-writer lease BEFORE the stream starts (r9 — r8 ADVICE): a
     # second concurrent run against this store fails fast here instead
@@ -1185,8 +1210,12 @@ def compact_ingest_store(
     )
 
     # THE commit point — one atomic swap moves readers to the staged
-    # generation; everything else below is reclaimable cleanup
-    _swap_manifest(store_root, [b], funnel_epochs=kept_funnel, hwm=hwm)
+    # generation; everything else below is reclaimable cleanup.  Owner
+    # records fold away with their epochs (hwm keeps future allocation
+    # past them, so no later lookup can hit a stale entry).
+    _swap_manifest(
+        store_root, [b], funnel_epochs=kept_funnel, hwm=hwm, owners={}
+    )
 
     for e in epochs:
         for prefix in ("idx_delta", "disp_delta", "g8_delta", "pack_state"):

@@ -915,3 +915,52 @@ def test_time_travel_survives_compaction_and_latest_equals_full(spark):
         )
         == full
     )
+
+
+def test_abandoned_checkpoint_cannot_overwrite_later_runs(spark):
+    """r9: a checkpoint paused before the store moved on (another run
+    committed epochs past its frozen offset record) must FAIL FAST on
+    resume instead of silently overwriting the later run's committed
+    epochs — the manifest's per-epoch owner tokens catch the collision.
+    Legitimate crash replays (same token) are untouched (covered by
+    test_ingest_kill_resume_exactly_once)."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from cdc_practice_spark.streaming.corpus import (
+        load_ingest_dispositions,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="abandoned_", dir=TMP_ROOT)
+    # run A consumes chunks c0,c1 (checkpoint "") and pauses
+    store = _run_purge_ingest(spark, work)
+    # run B (fresh checkpoint "2") extends the SAME store
+    _run_purge_ingest(spark, work, batch_lo=200, batch_hi=216, run="2")
+    after_b = sorted(
+        tuple(r) for r in load_ingest_dispositions(spark, store).collect()
+    )
+
+    # new chunks arrive in run A's source dir; resuming A's checkpoint
+    # would allocate store epochs B already committed
+    import shutil as _sh
+
+    docs = _purge_harness_docs(spark, batch_lo=300, batch_hi=316)
+    batch = docs.filter("doc_id >= 300").coalesce(1)
+    part = os.path.join(work, "_part_new")
+    batch.write.mode("overwrite").parquet(part)
+    nm = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    os.rename(os.path.join(part, nm), os.path.join(work, "src", "c9.parquet"))
+    _sh.rmtree(part)
+
+    with pytest.raises(StreamingQueryException, match="another run"):
+        _run_purge_ingest(spark, work)  # resumes checkpoint ""
+
+    # the store is untouched — B's committed epochs survive
+    assert (
+        sorted(
+            tuple(r)
+            for r in load_ingest_dispositions(spark, store).collect()
+        )
+        == after_b
+    )
