@@ -6,7 +6,11 @@ as set-oriented, shuffle-minimal DataFrame pipelines.  See SURVEY.md §2.5
 for the contract.
 """
 
-from cdc_practice_spark.cdc.feed import change_feed, change_feed_from_events
+from cdc_practice_spark.cdc.feed import (
+    change_feed,
+    change_feed_from_events,
+    filter_complete_txns,
+)
 from cdc_practice_spark.cdc.history import build_history
 from cdc_practice_spark.cdc.snapshot import build_current
 from cdc_practice_spark.cdc.stats import build_user_stats
@@ -14,6 +18,7 @@ from cdc_practice_spark.cdc.stats import build_user_stats
 __all__ = [
     "change_feed",
     "change_feed_from_events",
+    "filter_complete_txns",
     "build_history",
     "build_current",
     "build_user_stats",

@@ -159,3 +159,41 @@ def dedup_coords_within_key(feed: DataFrame, key: str = "original_id") -> DataFr
     return feed.withColumn("_is_dup", F.coalesce(dup, F.lit(False))).filter(
         ~F.col("_is_dup")
     ).drop("_is_dup")
+
+
+def filter_complete_txns(
+    observed: DataFrame, declared: DataFrame, txn: F.Column
+) -> DataFrame:
+    """Transaction-boundary gate: keep only events of transactions that
+    are COMPLETE in the observed feed — Debezium publishes transaction
+    metadata (txn id per event, END records with per-txn event counts);
+    a consistency-preserving apply buffers events until their txn's END
+    arrives so the warehouse never exposes a torn transaction.  The
+    reference's per-event loop (simple_kafka_etl.py:64-92) applies
+    each event immediately and has no such gate.
+
+    ``observed`` is the feed as captured so far, ``declared`` the full
+    transaction manifest (in production: the transaction topic; here a
+    frame whose per-txn row counts ARE the declared counts), ``txn`` an
+    expression deriving the transaction id from an event row.  Complete
+    is observed-count == declared-count — NOT "txn ends before the
+    cutoff", which only holds for single-partition prefix truncation;
+    the count rule survives multi-partition feeds whose per-partition
+    prefixes interleave transactions.
+
+    Both count aggregations are map-side combinable and keyed on the
+    same txn expression, so their equality join is exchange-free; the
+    final semi join shuffles on txn (AQE broadcasts the complete set
+    when small)."""
+    obs_c = observed.groupBy(txn.alias("txn")).agg(
+        F.count(F.lit(1)).alias("observed_c")
+    )
+    dec_c = declared.groupBy(txn.alias("txn")).agg(
+        F.count(F.lit(1)).alias("declared_c")
+    )
+    complete = (
+        obs_c.join(dec_c, "txn")
+        .filter(F.col("observed_c") == F.col("declared_c"))
+        .select("txn")
+    )
+    return observed.join(complete, txn == complete["txn"], "left_semi")

@@ -91,6 +91,76 @@ def ivf_topk(
     return brute_force_topk(probed, query_vec, k, id_col, vec_col)
 
 
+def ivf_filtered_topk(
+    embeddings: DataFrame,
+    qualified: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Predicate-filtered IVF top-k — vector search with a metadata
+    filter ("top-k most similar AMONG documents matching X"), the
+    filtered-search mode every production vector store exposes.
+
+    Fixed-nprobe IVF breaks under filters: a selective predicate can
+    empty the best cells and return fewer than k rows.  The standard
+    fix (FAISS IDSelector / Milvus filtered search) is ADAPTIVE probe
+    expansion: rank cells by centroid cosine as usual, then keep
+    probing cells in that order until the cells already chosen hold at
+    least k qualified vectors.  The rule used here — choose every cell
+    whose PRECEDING chosen cells hold < k qualified rows — is a pure
+    function of (centroid ranking, per-cell qualified counts), so the
+    result is deterministic and oracle-able, unlike "expand until the
+    driver saw enough".
+
+    ``embeddings`` is the full store (the IVF index is built over
+    everything); ``qualified`` is the metadata-filtered subset (same
+    schema).  Per-cell qualified counts are one map-side-combinable
+    groupBy; both the centroid table and the count table are
+    ncells-sized driver metadata — exactly what an ANN service keeps in
+    its index stats, so at 100 TB the driver walk reads cached stats
+    and only the chosen cells' partitions are ever scanned (partition
+    pruning on cell_col, same layout as ivf_topk)."""
+    dvec = to_double(F.col(vec_col))
+    dim = len(query_vec)
+    centroids = (
+        embeddings.select(F.col(cell_col).alias("cell"), dvec.alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.array(
+                *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+            ).alias("centroid"),
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # round-6 before ranking, cell-id tiebreak: same determinism contract
+    # as ivf_topk (centroid averages are float-order-sensitive)
+    ranked = [
+        r.cell
+        for r in centroids.select(
+            "cell", F.round(cosine(F.col("centroid"), q), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("cell"))
+        .collect()
+    ]
+    counts = {
+        r.cell: r.c
+        for r in qualified.groupBy(F.col(cell_col).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    chosen, seen = [], 0
+    for cell in ranked:
+        if seen >= k:
+            break
+        chosen.append(cell)
+        seen += counts.get(cell, 0)
+    probed = qualified.filter(F.col(cell_col).isin(chosen))
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col)
+
+
 def rp_lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int = 7):
     """Deterministic random-hyperplane banks (one bank per hash table).
     Sign patterns of Gaussian projections approximate angular locality:

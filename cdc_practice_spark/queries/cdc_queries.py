@@ -1525,3 +1525,92 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "bucket", "user_id", "value_a", "value_b", F.col("cnt").cast("long").alias("cnt")
     )
+
+
+_TXN_SIZE = 5  # events per simulated source transaction (event_id div 5)
+
+
+@register(
+    "cdc_txn_boundary_apply",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) AS w FROM events
+),
+declared AS (
+  SELECT event_id // {_TXN_SIZE} AS txn, count(*) AS c FROM events GROUP BY 1
+),
+observed AS (
+  SELECT event_id // {_TXN_SIZE} AS txn, count(*) AS c
+  FROM events, bounds WHERE event_id <= w GROUP BY 1
+),
+complete AS (
+  SELECT o.txn FROM observed o JOIN declared d USING (txn) WHERE o.c = d.c
+),
+applied_events AS (
+  SELECT e.* FROM events e, bounds
+  WHERE e.event_id <= w
+    AND e.event_id // {_TXN_SIZE} IN (SELECT txn FROM complete)
+),
+{FEED_CTE.replace("FROM events", "FROM applied_events")},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT original_id,
+       original_id AS user_id,
+       value,
+       event_type,
+       props_k,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       epoch_us(registered_at) AS last_updated_at_us
+FROM ranked
+WHERE rn = 1 AND __deleted = 'false'
+""",
+)
+def cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-boundary-consistent CDC apply — the consumer never
+    exposes a half-applied source transaction.  Debezium publishes
+    transaction metadata (txn id per event + an END record carrying the
+    event count per txn); a consistency-preserving warehouse apply
+    buffers events until their transaction's END arrives and applies
+    whole transactions only.  The reference's per-event loop
+    (simple_kafka_etl.py:64-92) has no such gate — a crash mid-txn
+    leaves the snapshot torn; this closes that hole.
+
+    Simulation on the fixture: txn = event_id div 5 and the feed is
+    truncated at offset w = floor(0.8 * max) — the tail transaction is
+    (usually) cut mid-way and must NOT reach the snapshot.  "Complete"
+    is decided the general way — observed per-txn count == declared
+    count from the transaction metadata (NOT "txn ends before w", which
+    only holds for prefix truncation on a single partition): the same
+    rule works for multi-partition feeds where per-partition prefixes
+    interleave transactions.
+
+    Scale shape: the declared-count table stands in for Debezium's
+    transaction topic.  Declared and observed counts are each one
+    map-side-combinable groupBy keyed on txn = offset div 5 — ALIGNED
+    with the feed's offset partitioning — and land hash-partitioned on
+    txn, so their equality join is exchange-free; the complete-txn
+    semi join shuffles on the same key (AQE broadcasts it when small).
+    Downstream is the standard cdc_current_snapshot pipeline
+    unchanged."""
+    from cdc_practice_spark.cdc import filter_complete_txns
+
+    events = load_table(spark, sf_dir, "events")
+    txn = F.expr(f"event_id div {_TXN_SIZE}")
+    w = events.agg(
+        F.floor(F.max("event_id") * 0.8).cast("long").alias("w")
+    )
+    trunc = events.crossJoin(F.broadcast(w)).filter(F.col("event_id") <= F.col("w"))
+    applied = filter_complete_txns(trunc, events, txn).drop("w")
+    cur = build_current(change_feed_from_events(applied))
+    return cur.select(
+        "original_id",
+        "user_id",
+        "value",
+        "event_type",
+        "props_k",
+        _us("original_registered_at").alias("original_registered_at_us"),
+        _us("last_updated_at").alias("last_updated_at_us"),
+    )

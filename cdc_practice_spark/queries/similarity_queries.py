@@ -717,3 +717,193 @@ def ann_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_assigned") == F.col("n_vectors")).alias("all_assigned"),
         )
     )
+
+
+_SEM_DECON_TAU = 0.35
+
+
+@register(
+    "corpus_decontaminate_semantic",
+    oracle=f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding AS bv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+scored AS (
+  SELECT e.vec_id, b.bench_id,
+         {_COS_RAW.format(a='e.embedding', b='b.bv')} AS c
+  FROM embeddings e, bench b
+  WHERE e.vec_id % 97 <> 0
+),
+ranked AS (
+  SELECT vec_id, bench_id, c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, bench_id) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id, round(c, 6) AS cosine
+FROM ranked
+WHERE rn = 1 AND round(c, 6) >= {_SEM_DECON_TAU}
+""",
+)
+def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space member of
+    the hygiene family (exact-fp ``corpus_decontaminate``, 8-gram
+    ``decontaminate``, n-gram-Jaccard ``corpus_decontaminate_ngram``):
+    flag every corpus vector whose max cosine against ANY benchmark/eval
+    embedding reaches tau, with the offending benchmark id.  Paraphrased
+    or re-tokenized benchmark copies evade all lexical rules; the
+    embedding check is how modern curation (e.g. rephrased-benchmark
+    studies) closes that hole.
+
+    Shape: the eval-suite embeddings are an INPUT (thousands of rows at
+    any corpus scale) — collected once, shipped as one numpy matrix
+    inside a mapInPandas GEMM (operators/similarity.py
+    pandas_batch_scorer): ONE corpus scan, one matmul per Arrow batch,
+    and only (max cosine, argmax) per vector ever leaves the worker —
+    zero shuffle at any corpus size.  numpy argmax picks the first
+    index on exact ties, so the benchmark matrix is sorted by id and
+    the oracle tie-breaks rn on bench_id (the ann_batch_scorer
+    contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    bench_ids = F.array(*[F.lit(int(r.vec_id)) for r in bench])
+    scored = S.batch_topk_mapinpandas(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        [list(r.embedding) for r in bench],
+    )
+    return (
+        scored.withColumn("cosine", F.round(F.col("best_cosine"), 6))
+        .filter(F.col("cosine") >= F.lit(_SEM_DECON_TAU))
+        .select("vec_id", bench_ids[F.col("best_query")].alias("bench_id"), "cosine")
+    )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qual AS (
+  SELECT e.* FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+cent AS (
+  SELECT label AS cell, {_CENTROID_SQL} AS centroid
+  FROM embeddings GROUP BY label
+),
+ranked_cells AS (
+  SELECT cell,
+         row_number() OVER (
+           ORDER BY {_COS_SQL.format(a='centroid', b='qv')} DESC, cell) AS rn
+  FROM cent, q
+),
+counts AS (SELECT label AS cell, count(*) AS c FROM qual GROUP BY 1),
+cum AS (
+  SELECT r.cell,
+         sum(COALESCE(c.c, 0)) OVER (
+           ORDER BY r.rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_c
+  FROM ranked_cells r LEFT JOIN counts c USING (cell)
+),
+chosen AS (SELECT cell FROM cum WHERE COALESCE(before_c, 0) < 10)
+SELECT e.vec_id,
+       {_COS_SQL.format(a='e.embedding', b='qv')} AS cosine
+FROM qual e, q
+WHERE e.label IN (SELECT cell FROM chosen)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: top-10 by cosine vs the vec_id-0
+    probe, restricted to vectors whose document is English ("search only
+    docs matching X" — the filtered-search mode every vector store
+    exposes).  Fixed-nprobe IVF under-fills when the filter empties the
+    best cells; this probes cells in centroid order until the chosen
+    prefix holds >= k qualified vectors (operators/similarity.py
+    ivf_filtered_topk — FAISS-IDSelector-style adaptive expansion, made
+    deterministic so the exact same cell set is derivable in SQL).
+    The metadata predicate arrives as an id-co-partitioned join
+    (vec_id = doc_id), i.e. a metadata-column fetch at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qual = emb.join(
+        docs.filter(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    return S.ivf_filtered_topk(emb, qual, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS alabel, embedding AS av
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS negative_id,
+         round({_COS_RAW.format(a='e.embedding', b='a.av')}, 6) AS cosine
+  FROM embeddings e, anchors a
+  WHERE e.label <> a.alabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, negative_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive / retrieval training: for
+    each anchor (vec_id < 4), the 5 most-cosine-similar vectors with a
+    DIFFERENT label — the near-misses that make the strongest negatives
+    (the standard mining step behind dense retrievers / CLIP-style
+    training).
+
+    Shape: the anchor set is tiny and broadcast, the label-mismatch
+    filter and cosine are codegen'd JVM expressions, and the per-anchor
+    top-5 is a row_number window whose rank<=5 filter Spark pushes to a
+    partial WindowGroupLimit below the anchor exchange — each map
+    partition ships 5 rows per anchor, never a full sort.  With
+    thousands of anchors the same query swaps the broadcast join for
+    the pandas_batch_scorer GEMM (one matmul per Arrow batch); the
+    4-anchor shape keeps the whole plan inside whole-stage codegen.
+    Round-6 cosine before ranking + id tiebreak = engine-deterministic
+    ranks (hybrid_retrieval_rrf contract)."""
+    from pyspark.sql import Window
+    from cdc_practice_spark.functions.vectors import cosine, to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        to_double(F.col("embedding")).alias("av"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("alabel"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round(cosine(to_double(F.col("embedding")), F.col("av")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

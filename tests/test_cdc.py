@@ -224,3 +224,68 @@ def test_scd2_versions_and_delete_gap(feed):
     assert got == {100: 1, 101: None, 102: 3, 103: None}
     # one output row per probe (no amplification)
     assert j.count() == 4
+
+
+# --------------------------------------------------------- r9 cont.: txn gate
+
+
+def _txn_events(spark):
+    """23 events, txns of 5 by event_id div 5 — txn 4 (ids 20-22) is
+    short by construction (the manifest declares 3 events for it)."""
+    rows = [
+        (i, ts(f"2024-01-01T{i:02d}:00:00"), (i % 4) + 1,
+         "error" if i % 7 == 3 else "click", float(i), '{"k": %d}' % i)
+        for i in range(23)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_complete_txn_gate_drops_torn_transaction(spark):
+    """Truncating the feed at offset 17 cuts txn 3 (ids 15-19) mid-way:
+    the gate must keep txns 0-2 whole, drop ALL of txn 3's captured rows
+    (15,16,17 — a torn transaction), and never invent txn 4."""
+    from cdc_practice_spark.cdc import filter_complete_txns
+
+    events = _txn_events(spark)
+    trunc = events.filter(F.col("event_id") <= 17)
+    txn = F.expr("event_id div 5")
+    kept = filter_complete_txns(trunc, events, txn)
+    ids = sorted(r.event_id for r in kept.collect())
+    assert ids == list(range(15))
+
+
+def test_complete_txn_gate_counts_not_prefix(spark):
+    """The rule is count-equality, not offset-prefix: with txn 2's rows
+    observed but txn 1 missing one row (a mid-feed gap — the
+    multi-partition interleave case), txn 2 passes and txn 1 fails."""
+    from cdc_practice_spark.cdc import filter_complete_txns
+
+    events = _txn_events(spark)
+    gappy = events.filter(
+        (F.col("event_id") <= 14) & (F.col("event_id") != 7)
+    )
+    txn = F.expr("event_id div 5")
+    kept = filter_complete_txns(gappy, events, txn)
+    ids = sorted(r.event_id for r in kept.collect())
+    assert ids == [0, 1, 2, 3, 4, 10, 11, 12, 13, 14]
+
+
+def test_txn_gate_snapshot_equals_manual_filter(spark):
+    """End-to-end: the snapshot over the gated feed is row-identical to
+    building the snapshot over a manually complete-txn-filtered feed —
+    no user's state ever reflects a partial transaction."""
+    from cdc_practice_spark.cdc import build_current, filter_complete_txns
+
+    events = _txn_events(spark)
+    trunc = events.filter(F.col("event_id") <= 17)
+    gated = filter_complete_txns(trunc, events, F.expr("event_id div 5"))
+    got = build_current(change_feed_from_events(gated))
+    want = build_current(
+        change_feed_from_events(events.filter(F.col("event_id") <= 14))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -646,3 +646,118 @@ def test_rp_lsh_erase_touches_only_named_buckets(emb, spark, tmp_path, monkeypat
         (r.vec_id, r.table, r.sig)
         for r in S.load_ann_store(spark, store2).collect()
     ) == want
+
+
+# ---------------------------------------------------------------- r9 cont.
+# filtered ANN, semantic decontamination, hard-negative mining
+
+
+def test_filtered_topk_all_results_qualify(spark, emb, qvec):
+    """Every returned row satisfies the metadata filter, and k rows come
+    back even though the filter empties parts of the probe order."""
+    qual = emb.filter(F.col("vec_id") % 2 == 0)
+    rows = S.ivf_filtered_topk(emb, qual, qvec, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.vec_id % 2 == 0 for r in rows)
+    assert all(rows[i].cosine >= rows[i + 1].cosine for i in range(len(rows) - 1))
+
+
+def test_filtered_topk_expands_past_empty_best_cell(spark, emb, qvec):
+    """The under-fill scenario fixed-nprobe IVF fails: the query vector's
+    own cell (the best-ranked probe) holds ZERO qualified vectors, yet
+    the adaptive expansion still returns k rows — all from other cells."""
+    own_cell = emb.filter(F.col("vec_id") == 0).head().label
+    qual = emb.filter(F.col("label") != own_cell)
+    rows = S.ivf_filtered_topk(emb, qual, qvec, k=10).collect()
+    assert len(rows) == 10
+    labels = {
+        r.label
+        for r in emb.filter(
+            F.col("vec_id").isin([x.vec_id for x in rows])
+        ).collect()
+    }
+    assert own_cell not in labels
+
+
+def test_filtered_topk_returns_all_when_fewer_than_k(spark, emb, qvec):
+    """Fewer qualified vectors than k: the expansion walks every cell and
+    returns the whole qualified set, exactly once each."""
+    qual = emb.filter(F.col("vec_id") % 97 == 3)  # a handful of vectors
+    n_qual = qual.count()
+    assert 0 < n_qual < 10
+    rows = S.ivf_filtered_topk(emb, qual, qvec, k=10).collect()
+    assert len(rows) == n_qual
+    assert len({r.vec_id for r in rows}) == n_qual
+
+
+def test_hard_negatives_labels_differ_and_match_numpy(spark, sf_dir):
+    """The mined negatives are cross-label only, ranked correctly, and
+    anchor 0's list matches an exact numpy brute force (round-6 + id
+    tiebreak — the same contract the oracle pins)."""
+    import numpy as np
+
+    from cdc_practice_spark.queries.similarity_queries import (
+        embedding_hard_negatives,
+    )
+
+    out = embedding_hard_negatives(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_anchor = {}
+    for r in out:
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3}
+    for rows in by_anchor.values():
+        assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [1, 2, 3, 4, 5]
+
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    labs = np.array([r.label for r in rows])
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    a0 = Mn[ids == 0][0]
+    cos = np.round(Mn @ a0, 6)
+    mask = labs != labs[ids == 0][0]
+    cand = sorted(
+        zip(-cos[mask], ids[mask])
+    )[:5]
+    expect = [(int(i), float(-c)) for c, i in cand]
+    got = [
+        (r.negative_id, r.cosine)
+        for r in sorted(by_anchor[0], key=lambda x: x.rank)
+    ]
+    assert got == expect
+
+
+def test_semantic_decontamination_matches_numpy(spark, sf_dir):
+    """Flag set == exact numpy GEMM at tau: same ids, same argmax
+    benchmark attribution, same round-6 cosines."""
+    import numpy as np
+
+    from cdc_practice_spark.queries.similarity_queries import (
+        _SEM_DECON_TAU,
+        corpus_decontaminate_semantic,
+    )
+
+    out = {
+        r.vec_id: (r.bench_id, r.cosine)
+        for r in corpus_decontaminate_semantic(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bmask = ids % 97 == 0
+    order = np.argsort(ids[bmask])
+    B, bids = Mn[bmask][order], ids[bmask][order]
+    S_ = Mn[~bmask] @ B.T
+    best = S_.argmax(axis=1)
+    mc = np.round(S_.max(axis=1), 6)
+    expect = {
+        int(i): (int(bids[b]), float(c))
+        for i, b, c in zip(ids[~bmask], best, mc)
+        if c >= _SEM_DECON_TAU
+    }
+    assert out == expect
