@@ -6,6 +6,7 @@ as set-oriented, shuffle-minimal DataFrame pipelines.  See SURVEY.md §2.5
 for the contract.
 """
 
+from cdc_practice_spark.cdc.handoff import snapshot_handoff_current
 from cdc_practice_spark.cdc.feed import (
     change_feed,
     change_feed_from_events,
@@ -19,6 +20,7 @@ __all__ = [
     "change_feed",
     "change_feed_from_events",
     "filter_complete_txns",
+    "snapshot_handoff_current",
     "build_history",
     "build_current",
     "build_user_stats",

@@ -1614,3 +1614,58 @@ def cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us("original_registered_at").alias("original_registered_at_us"),
         _us("last_updated_at").alias("last_updated_at_us"),
     )
+
+
+@register(
+    "cdc_snapshot_handoff",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT original_id,
+       original_id AS user_id,
+       value,
+       event_type,
+       props_k,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       epoch_us(registered_at) AS last_updated_at_us
+FROM ranked
+WHERE rn = 1 AND __deleted = 'false'
+""",
+)
+def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot → binlog-tail BOOTSTRAP (Debezium snapshot mode,
+    cdc/handoff.py): snapshot the warehouse state at position
+    S = 60% of the feed, then hand off to a tail re-read from an
+    EARLIER position G = 50% — the overlap (G, S] replays changes the
+    snapshot already contains and must be discarded per-event, the
+    first tail event of a snapshotted key must classify UPDATE (seeded
+    existence probe), and the first-INSERT carry must be seeded from
+    snapshot rows.  The oracle is the strongest possible: the handoff
+    result must FULL-HASH equal the cdc_current_snapshot built over the
+    complete feed in one pass — any resurrection, regression, or carry
+    leak hash-fails.
+
+    S/G are derived from max(offset) here to scale with the fixture; a
+    real connector gets S from its snapshot metadata and G from the
+    consumer group's rewind — both O(1) inputs."""
+    from cdc_practice_spark.cdc import snapshot_handoff_current
+
+    feed = _feed(spark, sf_dir)
+    max_off = feed.agg(F.max("kafka_offset").alias("m")).head().m
+    s_off, g_off = int(max_off * 0.6), int(max_off * 0.5)
+    snap = build_current(feed.filter(F.col("kafka_offset") <= s_off))
+    tail = feed.filter(F.col("kafka_offset") > g_off)  # overlapping re-read
+    cur = snapshot_handoff_current(snap, tail, s_off)
+    return cur.select(
+        "original_id",
+        "user_id",
+        "value",
+        "event_type",
+        "props_k",
+        _us("original_registered_at").alias("original_registered_at_us"),
+        _us("last_updated_at").alias("last_updated_at_us"),
+    )

@@ -289,3 +289,79 @@ def test_txn_gate_snapshot_equals_manual_filter(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ----------------------------------------------- r9 cont.: snapshot handoff
+
+
+def _handoff_events(spark):
+    rows = [
+        # key 1: insert, update pre-S; update post-S (carry-seed case)
+        (0, ts("2024-01-01T00:00:00"), 1, "signup", 10.0, '{"k": 1}'),
+        (2, ts("2024-01-01T02:00:00"), 1, "click", 11.0, '{"k": 2}'),
+        (8, ts("2024-01-01T08:00:00"), 1, "view", 12.0, '{"k": 3}'),
+        # key 2: pre-S insert, untouched by the tail
+        (1, ts("2024-01-01T01:00:00"), 2, "signup", 20.0, '{"k": 4}'),
+        # key 3: insert+delete pre-S, BOTH inside the overlap re-read —
+        # naive overlay of the overlap would resurrect it
+        (3, ts("2024-01-01T03:00:00"), 3, "signup", 30.0, '{"k": 5}'),
+        (4, ts("2024-01-01T04:00:00"), 3, "error", 30.0, '{"k": 6}'),
+        # key 4: live at S, deleted by the tail
+        (5, ts("2024-01-01T05:00:00"), 4, "signup", 40.0, '{"k": 7}'),
+        (7, ts("2024-01-01T07:00:00"), 4, "error", 40.0, '{"k": 8}'),
+        # key 6: live at S, delete + re-insert in the tail (carry resets)
+        (6, ts("2024-01-01T06:00:00"), 6, "signup", 60.0, '{"k": 9}'),
+        (10, ts("2024-01-01T10:00:00"), 6, "error", 60.0, '{"k": 10}'),
+        (11, ts("2024-01-01T11:00:00"), 6, "signup", 61.0, '{"k": 11}'),
+        # key 5: born in the tail
+        (9, ts("2024-01-01T09:00:00"), 5, "signup", 50.0, '{"k": 12}'),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_snapshot_handoff_equals_direct_build(spark):
+    """Snapshot at S=6 + overlapping tail from G=2: the merged snapshot
+    is row-identical to the one-pass build over the full feed."""
+    from cdc_practice_spark.cdc import build_current, snapshot_handoff_current
+
+    feed = change_feed_from_events(_handoff_events(spark))
+    snap = build_current(feed.filter(F.col("kafka_offset") <= 6))
+    tail = feed.filter(F.col("kafka_offset") > 2)
+    got = snapshot_handoff_current(snap, tail, 6)
+    want = build_current(feed)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_snapshot_handoff_edge_semantics(spark):
+    """The specific failure modes the merge exists to prevent."""
+    from cdc_practice_spark.cdc import build_current, snapshot_handoff_current
+
+    feed = change_feed_from_events(_handoff_events(spark))
+    snap = build_current(feed.filter(F.col("kafka_offset") <= 6))
+    tail = feed.filter(F.col("kafka_offset") > 2)
+    rows = {
+        r.original_id: r
+        for r in snapshot_handoff_current(snap, tail, 6).collect()
+    }
+    # no resurrection: key 3's overlap-replayed insert stays dead
+    assert 3 not in rows
+    # tail delete applies: key 4 gone
+    assert 4 not in rows
+    # carry SEEDED from the snapshot: key 1's original_registered_at is
+    # its pre-S insert time, its value/last_updated from the tail update
+    assert rows[1].original_registered_at == ts("2024-01-01T00:00:00")
+    assert rows[1].value == 12.0
+    assert rows[1].last_updated_at == ts("2024-01-01T08:00:00")
+    # untouched key passes through byte-identical (incl. props_k)
+    assert rows[2].value == 20.0
+    assert rows[2].props_k == 4
+    assert rows[2].last_updated_at == ts("2024-01-01T01:00:00")
+    # re-insert in the tail RESETS the carry
+    assert rows[6].original_registered_at == ts("2024-01-01T11:00:00")
+    # born-in-tail key classified INSERT with its own carry
+    assert rows[5].original_registered_at == ts("2024-01-01T09:00:00")
