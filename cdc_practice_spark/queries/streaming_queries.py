@@ -33,13 +33,20 @@ TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def split_events_into_files(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 4,
+    max_event_id: int | None = None,
 ) -> None:
     """Split the events fixture into n single-file parquet chunks by
     event_id range, written in replay order (monotone mtimes so the file
-    source's batch order matches offset order)."""
+    source's batch order matches offset order).  ``max_event_id``
+    truncates the feed first (capture-cut simulations)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep ts as raw nanos
+    if max_event_id is not None:
+        raw = raw.filter(F.col("event_id") <= max_event_id)
     n = raw.count()
     step = (n + n_files - 1) // n_files
     for i in range(n_files):
@@ -1093,3 +1100,54 @@ def streaming_corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _corpus_ingest_store(spark, sf_dir)
     first = min(e for e in _read_manifest(store) if e >= 0)
     return load_ingest_dispositions_at(spark, store, first).orderBy("doc_id")
+
+
+@register("streaming_txn_gated_replay", oracle=None)
+def streaming_txn_gated_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cdc_txn_boundary_apply: the feed (truncated at
+    w = 80%, cutting one transaction mid-way) replays as 4 micro-batches
+    through the txn-GATED bucketed upsert — trigger boundaries land
+    inside transactions, the gate buffers those events across epochs and
+    releases whole transactions in commit order, and the cut txn's
+    events stay pending forever.  Final state must equal the batch gate
+    exactly (oracle assigned below = cdc_txn_boundary_apply's)."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_current_upsert_txn_gated,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    max_off = events.agg(F.max("event_id").alias("m")).head().m
+    w = int(max_off * 0.8)
+    declared = events.select(F.col("event_id").alias("kafka_offset"))
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="txn_gated_replay_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(spark, sf_dir, src_dir, n_files=4, max_event_id=w)
+    q = stream_current_upsert_txn_gated(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        declared_offsets=declared,
+    )
+    q.awaitTermination()
+    state = load_bucketed_state(spark, os.path.join(work, "state"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "event_type",
+        "props_k",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+# the gated stream must land on the exact batch-gated snapshot
+from cdc_practice_spark.queries.cdc_queries import cdc_txn_boundary_apply as _txn_q  # noqa: E402,F401
+
+ORACLES["streaming_txn_gated_replay"] = ORACLES["cdc_txn_boundary_apply"]

@@ -266,6 +266,114 @@ def stream_current_upsert_bucketed(
     )
 
 
+def stream_current_upsert_txn_gated(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    declared_offsets: DataFrame,
+    txn_size: int = 5,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """S9 upsert sink with a TRANSACTION-BOUNDARY gate (the streaming
+    twin of cdc/feed.py::filter_complete_txns): micro-batch boundaries
+    do not respect source-transaction boundaries, so each epoch buffers
+    events whose transaction is not yet fully captured and releases
+    whole transactions only — the snapshot NEVER exposes a torn txn,
+    no matter where the trigger cuts the feed.
+
+    Release rule is COMMIT-ORDER PREFIX (strictly stronger than the
+    batch gate's per-txn count equality): a complete txn releases only
+    once every earlier txn is complete too, so the merge applies
+    transactions in source commit order even if a multi-partition bus
+    delivered them interleaved.  The cut point m = min txn with
+    observed < declared is one small aggregate against the declared
+    manifest (``declared_offsets`` — the Debezium transaction topic
+    stand-in, one row per declared event's ``kafka_offset``).
+
+    State is the standard bucketed O(touched-buckets) MERGE; the
+    pending buffer is feed-shaped parquet behind a versioned pointer.
+    Replay safety: the pending pointer is PINNED pre-epoch
+    (_pre_epoch_pointer), so a retried epoch re-reads the exact
+    pre-epoch pending set, recomputes the identical released set, and
+    the bucketed merge's per-epoch idempotency does the rest.  Pending
+    size is bounded by OPEN transactions (plus the commit-order
+    holdback), not by feed size."""
+    os.makedirs(state_root, exist_ok=True)
+    feed = change_feed_from_events(events_stream)
+    txn = F.expr(f"kafka_offset div {txn_size}")
+    dec_c = declared_offsets.groupBy(txn.alias("txn")).agg(
+        F.count(F.lit(1)).alias("declared_c")
+    )
+    max_txn = int(dec_c.agg(F.max("txn").alias("m")).head().m)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # pending pointer content is JSON {path, frontier}: the buffer of
+        # held-back events AND the release frontier (first txn not yet
+        # released) must version together — the frontier is what lets m
+        # ignore txns already released in earlier epochs (their rows left
+        # the observed window, so a frontier-less min would stall on them)
+        pend_pre = _pre_epoch_pointer(state_root, epoch_id, name="_PENDING")
+        if pend_pre:
+            meta = json.loads(pend_pre)
+            pending = spark.read.schema(batch_df.schema).parquet(meta["path"])
+            frontier = int(meta["frontier"])
+        else:
+            pending, frontier = batch_df.limit(0), 0
+        observed = batch_df.unionByName(pending.select(*batch_df.columns))
+        obs_c = observed.groupBy(txn.alias("txn")).agg(
+            F.count(F.lit(1)).alias("observed_c")
+        )
+        m_df = (
+            dec_c.filter(F.col("txn") >= frontier)
+            .join(obs_c, "txn", "left")
+            .filter(
+                F.coalesce(F.col("observed_c"), F.lit(0)) < F.col("declared_c")
+            )
+            .agg(F.min("txn").alias("m"))
+        )
+        m_row = m_df.head().m  # one scalar — the release cut point
+        if m_row is None:
+            released, remainder, new_frontier = observed, observed.limit(0), None
+        else:
+            released = observed.filter(txn < F.lit(int(m_row)))
+            remainder = observed.filter(txn >= F.lit(int(m_row)))
+            new_frontier = int(m_row)
+        apply_bucketed_merge(spark, released, state_root, epoch_id, n_buckets)
+        pend_out = os.path.join(state_root, f"pend_v{epoch_id}")
+        remainder.coalesce(1).write.mode("overwrite").parquet(pend_out)
+        _swap_pointer(
+            state_root,
+            json.dumps(
+                {
+                    "path": pend_out,
+                    # every declared txn released: park the frontier past them
+                    "frontier": new_frontier
+                    if new_frontier is not None
+                    else max_txn + 1,
+                }
+            ),
+            name="_PENDING",
+        )
+
+    return (
+        feed.writeStream.foreachBatch(_scoped(apply_batch))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_pending_txn_buffer(spark: SparkSession, state_root: str) -> DataFrame:
+    """The open-transaction buffer the txn-gated sink is holding back —
+    feed-shaped rows awaiting their transaction's completion."""
+    pointer = os.path.join(state_root, "_PENDING")
+    if not os.path.exists(pointer):
+        raise FileNotFoundError(f"no pending buffer under {state_root}")
+    with open(pointer) as fh:
+        return spark.read.parquet(json.loads(fh.read())["path"])
+
+
 def stream_multitable_upsert(
     spark: SparkSession,
     events_stream: DataFrame,

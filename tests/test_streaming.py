@@ -1020,3 +1020,91 @@ def test_mv_loader_fallback_schemas_parameterized(spark, tmp_path):
         "struct<region:int,n_rows:bigint,n_distinct:bigint>"
     )
     assert empty_d.count() == 0
+
+
+def test_txn_gated_stream_buffers_across_epochs(spark):
+    """The transaction gate under trigger boundaries that cut INSIDE
+    transactions: txns of 5 by event_id div 5, feed truncated at 12
+    (txn 2 torn), chunked 0-7 / 8-12 so txn 1 SPANS the epoch boundary.
+    Epoch 0 may release only txn 0 (txn 1 incomplete -> buffered);
+    epoch 1 completes txn 1 and releases it; txn 2 stays pending
+    forever.  Final state equals the batch apply over complete txns,
+    and the pending buffer holds exactly the torn txn's rows."""
+    import json as _json
+
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        load_pending_txn_buffer,
+        stream_current_upsert_txn_gated,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="txngate_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    base_ns = 1_700_000_000_000_000_000
+    all_rows = [
+        (i, base_ns + i * 10**9, (i % 3) + 1, "click", float(i), "{}")
+        for i in range(15)
+    ]
+    truncated = [r for r in all_rows if r[0] <= 12]
+
+    def write_chunk(idx, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string"
+        ).coalesce(1)
+        part = os.path.join(work, f"_p{idx}")
+        df.write.mode("overwrite").parquet(part)
+        f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+        os.rename(os.path.join(part, f), os.path.join(src, f"chunk-{idx:03d}.parquet"))
+        import shutil as _sh; import time as _t
+        _sh.rmtree(part); _t.sleep(0.05)
+
+    write_chunk(0, [r for r in truncated if r[0] <= 7])
+    write_chunk(1, [r for r in truncated if r[0] > 7])
+
+    declared = spark.createDataFrame(
+        [(r[0],) for r in all_rows], "kafka_offset long"
+    )
+    state_root = os.path.join(work, "state")
+    from cdc_practice_spark.streaming.pipeline import read_events_stream
+
+    q = stream_current_upsert_txn_gated(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=state_root,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        declared_offsets=declared,
+        txn_size=5,
+        n_buckets=8,
+    )
+    q.awaitTermination()
+
+    # final state == batch snapshot over the COMPLETE txns only (0-9)
+    from cdc_practice_spark.session import _events_ts_as_ntz
+
+    complete_df = spark.createDataFrame(
+        [r for r in all_rows if r[0] <= 9],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    complete_df = complete_df.withColumn("ts", _events_ts_as_ntz(complete_df))
+    want = {
+        (r.original_id, r.value)
+        for r in build_current(change_feed_from_events(complete_df)).collect()
+    }
+    got = {
+        (r.original_id, r.value)
+        for r in load_bucketed_state(spark, state_root).collect()
+    }
+    assert got == want
+    # the torn txn's captured rows are exactly what's pending
+    pending_ids = sorted(
+        r.kafka_offset for r in load_pending_txn_buffer(spark, state_root).collect()
+    )
+    assert pending_ids == [10, 11, 12]
+    # the pending pointer carries the release frontier (txn 2)
+    with open(os.path.join(state_root, "_PENDING")) as fh:
+        assert _json.loads(fh.read())["frontier"] == 2
