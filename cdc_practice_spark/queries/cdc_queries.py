@@ -1534,7 +1534,7 @@ _TXN_SIZE = 5  # events per simulated source transaction (event_id div 5)
     "cdc_txn_boundary_apply",
     oracle=f"""
 WITH bounds AS (
-  SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) AS w FROM events
+  SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) + 2 AS w FROM events
 ),
 declared AS (
   SELECT event_id // {_TXN_SIZE} AS txn, count(*) AS c FROM events GROUP BY 1
@@ -1579,8 +1579,9 @@ def cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the snapshot torn; this closes that hole.
 
     Simulation on the fixture: txn = event_id div 5 and the feed is
-    truncated at offset w = floor(0.8 * max) — the tail transaction is
-    (usually) cut mid-way and must NOT reach the snapshot.  "Complete"
+    truncated at offset w = floor(0.8 * max) + 2 — off a transaction
+    boundary by construction, so the tail transaction is genuinely cut
+    mid-way and must NOT reach the snapshot.  "Complete"
     is decided the general way — observed per-txn count == declared
     count from the transaction metadata (NOT "txn ends before w", which
     only holds for prefix truncation on a single partition): the same
@@ -1600,7 +1601,7 @@ def cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     txn = F.expr(f"event_id div {_TXN_SIZE}")
     w = events.agg(
-        F.floor(F.max("event_id") * 0.8).cast("long").alias("w")
+        (F.floor(F.max("event_id") * 0.8).cast("long") + 2).alias("w")
     )
     trunc = events.crossJoin(F.broadcast(w)).filter(F.col("event_id") <= F.col("w"))
     applied = filter_complete_txns(trunc, events, txn).drop("w")
