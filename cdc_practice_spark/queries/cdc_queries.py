@@ -1670,3 +1670,65 @@ def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us("original_registered_at").alias("original_registered_at_us"),
         _us("last_updated_at").alias("last_updated_at_us"),
     )
+
+
+@register(
+    "cdc_multipartition_snapshot",
+    oracle=f"""
+WITH {FEED_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT original_id,
+       original_id AS user_id,
+       value,
+       event_type,
+       props_k,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       epoch_us(registered_at) AS last_updated_at_us
+FROM ranked
+WHERE rn = 1 AND __deleted = 'false'
+""",
+)
+def cdc_multipartition_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED-topic semantics (S6): a real Debezium topic is
+    key-partitioned — each PK's events land in ONE partition with
+    PARTITION-LOCAL offsets, and offsets of different partitions
+    interleave arbitrarily.  The fixture's single global offset hides
+    that; here the feed is re-sharded into 4 partitions by key hash
+    (Kafka's keyed routing), each with its own dense offset sequence,
+    and the snapshot is built from the partition-local coordinates
+    alone — no global order exists or is needed, because every
+    operator is per-key and a key's partition-local offsets are
+    monotone in event order (SURVEY.md §4.1: the reference relied on a
+    single consumer for total order, but all of its operators are
+    per-key).  Oracle: full-hash identity with the single-partition
+    cdc_current_snapshot.
+
+    Scale shape: the re-shard is one row_number window per partition
+    (at 100 TB, partition-local offsets ARRIVE from Kafka — no window
+    at all); downstream is the standard one-exchange snapshot."""
+    feed = _feed(spark, sf_dir)
+    part = F.pmod(F.xxhash64(F.col("original_id")), F.lit(4)).cast("int")
+    wpart = Window.partitionBy("_kpart").orderBy("kafka_offset")
+    # swap in partition-local coordinates (the wire truth on a
+    # partitioned topic) and drop the global ordinal entirely
+    feed = (
+        feed.withColumn("_kpart", part)
+        .withColumn("_loc", (F.row_number().over(wpart) - 1).cast("long"))
+        .drop("kafka_offset", "kafka_partition")
+        .withColumnRenamed("_loc", "kafka_offset")
+        .withColumnRenamed("_kpart", "kafka_partition")
+    )
+    cur = build_current(feed)
+    return cur.select(
+        "original_id",
+        "user_id",
+        "value",
+        "event_type",
+        "props_k",
+        _us("original_registered_at").alias("original_registered_at_us"),
+        _us("last_updated_at").alias("last_updated_at_us"),
+    )
