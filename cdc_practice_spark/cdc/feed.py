@@ -162,7 +162,10 @@ def dedup_coords_within_key(feed: DataFrame, key: str = "original_id") -> DataFr
 
 
 def filter_complete_txns(
-    observed: DataFrame, declared: DataFrame, txn: F.Column
+    observed: DataFrame,
+    declared: DataFrame,
+    txn: F.Column,
+    distinct_on: "list[str] | None" = None,
 ) -> DataFrame:
     """Transaction-boundary gate: keep only events of transactions that
     are COMPLETE in the observed feed — Debezium publishes transaction
@@ -181,12 +184,26 @@ def filter_complete_txns(
     the count rule survives multi-partition feeds whose per-partition
     prefixes interleave transactions.
 
+    ``distinct_on`` names the event-coordinate column(s) to count
+    DISTINCT over — REQUIRED on at-least-once buses that haven't been
+    coordinate-deduped yet: a raw count sees a redelivered event as
+    observed_c > declared_c, the equality filter calls the committed
+    txn incomplete, and the whole transaction silently vanishes (and a
+    redelivery masking a genuinely missing event would fool a >= raw
+    count the other way).  Distinct coordinates are a subset of the
+    declared set, so equality is exact.  Default None = raw counts,
+    for feeds already deduped (P3) or exactly-once by construction.
+
     Both count aggregations are map-side combinable and keyed on the
     same txn expression, so their equality join is exchange-free; the
     final semi join shuffles on txn (AQE broadcasts the complete set
     when small)."""
+    if distinct_on:
+        obs_count = F.count_distinct(*[F.col(c) for c in distinct_on])
+    else:
+        obs_count = F.count(F.lit(1))
     obs_c = observed.groupBy(txn.alias("txn")).agg(
-        F.count(F.lit(1)).alias("observed_c")
+        obs_count.alias("observed_c")
     )
     dec_c = declared.groupBy(txn.alias("txn")).agg(
         F.count(F.lit(1)).alias("declared_c")

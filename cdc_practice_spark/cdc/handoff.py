@@ -36,12 +36,15 @@ binlog without replaying history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_practice_spark.cdc.feed import TOPIC
-from cdc_practice_spark.cdc.history import with_change_type
-from cdc_practice_spark.schemas import PROPS_SCHEMA
+from cdc_practice_spark.cdc.history import (
+    with_change_type,
+    with_registered_at_carry,
+)
+from cdc_practice_spark.cdc.snapshot import current_from_carried
 
 
 def snapshot_handoff_current(
@@ -73,33 +76,12 @@ def snapshot_handoff_current(
     )
     merged = read_events.unionByName(tail.select(*read_events.columns))
     typed = with_change_type(merged)
-    # seeded carry: same window as with_registered_at_carry, but an
-    # INSERT-classified READ row contributes the SNAPSHOT's original
-    # timestamp (its own registered_at is the last update time, not the
-    # first insert time)
-    wkey = Window.partitionBy("original_id").orderBy("kafka_offset")
-    wcum = wkey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    insert_ts = F.when(
-        F.col("change_type") == "INSERT",
-        F.coalesce(F.col("_snap_orig"), F.col("registered_at")),
+    # SEEDED carry: the shared P5 window, with INSERT-classified READ
+    # rows contributing the SNAPSHOT's original timestamp (their own
+    # registered_at is the last update time, not the first insert time);
+    # genuine tail INSERTs have _snap_orig null and contribute their own
+    carried = with_registered_at_carry(
+        typed,
+        insert_ts_expr=F.coalesce(F.col("_snap_orig"), F.col("registered_at")),
     )
-    carried = typed.withColumn(
-        "original_registered_at", F.last(insert_ts, ignorenulls=True).over(wcum)
-    )
-    wmax = Window.partitionBy("original_id")
-    return (
-        carried.withColumn("_max_offset", F.max("kafka_offset").over(wmax))
-        .filter(
-            (F.col("kafka_offset") == F.col("_max_offset"))
-            & (F.col("__deleted") == "false")
-        )
-        .select(
-            F.col("original_id"),
-            F.col("original_id").alias("user_id"),
-            F.col("value"),
-            F.col("event_type"),
-            F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("props_k"),
-            F.col("original_registered_at"),
-            F.col("registered_at").alias("last_updated_at"),
-        )
-    )
+    return current_from_carried(carried)

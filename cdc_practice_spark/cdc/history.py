@@ -67,18 +67,28 @@ def with_change_type(feed: DataFrame, key: str = "original_id", order: str = "ka
 
 
 def with_registered_at_carry(
-    typed: DataFrame, key: str = "original_id", order: str = "kafka_offset"
+    typed: DataFrame,
+    key: str = "original_id",
+    order: str = "kafka_offset",
+    insert_ts_expr: "F.Column | None" = None,
 ) -> DataFrame:
     """Carry ``registered_at`` forward from the key's most recent INSERT
     (P5).  ``last(..., ignorenulls=True)`` over an unbounded-preceding
     window replaces the reference's per-row lookup join against current
-    (simple_kafka_etl.py:90-93,141-144)."""
+    (simple_kafka_etl.py:90-93,141-144).
+
+    ``insert_ts_expr`` overrides the value an INSERT-classified row
+    contributes (default: its own ``registered_at``) — the snapshot
+    handoff seeds synthetic READ rows with the snapshot's original
+    timestamp this way (cdc/handoff.py) while sharing this window."""
     w = (
         Window.partitionBy(key)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    insert_ts = F.when(F.col("change_type") == "INSERT", F.col("registered_at"))
+    if insert_ts_expr is None:
+        insert_ts_expr = F.col("registered_at")
+    insert_ts = F.when(F.col("change_type") == "INSERT", insert_ts_expr)
     carried = F.last(insert_ts, ignorenulls=True).over(w)
     # A DELETE whose key is NOT currently live (first event, or right
     # after another DELETE) finds no row to look up — the reference's

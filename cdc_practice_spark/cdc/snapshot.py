@@ -45,6 +45,13 @@ def build_current(feed: DataFrame) -> DataFrame:
     key (simple_kafka_etl.py:108,134-138,159-163)."""
     typed = with_change_type(feed)
     carried = with_registered_at_carry(typed)
+    return current_from_carried(carried)
+
+
+def current_from_carried(carried: DataFrame) -> DataFrame:
+    """The snapshot TAIL shared by build_current and the bootstrap
+    handoff (cdc/handoff.py): latest-per-key filter + delete apply +
+    the canonical 7-column projection."""
     # latest-per-key via an ORDERLESS max-offset window: its required
     # ordering (just the partition key) is already satisfied by the
     # change_type/carry windows' (key, offset) sort, so Catalyst elides

@@ -45,24 +45,19 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def ivf_topk(
+def _ranked_cells(
     embeddings: DataFrame,
     query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 3,
-    id_col: str = "vec_id",
+    cell_col: str,
     vec_col: str = "embedding",
-    cell_col: str = "label",
-) -> DataFrame:
-    """IVF approximate top-k: rank cells by centroid cosine, scan only
-    the nprobe best cells.  Centroids are a groupBy over the (assumed
-    precomputed) cell assignment — at index-build time this is k-means;
-    here the fixture's ``label`` column IS the cell id.
-
-    The centroid table is tiny (ncells rows) and evaluated driver-side
-    into a literal IN-list, so the cell filter pushes into the parquet
-    scan (partition pruning when the table is partitioned by cell —
-    exactly how you'd lay out 100 TB of embeddings)."""
+    limit: "int | None" = None,
+) -> list:
+    """Cells in centroid-cosine order vs the query — THE deterministic
+    probe ranking both IVF entry points share: centroids are a groupBy
+    average, ranked on ROUND-6 cosine with a cell-id tiebreak (centroid
+    averages are float-order-sensitive across engines/partitionings; at
+    1e-6 granularity the order is engine-deterministic and therefore
+    oracle-able).  ncells rows — index metadata, driver-sized."""
     dvec = to_double(F.col(vec_col))
     dim = len(query_vec)
     centroids = (
@@ -75,18 +70,36 @@ def ivf_topk(
         )
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    # round-6 before ranking: centroid averages are float-order-sensitive
-    # across engines/partitionings; at 1e-6 granularity the probe order is
-    # deterministic (ties broken by cell id), so the query is oracle-able
-    best_cells = [
-        r.cell
-        for r in centroids.select(
-            "cell", F.round(cosine(F.col("centroid"), q), 6).alias("sim")
-        )
-        .orderBy(F.col("sim").desc(), F.col("cell"))
-        .limit(nprobe)
-        .collect()
-    ]
+    ranked = centroids.select(
+        "cell", F.round(cosine(F.col("centroid"), q), 6).alias("sim")
+    ).orderBy(F.col("sim").desc(), F.col("cell"))
+    if limit is not None:
+        ranked = ranked.limit(limit)
+    return [r.cell for r in ranked.collect()]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF approximate top-k: rank cells by centroid cosine
+    (_ranked_cells — the shared deterministic probe order), scan only
+    the nprobe best cells.  Centroids are a groupBy over the (assumed
+    precomputed) cell assignment — at index-build time this is k-means;
+    here the fixture's ``label`` column IS the cell id.
+
+    The centroid table is tiny (ncells rows) and evaluated driver-side
+    into a literal IN-list, so the cell filter pushes into the parquet
+    scan (partition pruning when the table is partitioned by cell —
+    exactly how you'd lay out 100 TB of embeddings)."""
+    best_cells = _ranked_cells(
+        embeddings, query_vec, cell_col, vec_col, limit=nprobe
+    )
     probed = embeddings.filter(F.col(cell_col).isin(best_cells))
     return brute_force_topk(probed, query_vec, k, id_col, vec_col)
 
@@ -123,28 +136,7 @@ def ivf_filtered_topk(
     its index stats, so at 100 TB the driver walk reads cached stats
     and only the chosen cells' partitions are ever scanned (partition
     pruning on cell_col, same layout as ivf_topk)."""
-    dvec = to_double(F.col(vec_col))
-    dim = len(query_vec)
-    centroids = (
-        embeddings.select(F.col(cell_col).alias("cell"), dvec.alias("v"))
-        .groupBy("cell")
-        .agg(
-            F.array(
-                *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
-            ).alias("centroid"),
-        )
-    )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    # round-6 before ranking, cell-id tiebreak: same determinism contract
-    # as ivf_topk (centroid averages are float-order-sensitive)
-    ranked = [
-        r.cell
-        for r in centroids.select(
-            "cell", F.round(cosine(F.col("centroid"), q), 6).alias("sim")
-        )
-        .orderBy(F.col("sim").desc(), F.col("cell"))
-        .collect()
-    ]
+    ranked = _ranked_cells(embeddings, query_vec, cell_col, vec_col)
     counts = {
         r.cell: r.c
         for r in qualified.groupBy(F.col(cell_col).alias("cell"))

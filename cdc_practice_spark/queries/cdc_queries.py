@@ -1604,7 +1604,9 @@ def cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.max("event_id") * 0.8).cast("long") + 2).alias("w")
     )
     trunc = events.crossJoin(F.broadcast(w)).filter(F.col("event_id") <= F.col("w"))
-    applied = filter_complete_txns(trunc, events, txn).drop("w")
+    applied = filter_complete_txns(
+        trunc, events, txn, distinct_on=["event_id"]
+    ).drop("w")
     cur = build_current(change_feed_from_events(applied))
     return cur.select(
         "original_id",

@@ -1161,8 +1161,7 @@ def streaming_txn_gated_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the gated stream must land on the exact batch-gated snapshot
-from cdc_practice_spark.queries.cdc_queries import cdc_txn_boundary_apply as _txn_q  # noqa: E402,F401
-
+# (cdc_queries is imported at module top, so the oracle is registered)
 ORACLES["streaming_txn_gated_replay"] = ORACLES["cdc_txn_boundary_apply"]
 
 

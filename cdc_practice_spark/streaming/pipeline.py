@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from cdc_practice_spark.cdc.feed import change_feed_from_events
+from cdc_practice_spark.cdc.feed import KAFKA_COORDS, change_feed_from_events
 from cdc_practice_spark.plans.cache import tracked_scope
 from cdc_practice_spark.streaming.upsert import empty_state, merge_batch
 
@@ -320,7 +320,14 @@ def stream_current_upsert_txn_gated(
             frontier = int(meta["frontier"])
         else:
             pending, frontier = batch_df.limit(0), 0
-        observed = batch_df.unionByName(pending.select(*batch_df.columns))
+        # coordinate-dedup the union: a redelivery that slipped past the
+        # feed's watermark-bounded dedup (or re-entered via the pending
+        # buffer) must neither inflate the observed counts (a committed
+        # txn would read as over-complete and never release) nor reach
+        # merge_batch twice
+        observed = batch_df.unionByName(
+            pending.select(*batch_df.columns)
+        ).dropDuplicates(list(KAFKA_COORDS))
         obs_c = observed.groupBy(txn.alias("txn")).agg(
             F.count(F.lit(1)).alias("observed_c")
         )

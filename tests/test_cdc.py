@@ -365,3 +365,25 @@ def test_snapshot_handoff_edge_semantics(spark):
     assert rows[6].original_registered_at == ts("2024-01-01T11:00:00")
     # born-in-tail key classified INSERT with its own carry
     assert rows[5].original_registered_at == ts("2024-01-01T09:00:00")
+
+
+def test_complete_txn_gate_survives_redelivery(spark):
+    """At-least-once bus (review finding): a redelivered event must not
+    make a committed transaction read as over-complete and vanish —
+    with distinct_on, txns 0-2 all release despite event 7 arriving
+    twice, and the duplicate row itself passes through (downstream P3
+    dedup owns row-level dedup, the gate owns txn completeness)."""
+    from cdc_practice_spark.cdc import filter_complete_txns
+
+    events = _txn_events(spark)
+    dup = events.filter(F.col("event_id") == 7)
+    observed = events.filter(F.col("event_id") <= 14).unionAll(dup)
+    txn = F.expr("event_id div 5")
+    kept = filter_complete_txns(observed, events, txn, distinct_on=["event_id"])
+    ids = sorted(r.event_id for r in kept.collect())
+    assert ids == sorted(list(range(15)) + [7])
+    # the raw-count default WOULD drop txn 1 here (observed 6 != 5
+    # declared) — pin the contrast so distinct_on stays load-bearing
+    kept_raw = filter_complete_txns(observed, events, txn)
+    ids_raw = sorted(r.event_id for r in kept_raw.collect())
+    assert [i for i in ids_raw if 5 <= i <= 9] == []
