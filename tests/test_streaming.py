@@ -1108,3 +1108,76 @@ def test_txn_gated_stream_buffers_across_epochs(spark):
     # the pending pointer carries the release frontier (txn 2)
     with open(os.path.join(state_root, "_PENDING")) as fh:
         assert _json.loads(fh.read())["frontier"] == 2
+
+
+def test_txn_gated_kill_resume_exactly_once(spark, sf_dir):
+    """Kill-resume for the TXN-GATED sink: stop after >=1 committed
+    micro-batch, resume from the checkpoint to completion.  Both the
+    final state AND the pending buffer must equal an uninterrupted
+    gated run's — the pre-epoch-pinned pending pointer is what makes a
+    replayed epoch recompute the identical released set, and this is
+    the test that would catch it regressing."""
+    import time as _time
+
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        load_pending_txn_buffer,
+        stream_current_upsert_txn_gated,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    max_off = events.agg(F.max("event_id").alias("m")).head().m
+    w = int(max_off * 0.8) + 2
+    declared = events.select(F.col("event_id").alias("kafka_offset"))
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+
+    def run_gated(work, kill_after_first):
+        src = os.path.join(work, "src")
+        if not os.path.isdir(src):
+            os.makedirs(src)
+            split_events_into_files(
+                spark, sf_dir, src, n_files=4, max_event_id=w
+            )
+        state_root = os.path.join(work, "state")
+        q = stream_current_upsert_txn_gated(
+            spark,
+            read_events_stream(spark, src, max_files_per_trigger=1),
+            state_root=state_root,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            declared_offsets=declared,
+        )
+        if kill_after_first:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+                if done and os.path.exists(
+                    os.path.join(state_root, "_MANIFEST")
+                ):
+                    break
+                _time.sleep(0.2)
+            q.stop()
+        q.awaitTermination()
+        return state_root
+
+    killed = tempfile.mkdtemp(prefix="txnkill_", dir=TMP_ROOT)
+    state_root = run_gated(killed, kill_after_first=True)
+    assert load_bucketed_state(spark, state_root).count() > 0  # mid-replay
+    state_root = run_gated(killed, kill_after_first=False)  # resume
+
+    clean = tempfile.mkdtemp(prefix="txnclean_", dir=TMP_ROOT)
+    clean_root = run_gated(clean, kill_after_first=False)
+
+    key = lambda df: {  # noqa: E731
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in df.collect()
+    }
+    assert key(load_bucketed_state(spark, state_root)) == key(
+        load_bucketed_state(spark, clean_root)
+    )
+    pend = lambda root: sorted(  # noqa: E731
+        r.kafka_offset
+        for r in load_pending_txn_buffer(spark, root).collect()
+    )
+    assert pend(state_root) == pend(clean_root)
+    assert len(pend(state_root)) == 2  # the torn txn's captured rows
