@@ -38,20 +38,26 @@ def split_events_into_files(
     out_dir: str,
     n_files: int = 4,
     max_event_id: int | None = None,
+    min_event_id: int = 0,
 ) -> None:
     """Split the events fixture into n single-file parquet chunks by
     event_id range, written in replay order (monotone mtimes so the file
-    source's batch order matches offset order).  ``max_event_id``
-    truncates the feed first (capture-cut simulations)."""
+    source's batch order matches offset order).  ``max_event_id`` /
+    ``min_event_id`` bound the feed first (capture-cut / tail-re-read
+    simulations)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep ts as raw nanos
     if max_event_id is not None:
         raw = raw.filter(F.col("event_id") <= max_event_id)
+    if min_event_id:
+        raw = raw.filter(F.col("event_id") >= min_event_id)
     n = raw.count()
     step = (n + n_files - 1) // n_files
+    lo = min_event_id
     for i in range(n_files):
         chunk = raw.filter(
-            (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            (F.col("event_id") >= lo + i * step)
+            & (F.col("event_id") < lo + (i + 1) * step)
         ).coalesce(1)
         part_dir = os.path.join(out_dir, f"_part{i}")
         chunk.write.mode("overwrite").parquet(part_dir)
@@ -1212,3 +1218,59 @@ def streaming_txn_open_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("kafka_offset div 5").alias("txn"),
     )
+
+
+@register("streaming_snapshot_handoff", oracle=None)
+def streaming_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING half of the bootstrap handoff (cdc/handoff.py is the
+    batch half): the bucketed state is SEEDED from a snapshot taken at
+    S = 60% of the feed, then the stream consumes only a tail re-read
+    from G = 50% — 3 micro-batches whose first overlaps the snapshot
+    (the overlap must discard statelessly) — and the final state must
+    equal the one-pass batch snapshot over the COMPLETE feed exactly
+    (oracle = cdc_current_snapshot's, assigned below).  History before
+    S is never streamed: bootstrap cost is O(state + tail)."""
+    from cdc_practice_spark.cdc import build_current
+    from cdc_practice_spark.queries.cdc_queries import _feed
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_current_upsert_bootstrapped,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    max_off = events.agg(F.max("event_id").alias("m")).head().m
+    s_off, g_off = int(max_off * 0.6), int(max_off * 0.5)
+    snap = build_current(
+        _feed(spark, sf_dir).filter(F.col("kafka_offset") <= s_off)
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="stream_handoff_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    split_events_into_files(
+        spark, sf_dir, src_dir, n_files=3, min_event_id=g_off + 1
+    )
+    q = stream_current_upsert_bootstrapped(
+        spark,
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        snapshot=snap,
+        snapshot_offset=s_off,
+    )
+    q.awaitTermination()
+    state = load_bucketed_state(spark, os.path.join(work, "state"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "event_type",
+        "props_k",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+ORACLES["streaming_snapshot_handoff"] = ORACLES["cdc_current_snapshot"]

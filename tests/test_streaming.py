@@ -1181,3 +1181,84 @@ def test_txn_gated_kill_resume_exactly_once(spark, sf_dir):
     )
     assert pend(state_root) == pend(clean_root)
     assert len(pend(state_root)) == 2  # the torn txn's captured rows
+
+
+def test_bootstrapped_stream_equals_direct_build(spark):
+    """Streaming bootstrap (seeded state + overlapping tail) lands on
+    the direct full-feed snapshot; re-seeding an existing state is a
+    no-op (a resumed stream must never clobber progressed state); the
+    seed is time-travelable as manifest epoch -1."""
+    import json as _json
+
+    from cdc_practice_spark.streaming.pipeline import (
+        list_state_versions,
+        load_bucketed_state,
+        read_events_stream,
+        seed_bucketed_state,
+        stream_current_upsert_bootstrapped,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bootstrap_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    base_ns = 1_700_000_000_000_000_000
+    rows = [
+        (i, base_ns + i * 10**9, (i % 4) + 1,
+         "error" if i in (3, 9) else "click", float(i), "{}")
+        for i in range(12)
+    ]
+    from cdc_practice_spark.session import _events_ts_as_ntz
+
+    events_raw = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+              "value double, props string"
+    )
+    events = events_raw.withColumn("ts", _events_ts_as_ntz(events_raw))
+    feed = change_feed_from_events(events)
+    s_off = 6
+    snap = build_current(feed.filter(F.col("kafka_offset") <= s_off))
+
+    # tail re-read from offset 4 — rows 4-6 overlap the snapshot
+    def write_chunk(idx, lo, hi):
+        df = events_raw.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        ).coalesce(1)
+        part = os.path.join(work, f"_p{idx}")
+        df.write.mode("overwrite").parquet(part)
+        f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+        os.rename(os.path.join(part, f), os.path.join(src, f"chunk-{idx:03d}.parquet"))
+        import shutil as _sh; import time as _t
+        _sh.rmtree(part); _t.sleep(0.05)
+
+    write_chunk(0, 4, 8)
+    write_chunk(1, 9, 11)
+
+    state_root = os.path.join(work, "state")
+    q = stream_current_upsert_bootstrapped(
+        spark,
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        state_root=state_root,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        snapshot=snap,
+        snapshot_offset=s_off,
+        n_buckets=8,
+    )
+    q.awaitTermination()
+
+    key = lambda df: {  # noqa: E731
+        r.original_id: (r.value, r.original_registered_at, r.last_updated_at)
+        for r in df.collect()
+    }
+    assert key(load_bucketed_state(spark, state_root)) == key(
+        build_current(feed)
+    )
+    # seed epoch -1 retained for time travel; re-seed refuses (manifest
+    # unchanged)
+    assert list_state_versions(state_root)[0] == -1
+    with open(os.path.join(state_root, "_MANIFEST")) as fh:
+        before = _json.load(fh)
+    seed_bucketed_state(spark, snap, state_root, s_off, n_buckets=8)
+    with open(os.path.join(state_root, "_MANIFEST")) as fh:
+        assert _json.load(fh) == before
