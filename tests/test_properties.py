@@ -261,3 +261,94 @@ def test_incremental_mv_matches_scratch_random_split(spark, rows, pct):
         for r in df_.select("event_type", "n_rows", "sum_cents").collect()
     )
     assert snap(maintained) == snap(current_mv(build_current(feed), "event_type"))
+
+
+@pytest.mark.slow
+@given(feeds, st.integers(min_value=0, max_value=100), st.integers(min_value=0, max_value=40))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_handoff_matches_direct_for_random_cuts(spark, rows, s_pct, g_back):
+    """Bootstrap handoff == direct build for ARBITRARY snapshot points
+    and overlap depths: snapshot at S (any percentile of the feed, incl.
+    0 = empty snapshot and 100 = everything), tail re-read from
+    G = S - g_back (overlap of any depth, incl. the whole feed).  The
+    hand fixture covers the named edges; this covers the interleavings
+    nobody thought to name."""
+    from cdc_practice_spark.cdc import snapshot_handoff_current
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(minutes=i), uid, etype, value, "{}")
+            for i, (uid, etype, value) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    feed = change_feed_from_events(df)
+    max_off = len(rows) - 1
+    s_off = (max_off * s_pct) // 100
+    g_off = max(-1, s_off - g_back)
+
+    snap = build_current(feed.filter(feed["kafka_offset"] <= s_off))
+    tail = feed.filter(feed["kafka_offset"] > g_off)
+    got = {
+        r.original_id: (r.value, r.props_k, r.original_registered_at,
+                        r.last_updated_at)
+        for r in snapshot_handoff_current(snap, tail, s_off).collect()
+    }
+    want = {
+        r.original_id: (r.value, r.props_k, r.original_registered_at,
+                        r.last_updated_at)
+        for r in build_current(feed).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.slow
+@given(
+    feeds,
+    st.integers(min_value=1, max_value=7),   # txn size
+    st.integers(min_value=0, max_value=100), # observed fraction
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txn_gate_matches_model_for_random_truncation(spark, rows, txn_size, w_pct):
+    """The txn gate == a two-line Python model for arbitrary feeds, txn
+    sizes, and truncation points: complete txns are exactly those whose
+    observed distinct-event count equals the declared count."""
+    from cdc_practice_spark.cdc import filter_complete_txns
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(minutes=i), uid, etype, value, "{}")
+            for i, (uid, etype, value) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    w = ((len(rows) - 1) * w_pct) // 100
+    observed = df.filter(F.col("event_id") <= w)
+    kept = filter_complete_txns(
+        observed, df, F.expr(f"event_id div {txn_size}"),
+        distinct_on=["event_id"],
+    )
+    got = sorted(r.event_id for r in kept.collect())
+
+    declared = {}
+    for i in range(len(rows)):
+        declared[i // txn_size] = declared.get(i // txn_size, 0) + 1
+    obs = {}
+    for i in range(w + 1):
+        obs[i // txn_size] = obs.get(i // txn_size, 0) + 1
+    complete = {t for t, c in obs.items() if c == declared[t]}
+    want = sorted(i for i in range(w + 1) if i // txn_size in complete)
+    assert got == want
