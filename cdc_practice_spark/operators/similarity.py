@@ -253,6 +253,12 @@ def rp_lsh_probe_cond(planes, query_vec, multiprobe: int = 1):
         want = [s]
         if multiprobe >= 1:
             want += [s ^ (1 << j) for j in range(n_planes)]
+        if multiprobe >= 2:
+            want += [
+                s ^ (1 << i) ^ (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
         leg = (F.col("table") == t) & F.col("sig").isin(want)
         cond = leg if cond is None else (cond | leg)
     return cond
@@ -278,6 +284,54 @@ def rp_lsh_topk_from_index(
     cands = embeddings.join(cand_ids, on=id_col, how="left_semi")
     return brute_force_topk(cands, query_vec, k, id_col, vec_col).withColumn(
         "n_candidates", F.lit(n_cand).cast("long")
+    )
+
+
+def rp_lsh_filtered_topk_from_index(
+    qualified: DataFrame,
+    index_sigs: DataFrame,
+    planes,
+    query_vec: list[float],
+    k: int = 10,
+    max_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-FILTERED top-k served from the prebuilt signature store
+    — the LSH sibling of ivf_filtered_topk: a selective filter can
+    empty the query's buckets, so the probe expands its Hamming RADIUS
+    (exact bucket → radius 1 → radius 2 …) until the candidate ∩
+    qualified set holds >= k vectors or max_probe exhausts.  The
+    expansion is a pure function of candidate counts (index-sized
+    jobs), so results are deterministic and the radius is reported.
+
+    ``qualified`` is the metadata-filtered subset (id + vector); the
+    store is probed with partition-pruned (table, sig) predicates as
+    usual, and only candidates that pass the filter are ever reranked.
+    At 100 TB: each widening touches O(tables × radius-combos) more
+    bucket partitions, never the full store."""
+    # radius starts at the service's STANDARD probe depth (1 — the same
+    # Hamming-1 multiprobe rp_lsh_topk uses for its recall), and widens
+    # only on under-fill: the expansion exists to survive selective
+    # filters, not to replace the baseline probe depth
+    cand_ids, n_cand, radius = None, 0, 1
+    for depth in range(1, max_probe + 1):
+        cond = rp_lsh_probe_cond(planes, query_vec, multiprobe=depth)
+        cand_ids = (
+            index_sigs.filter(cond)
+            .select(id_col)
+            .distinct()
+            .join(qualified.select(id_col), on=id_col, how="left_semi")
+        )
+        cand_ids = tracked_persist(cand_ids)
+        n_cand, radius = cand_ids.count(), depth
+        if n_cand >= k:
+            break
+    cands = qualified.join(cand_ids, on=id_col, how="left_semi")
+    return (
+        brute_force_topk(cands, query_vec, k, id_col, vec_col)
+        .withColumn("n_candidates", F.lit(n_cand).cast("long"))
+        .withColumn("probe_radius", F.lit(radius).cast("int"))
     )
 
 

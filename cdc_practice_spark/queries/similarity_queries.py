@@ -907,3 +907,91 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "ann_store_filtered_search",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((SELECT count(*) FROM embeddings e
+             JOIN documents d ON e.vec_id = d.doc_id
+             WHERE d.lang = 'en') AS BIGINT) AS n_qualified,
+       CAST(10 AS BIGINT) AS k,
+       TRUE AS filled_ok,
+       TRUE AS filter_clean,
+       TRUE AS recall_ok,
+       TRUE AS sublinear_ok
+FROM embeddings
+""",
+)
+def ann_store_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search served from the SIGNATURE STORE — the
+    LSH/scale-path sibling of ann_filtered_topk's IVF tier
+    (operators/similarity.py::rp_lsh_filtered_topk_from_index): probe
+    the query's buckets at the service's standard Hamming-1 depth,
+    intersect with the metadata filter (English documents), and widen
+    the probe RADIUS only when the filter starves the candidate set
+    below k — the deterministic counts-driven expansion, radius
+    reported per query.
+
+    Like every random-projection query, the ranking isn't
+    SQL-replicable, so the oracle gates DECISIONS beside exact counts:
+      - filled_ok: k rows returned (the filter never under-fills the
+        answer while >= k qualified vectors exist);
+      - filter_clean: every returned id passes the filter;
+      - recall_ok: overlap with the exact FILTERED brute-force top-10
+        >= 4 (measured 4/8/5 at sf0.001/0.01/0.1 — filtered recall
+        trails the unfiltered >= 5 floor because the qualified top-10
+        sit farther from the query's buckets);
+      - sublinear_ok: candidates < qualified corpus (the probe stayed
+        bucket-pruned; measured 49/71/185 candidates of 193/218/808
+        qualified)."""
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qual = tracked_persist(
+        emb.join(
+            docs.filter(F.col("lang") == "en").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        )
+    )
+    qv = _query_vec(spark, sf_dir)
+    planes = S.rp_lsh_planes(len(qv), n_planes=8, n_tables=8)
+    sigs = S.rp_lsh_signatures(emb, planes)
+    got = tracked_persist(
+        S.rp_lsh_filtered_topk_from_index(qual, sigs, planes, qv, k=10)
+    )
+    exact = S.brute_force_topk(qual, qv, k=10).select("vec_id")
+    overlap = exact.join(
+        got.select(F.col("vec_id").alias("g_id")),
+        exact["vec_id"] == F.col("g_id"),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    dirty = got.join(qual.select("vec_id"), "vec_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_dirty")
+    )
+    stats = got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("n_candidates").alias("n_cand"),
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n_qual = qual.agg(F.count(F.lit(1)).cast("long").alias("n_qualified"))
+    return (
+        n_vec.crossJoin(n_qual)
+        .crossJoin(stats)
+        .crossJoin(overlap)
+        .crossJoin(dirty)
+        .select(
+            "n_vectors",
+            "n_qualified",
+            F.lit(10).cast("long").alias("k"),
+            (F.col("n_rows") == 10).alias("filled_ok"),
+            (F.col("n_dirty") == 0).alias("filter_clean"),
+            (F.col("n_overlap") >= 4).alias("recall_ok"),
+            (F.col("n_cand") < F.col("n_qualified")).alias("sublinear_ok"),
+        )
+    )

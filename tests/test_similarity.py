@@ -761,3 +761,33 @@ def test_semantic_decontamination_matches_numpy(spark, sf_dir):
         if c >= _SEM_DECON_TAU
     }
     assert out == expect
+
+
+def test_lsh_filtered_search_widens_probe_radius(spark, emb, qvec):
+    """A selective filter starves the standard Hamming-1 probe below k:
+    the filtered store query must WIDEN its radius (reported) and still
+    return only qualified vectors, never silently under-fill while
+    qualified vectors remain."""
+    planes = S.rp_lsh_planes(len(qvec), n_planes=8, n_tables=8)
+    sigs = S.rp_lsh_signatures(emb, planes)
+
+    # standard-depth candidates for comparison
+    base = (
+        sigs.filter(S.rp_lsh_probe_cond(planes, qvec, multiprobe=1))
+        .select("vec_id")
+        .distinct()
+    )
+    # a filter keeping ~1/40 of the corpus — sparse enough that the
+    # radius-1 candidate ∩ filter set is < 10
+    qual = emb.filter(F.col("vec_id") % 40 == 7)
+    n_base_qual = base.join(qual.select("vec_id"), "vec_id", "left_semi").count()
+    assert n_base_qual < 10  # the scenario is real on this fixture
+
+    rows = S.rp_lsh_filtered_topk_from_index(
+        qual, sigs, planes, qvec, k=10, max_probe=2
+    ).collect()
+    assert rows, "expansion must surface candidates"
+    assert rows[0].probe_radius == 2
+    assert rows[0].n_candidates > n_base_qual
+    qual_ids = {r.vec_id for r in qual.select("vec_id").collect()}
+    assert all(r.vec_id in qual_ids for r in rows)
