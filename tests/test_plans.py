@@ -370,3 +370,43 @@ def test_purge_apply_output_reads_store_only(spark, sf_dir):
     assert "FileScan parquet" in plan
     assert "documents.parquet" not in plan
     assert "Join" not in plan
+
+
+def test_hard_negatives_partial_window_group_limit(spark, sf_dir):
+    """embedding_hard_negatives: the rank<=5 filter must become a
+    PARTIAL WindowGroupLimit below the anchor exchange (each map
+    partition ships 5 rows per anchor), and the 4-anchor side must
+    broadcast — never shuffle the corpus against it."""
+    plan = plan_of(spark, sf_dir, "embedding_hard_negatives")
+    m = re.search(r"WindowGroupLimit .*?row_number\(\), 5, Partial", plan)
+    assert m, "partial WindowGroupLimit missing"
+    exch = plan.index("Exchange hashpartitioning(anchor_id")
+    assert m.start() > exch
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filtered_topk_prunes_to_chosen_cells(spark, sf_dir):
+    """ann_filtered_topk: the chosen-cell set must PUSH into the
+    embeddings scan (partition pruning on a cell-partitioned layout),
+    the lang filter into the documents scan, and the top-k must be a
+    TakeOrderedAndProject — no global sort, no unpruned store read."""
+    plan = plan_of(spark, sf_dir, "ann_filtered_topk")
+    assert re.search(r"PushedFilters: \[.*(In|EqualTo)\(label", plan), (
+        "cell filter not pushed into the embeddings scan"
+    )
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan), (
+        "metadata filter not pushed into the documents scan"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # id join broadcasts at this size
+
+
+def test_txn_gate_aggs_are_map_side_combined(spark, sf_dir):
+    """cdc_txn_boundary_apply: both per-txn count aggregations must be
+    partial (map-side combined) HashAggregates — the txn-metadata pass
+    must never ship raw feed rows to the reduce side."""
+    plan = plan_of(spark, sf_dir, "cdc_txn_boundary_apply")
+    assert len(re.findall(r"partial_count", plan)) >= 2, (
+        "per-txn counts not map-side combined"
+    )
