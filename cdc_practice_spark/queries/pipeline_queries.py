@@ -1177,3 +1177,167 @@ def corpus_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_id",
         "bin_fill",
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_contamination_report",
+    oracle=None,  # assembled below after the sibling modules define their SQL
+)
+def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination family COMPOSED into one evidence table: for
+    every corpus document flagged by ANY rule against ONE benchmark
+    definition (doc_id % 97 == 0), which of the three independent
+    signals fired —
+      - exact_fp: whole-document sorted-token fingerprint collision
+        (catches verbatim + word-order-shuffled copies);
+      - gram8: shares >= 1 8-gram with the benchmark (GPT-3/Pile rule —
+        catches partial copies the fingerprint misses);
+      - semantic: embedding cosine >= tau vs any benchmark vector
+        (catches paraphrases both lexical rules miss; only documents
+        with embeddings can fire it — partial coverage is the real
+        shape of embedding stores).
+    A curation team triages this table, not three separate lists: the
+    n_rules column ranks confidence, the booleans say WHY.
+
+    Plan shape: three broadcast probes (benchmark fingerprints, grams,
+    embedding matrix) over at most two corpus scans (text features
+    share one pass; embeddings are their own table) — no corpus-sized
+    shuffle anywhere; the final assembly joins three flagged-id sets
+    (hit-sized, not corpus-sized)."""
+    from cdc_practice_spark.functions import text as T
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.operators import similarity as S
+    from cdc_practice_spark.operators.corpus import DECON_GRAM_K
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.similarity_queries import _SEM_DECON_TAU
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+
+    fps = tracked_persist(
+        docs.select(
+            "doc_id",
+            is_bench.alias("_b"),
+            T.fingerprint_sorted_tokens(F.col("text")).alias("fp"),
+            D.shingles_from_tokens(
+                T.tokens(F.col("text")), k=DECON_GRAM_K
+            ).alias("sh"),
+        )
+    )
+    f_hit = fps.filter(~F.col("_b")).join(
+        F.broadcast(fps.filter(F.col("_b")).select("fp").distinct()), "fp",
+        "left_semi",
+    ).select("doc_id")
+    bench_g = fps.filter(F.col("_b")).select(F.explode("sh").alias("g")).distinct()
+    g_hit = (
+        fps.filter(~F.col("_b"))
+        .select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench_v = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    s_hit = (
+        S.batch_topk_mapinpandas(
+            emb.filter(F.col("vec_id") % 97 != 0),
+            [list(r.embedding) for r in bench_v],
+        )
+        .filter(F.round(F.col("best_cosine"), 6) >= F.lit(_SEM_DECON_TAU))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+
+    flag = lambda df, name: df.withColumn(name, F.lit(True))  # noqa: E731
+    merged = (
+        flag(f_hit, "exact_fp")
+        .join(flag(g_hit, "gram8"), "doc_id", "full_outer")
+        .join(flag(s_hit, "semantic"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("exact_fp", F.lit(False)).alias("exact_fp"),
+            F.coalesce("gram8", F.lit(False)).alias("gram8"),
+            F.coalesce("semantic", F.lit(False)).alias("semantic"),
+        )
+    )
+    return merged.withColumn(
+        "n_rules",
+        (
+            F.col("exact_fp").cast("int")
+            + F.col("gram8").cast("int")
+            + F.col("semantic").cast("int")
+        ).cast("long"),
+    ).orderBy("doc_id")
+
+
+def _contamination_report_oracle() -> str:
+    from cdc_practice_spark.queries.similarity_queries import (
+        _COS_RAW,
+        _SEM_DECON_TAU,
+    )
+    from cdc_practice_spark.queries.text_queries import (
+        _FP_SORTED_SQL,
+        _TOKS,
+        _ngram_sh_sql,
+    )
+
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+fps AS MATERIALIZED (
+  SELECT doc_id, {_FP_SORTED_SQL} AS fp FROM documents
+),
+bl_fp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_ngram_sh_sql()} AS sh FROM tk
+),
+bl_g AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+f_hit AS (
+  SELECT doc_id FROM fps
+  WHERE doc_id % 97 <> 0 AND fp IN (SELECT fp FROM bl_fp)
+),
+g_hit AS (
+  SELECT DISTINCT cg.doc_id
+  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0) cg
+  JOIN bl_g USING (g)
+),
+bench_v AS (
+  SELECT vec_id AS bench_id, embedding AS bv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+s_hit AS (
+  SELECT vec_id AS doc_id FROM (
+    SELECT e.vec_id,
+           max({_COS_RAW.format(a='e.embedding', b='b.bv')}) AS mc
+    FROM embeddings e, bench_v b
+    WHERE e.vec_id % 97 <> 0
+    GROUP BY 1
+  ) WHERE round(mc, 6) >= {_SEM_DECON_TAU}
+),
+all_ids AS (
+  SELECT doc_id FROM f_hit
+  UNION SELECT doc_id FROM g_hit
+  UNION SELECT doc_id FROM s_hit
+)
+SELECT a.doc_id,
+       a.doc_id IN (SELECT doc_id FROM f_hit) AS exact_fp,
+       a.doc_id IN (SELECT doc_id FROM g_hit) AS gram8,
+       a.doc_id IN (SELECT doc_id FROM s_hit) AS semantic,
+       CAST(CAST(a.doc_id IN (SELECT doc_id FROM f_hit) AS INTEGER)
+          + CAST(a.doc_id IN (SELECT doc_id FROM g_hit) AS INTEGER)
+          + CAST(a.doc_id IN (SELECT doc_id FROM s_hit) AS INTEGER)
+          AS BIGINT) AS n_rules
+FROM all_ids a
+ORDER BY doc_id
+"""
+
+
+from cdc_practice_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["corpus_contamination_report"] = _contamination_report_oracle()
