@@ -1204,34 +1204,34 @@ def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     share one pass; embeddings are their own table) — no corpus-sized
     shuffle anywhere; the final assembly joins three flagged-id sets
     (hit-sized, not corpus-sized)."""
-    from cdc_practice_spark.functions import text as T
-    from cdc_practice_spark.operators import dedup as D
     from cdc_practice_spark.operators import similarity as S
-    from cdc_practice_spark.operators.corpus import DECON_GRAM_K
+    from cdc_practice_spark.operators.corpus import corpus_features
     from cdc_practice_spark.plans.cache import tracked_persist
     from cdc_practice_spark.queries.similarity_queries import _SEM_DECON_TAU
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 97 == 0
 
-    fps = tracked_persist(
-        docs.select(
-            "doc_id",
-            is_bench.alias("_b"),
-            T.fingerprint_sorted_tokens(F.col("text")).alias("fp"),
-            D.shingles_from_tokens(
-                T.tokens(F.col("text")), k=DECON_GRAM_K
-            ).alias("sh"),
+    # the ONE Arrow feature pass the whole curation tier shares
+    # (operators/corpus.py): fp is the sorted-token fingerprint, g8 the
+    # distinct 60-bit 8-gram HASHES — grams cross the wire as int64,
+    # never as strings (the string-shingle variant measured 13× slower
+    # at sf1: caching + exploding 20M string grams is the whole cost)
+    feats = tracked_persist(
+        corpus_features(docs).select(
+            "doc_id", is_bench.alias("_b"), "fp", "g8"
         )
     )
-    f_hit = fps.filter(~F.col("_b")).join(
-        F.broadcast(fps.filter(F.col("_b")).select("fp").distinct()), "fp",
+    f_hit = feats.filter(~F.col("_b")).join(
+        F.broadcast(feats.filter(F.col("_b")).select("fp").distinct()), "fp",
         "left_semi",
     ).select("doc_id")
-    bench_g = fps.filter(F.col("_b")).select(F.explode("sh").alias("g")).distinct()
+    bench_g = (
+        feats.filter(F.col("_b")).select(F.explode("g8").alias("g")).distinct()
+    )
     g_hit = (
-        fps.filter(~F.col("_b"))
-        .select("doc_id", F.explode("sh").alias("g"))
+        feats.filter(~F.col("_b"))
+        .select("doc_id", F.explode("g8").alias("g"))
         .join(F.broadcast(bench_g), "g", "left_semi")
         .select("doc_id")
         .distinct()
