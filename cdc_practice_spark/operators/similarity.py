@@ -317,6 +317,11 @@ def rp_lsh_filtered_topk_from_index(
     cand_ids, n_cand, radius = None, 0, 1
     for depth in range(1, max_probe + 1):
         cond = rp_lsh_probe_cond(planes, query_vec, multiprobe=depth)
+        if cand_ids is not None:
+            # the widened probe supersedes the prior radius's candidate
+            # set — release it now (r10, r9 ADVICE) instead of caching
+            # up to max_probe dead DataFrames until release_tracked
+            cand_ids.unpersist()
         cand_ids = (
             index_sigs.filter(cond)
             .select(id_col)

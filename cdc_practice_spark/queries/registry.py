@@ -52,17 +52,23 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # (tests/test_registry.py::test_changed_this_round_pins_not_spent)
 # fails until the tuple is reset — so the reset stops being a
 # recurring verdict chore (r8 VERDICT wrong #1).
-# r9: the streaming ingest store now persists per-epoch admitted-gram
-# deltas (g8_delta) — the two queries that run the shared store build
-# changed plan and need fresh driver rows; the IVF pair's k-means init
-# generalized to first-k-by-id (same vectors on the fixtures, but the
-# init PLAN changed).
-CHANGED_ROUND: int = 9
+# r10: reset at round start (the four r9 pins earned their
+# CORRECTNESS_r09 rows), then repopulated — merge_batch gained the
+# stale-redelivery offset guard (r9 ADVICE) which changes the PLAN of
+# every streaming-upsert query, and the txn gate was generalized to
+# carried txn ids (stream_txn_gated_feed), re-routing the gated pair.
+CHANGED_ROUND: int = 10
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "streaming_corpus_ingest",
-    "streaming_corpus_funnel",
-    "ann_ivf_kmeans_build",
-    "ann_ivf_topk",
+    "streaming_replay_current",
+    "streaming_replay_current_bucketed",
+    "streaming_killresume_replay",
+    "streaming_state_time_travel",
+    "streaming_snapshot_handoff",
+    "streaming_txn_gated_replay",
+    "streaming_txn_open_buffer",
+    "streaming_maintained_mv_replay",
+    "streaming_distinct_mv_replay",
+    "streaming_topk_mv_replay",
 )
 
 

@@ -995,3 +995,146 @@ def ann_store_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_cand") < F.col("n_qualified")).alias("sublinear_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN ingest (r10 — VERDICT r9 ask #4): embeddings arrive as a
+# stream and accrete into the persistent signature store per epoch.
+# ---------------------------------------------------------------------------
+
+
+def _split_embeddings_into_files(
+    spark: SparkSession, batch: DataFrame, out_dir: str, n_files: int = 3
+) -> None:
+    """Write the arriving embedding batch as n id-ordered single-file
+    chunks with monotone mtimes (same arrival contract as the corpus
+    splitters)."""
+    import os
+    import shutil
+    import time
+
+    lo, hi = batch.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    step = (int(hi) - int(lo)) // n_files + 1
+    for i in range(n_files):
+        chunk = batch.filter(
+            (F.col("vec_id") >= int(lo) + i * step)
+            & (F.col("vec_id") < int(lo) + (i + 1) * step)
+        ).coalesce(1)
+        part_dir = os.path.join(out_dir, f"_part{i}")
+        chunk.write.mode("overwrite").parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(part_dir, src),
+            os.path.join(out_dir, f"chunk-{i:03d}.parquet"),
+        )
+        shutil.rmtree(part_dir)
+        time.sleep(0.05)
+
+
+@register(
+    "streaming_ann_ingest",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_corpus,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_batch,
+       TRUE AS store_equals_rebuild,
+       TRUE AS topk_equals_rebuild,
+       TRUE AS exactly_once
+FROM embeddings
+""",
+)
+def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN index maintenance (r10 — VERDICT r9 ask #4, the
+    streaming face of ann_incremental_ingest): the store is seeded from
+    the standing corpus (vec_id % 5 <> 4), the remaining 20% ARRIVES as
+    3 id-ordered micro-batches through the foreachBatch sink
+    (streaming/ann_ingest.py — per-epoch signature deltas, writer
+    lease, (id, table) replay dedup, atomic manifest swaps), and the
+    accreted store must be exactly what a batch job would have built:
+
+      - store_equals_rebuild: the store's signature rows are
+        row-identical to a from-scratch rp_lsh_signatures pass over
+        ALL vectors (symmetric exceptAll empty);
+      - topk_equals_rebuild: a top-10 SERVED from the accreted store
+        equals the same query served from the rebuild, row for row —
+        the user-visible contract;
+      - exactly_once: the store holds exactly one row per (id, table)
+        — chunked arrival neither lost nor duplicated a signature.
+
+    Kill-resume mid-stream is pinned in tests/test_similarity.py."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.streaming.ann_ingest import (
+        load_ann_ingest_sigs,
+        seed_ann_ingest,
+        stream_ann_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    qv = _query_vec(spark, sf_dir)
+    planes = S.rp_lsh_planes(len(qv), n_planes=8, n_tables=8)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ann_stream_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _split_embeddings_into_files(spark, batch, src, n_files=3)
+    store = os.path.join(work, "store")
+    seed_ann_ingest(spark, corpus, planes, store)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ann_ingest(
+        spark, stream, planes, store, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+
+    sigs = tracked_persist(load_ann_ingest_sigs(spark, store))
+    rebuilt = tracked_persist(S.rp_lsh_signatures(emb, planes))
+    d1 = sigs.exceptAll(rebuilt).agg(F.count(F.lit(1)).alias("d1"))
+    d2 = rebuilt.exceptAll(sigs).agg(F.count(F.lit(1)).alias("d2"))
+    topk_store = S.rp_lsh_topk_from_index(
+        emb, sigs, planes, qv, k=10
+    ).select(F.col("vec_id").alias("s_id"), F.col("cosine").alias("s_cos"))
+    topk_rebuild = S.rp_lsh_topk_from_index(
+        emb, rebuilt, planes, qv, k=10
+    ).select(F.col("vec_id").alias("r_id"), F.col("cosine").alias("r_cos"))
+    tk = (
+        topk_store.exceptAll(
+            topk_rebuild.select(
+                F.col("r_id").alias("s_id"), F.col("r_cos").alias("s_cos")
+            )
+        ).agg(F.count(F.lit(1)).alias("tkd"))
+    )
+    dup = sigs.groupBy("vec_id", "table").agg(
+        F.count(F.lit(1)).alias("c")
+    ).filter(F.col("c") > 1).agg(F.count(F.lit(1)).alias("n_dup"))
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    return (
+        counts.crossJoin(d1)
+        .crossJoin(d2)
+        .crossJoin(tk)
+        .crossJoin(dup)
+        .select(
+            "n_corpus",
+            "n_batch",
+            ((F.col("d1") + F.col("d2")) == 0).alias("store_equals_rebuild"),
+            (F.col("tkd") == 0).alias("topk_equals_rebuild"),
+            (F.col("n_dup") == 0).alias("exactly_once"),
+        )
+    )

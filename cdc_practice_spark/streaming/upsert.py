@@ -23,39 +23,85 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-STATE_COLUMNS = [
-    "original_id",
-    "value",
-    "event_type",
-    "props_k",
-    "original_registered_at",
-    "last_updated_at",
-    "last_offset",
-]
+# The mutable payload the events-fixture feed carries; sinks applying an
+# EVOLVED wire schema (streaming DDL — stream_current_upsert_evolving)
+# pass their own payload column list instead.
+DEFAULT_PAYLOAD = ["value", "event_type", "props_k"]
+STATE_META = ["original_registered_at", "last_updated_at", "last_offset"]
+
+STATE_COLUMNS = ["original_id", *DEFAULT_PAYLOAD, *STATE_META]
 
 
-def empty_state(spark) -> DataFrame:
+def state_columns(payload_cols: "list[str] | None" = None) -> list[str]:
+    p = DEFAULT_PAYLOAD if payload_cols is None else list(payload_cols)
+    return ["original_id", *p, *STATE_META]
+
+
+def state_schema_for(batch_feed: DataFrame, payload_cols: list[str]):
+    """The snapshot-state StructType implied by a feed batch's payload
+    types — the READ schema an evolving sink loads its buckets with:
+    after a widening DDL the batch's payload types are the wide ones,
+    and parquet's widening read upcasts pre-DDL bucket files in place
+    (int32 file → bigint column; a column added by DDL null-fills)."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    by_name = {f.name: f for f in batch_feed.schema.fields}
+    fields = [StructField("original_id", LongType())]
+    fields += [StructField(c, by_name[c].dataType) for c in payload_cols]
+    fields += [
+        StructField("original_registered_at", TimestampNTZType()),
+        StructField("last_updated_at", TimestampNTZType()),
+        StructField("last_offset", LongType()),
+    ]
+    return StructType(fields)
+
+
+def empty_state(spark, payload_schema: "str | None" = None) -> DataFrame:
+    p = payload_schema or "value double, event_type string, props_k int"
     return spark.createDataFrame(
         [],
-        "original_id long, value double, event_type string, props_k int, "
+        f"original_id long, {p}, "
         "original_registered_at timestamp_ntz, last_updated_at timestamp_ntz, "
         "last_offset long",
     )
 
 
-def merge_batch(existing: DataFrame, batch_feed: DataFrame) -> DataFrame:
+def merge_batch(
+    existing: DataFrame,
+    batch_feed: DataFrame,
+    payload_cols: "list[str] | None" = None,
+) -> DataFrame:
     """One MERGE step: apply a micro-batch of normalized change events
-    (cdc/feed.py shape) to the existing snapshot state."""
+    (cdc/feed.py shape) to the existing snapshot state.
+
+    Stale-redelivery guard (r10 — r9 ADVICE): a coordinate redelivery
+    that slips past the upstream dedup and arrives in a LATER epoch
+    (after its transaction was released / its offset applied) must not
+    regress a key to an older value.  A key's applied frontier is its
+    ``last_offset`` in state, and source offsets are monotone per key,
+    so any batch event with ``kafka_offset <= last_offset`` is by
+    definition already reflected — it is dropped before the merge,
+    which also makes whole-epoch replays a structural no-op (the
+    filtered batch is empty, so new_state == existing)."""
     w = Window.partitionBy("original_id").orderBy("kafka_offset")
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     ex = existing.select(
         F.col("original_id").alias("ex_id"),
         F.col("original_registered_at").alias("ex_registered_at"),
+        F.col("last_offset").alias("ex_last_offset"),
     )
 
     b = batch_feed.join(
         ex, batch_feed["original_id"] == ex["ex_id"], "left"
+    ).filter(
+        F.col("ex_last_offset").isNull()
+        | (F.col("kafka_offset") > F.col("ex_last_offset"))
     )
 
     # change_type inside the batch: the first batch event's "previous
@@ -85,21 +131,23 @@ def merge_batch(existing: DataFrame, batch_feed: DataFrame) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("original_id").orderBy(F.col("kafka_offset").desc())
     )
+    pcols = DEFAULT_PAYLOAD if payload_cols is None else list(payload_cols)
     batch_state = (
         b.withColumn("rn", rn)
         .filter((F.col("rn") == 1) & (F.col("__deleted") == "false"))
         .select(
             "original_id",
-            "value",
-            "event_type",
-            "props_k",
+            *pcols,
             "original_registered_at",
             F.col("registered_at").alias("last_updated_at"),
             F.col("kafka_offset").alias("last_offset"),
         )
     )
 
+    # anti-join on the POST-guard keys: a key whose batch rows were all
+    # stale redeliveries contributes no batch_state row and must stay in
+    # untouched (keying on the raw batch would silently drop it)
     untouched = existing.join(
-        batch_feed.select("original_id").distinct(), "original_id", "left_anti"
+        b.select("original_id").distinct(), "original_id", "left_anti"
     )
-    return untouched.select(*STATE_COLUMNS).unionByName(batch_state)
+    return untouched.select(*state_columns(pcols)).unionByName(batch_state)

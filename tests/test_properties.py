@@ -140,6 +140,52 @@ def test_merge_batch_reapply_is_idempotent(spark):
     assert snap(twice) == first
 
 
+def test_merge_batch_drops_stale_redelivery(spark):
+    """The offset guard (r10 — r9 ADVICE): a coordinate redelivery that
+    reaches merge_batch in a LATER epoch, after its offset was already
+    applied, must not regress the key — and a key whose batch rows are
+    ALL stale must stay in state (the anti-join keys on the post-guard
+    feed, not the raw batch)."""
+    from datetime import datetime
+
+    from cdc_practice_spark.cdc.feed import change_feed_from_events
+    from cdc_practice_spark.streaming.upsert import empty_state, merge_batch
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    epoch0 = change_feed_from_events(
+        spark.createDataFrame(
+            [
+                (0, ts(0), 1, "signup", 10.0, "{}"),
+                (1, ts(1), 1, "update", 11.0, "{}"),
+                (2, ts(2), 2, "signup", 20.0, "{}"),
+            ],
+            schema,
+        )
+    )
+    state = merge_batch(empty_state(spark), epoch0)
+    # later epoch: offset 0 redelivered (stale for key 1) alongside a
+    # genuinely new event for key 2; key 1 has ONLY stale rows
+    epoch1 = change_feed_from_events(
+        spark.createDataFrame(
+            [
+                (0, ts(0), 1, "signup", 10.0, "{}"),  # stale redelivery
+                (3, ts(3), 2, "update", 21.0, "{}"),
+            ],
+            schema,
+        )
+    )
+    out = {
+        r.original_id: (r.value, r.last_offset)
+        for r in merge_batch(state, epoch1).collect()
+    }
+    assert out[1] == (11.0, 1)  # not regressed to the offset-0 value
+    assert out[2] == (21.0, 3)  # the genuinely new event applied
+
+
 def test_bmp_roundtrip_randomized():
     """Property: synth_bmp → decode_bmp_numpy is pixel-exact for ANY
     (asset_id, width, height) — every padding/stride class, ids beyond

@@ -791,3 +791,85 @@ def test_lsh_filtered_search_widens_probe_radius(spark, emb, qvec):
     assert rows[0].n_candidates > n_base_qual
     qual_ids = {r.vec_id for r in qual.select("vec_id").collect()}
     assert all(r.vec_id in qual_ids for r in rows)
+
+
+def test_stream_ann_ingest_kill_resume_exactly_once(spark, sf_dir):
+    """Kill-resume for the streaming ANN ingest sink (r10): stop after
+    the first committed epoch, resume from the checkpoint to
+    completion.  The accreted store must be row-identical to a
+    from-scratch signature pass over corpus ∪ batch — no lost epoch,
+    no duplicated (id, table) row — and compaction folds the deltas
+    without changing a row."""
+    import os
+    import tempfile
+    import time as _time
+
+    from cdc_practice_spark.operators import similarity as S
+    from cdc_practice_spark.queries.similarity_queries import (
+        _split_embeddings_into_files,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.streaming.ann_ingest import (
+        compact_ann_ingest_store,
+        load_ann_ingest_sigs,
+        seed_ann_ingest,
+        stream_ann_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    planes = S.rp_lsh_planes(64, n_planes=6, n_tables=4)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ann_stream_kill_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _split_embeddings_into_files(spark, batch, src, n_files=3)
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    seed_ann_ingest(spark, corpus, planes, store)
+
+    def run(kill):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_ann_ingest(spark, stream, planes, store, ckpt)
+        if kill:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+                if done and not q.status["isTriggerActive"]:
+                    break
+                _time.sleep(0.1)
+            q.stop()
+        q.awaitTermination()
+
+    run(kill=True)
+    mid = load_ann_ingest_sigs(spark, store).count()
+    run(kill=False)  # resume
+
+    sigs = load_ann_ingest_sigs(spark, store)
+    rebuilt = S.rp_lsh_signatures(emb, planes)
+    assert sigs.exceptAll(rebuilt).isEmpty()
+    assert rebuilt.exceptAll(sigs).isEmpty()
+    assert mid <= sigs.count()
+    # one row per (id, table) — the replay-dedup invariant
+    assert (
+        sigs.groupBy("vec_id", "table")
+        .count()
+        .filter(F.col("count") > 1)
+        .isEmpty()
+    )
+    # compaction folds without changing a row
+    n = compact_ann_ingest_store(spark, store)
+    folded = load_ann_ingest_sigs(spark, store)
+    assert n == folded.count()
+    assert folded.exceptAll(rebuilt).isEmpty()
+    assert rebuilt.exceptAll(folded).isEmpty()
+    # the fold left one base generation
+    deltas = [d for d in os.listdir(store) if d.startswith("sig_delta_v")]
+    assert len(deltas) == 1

@@ -1108,6 +1108,13 @@ def test_txn_gated_stream_buffers_across_epochs(spark):
     # the pending pointer carries the release frontier (txn 2)
     with open(os.path.join(state_root, "_PENDING")) as fh:
         assert _json.loads(fh.read())["frontier"] == 2
+    # superseded pending buffers are collected (r10 — r9 ADVICE): at
+    # most the pinned + current buffer survive, and only the newest
+    # epoch's pre-pin — a long-running gated stream stays bounded
+    pend_dirs = [d for d in os.listdir(state_root) if d.startswith("pend_v")]
+    pins = [d for d in os.listdir(state_root) if d.startswith("_PENDING.pre_v")]
+    assert len(pend_dirs) <= 2, pend_dirs
+    assert len(pins) <= 1, pins
 
 
 def test_txn_gated_kill_resume_exactly_once(spark, sf_dir):
@@ -1262,3 +1269,93 @@ def test_bootstrapped_stream_equals_direct_build(spark):
     seed_bucketed_state(spark, snap, state_root, s_off, n_buckets=8)
     with open(os.path.join(state_root, "_MANIFEST")) as fh:
         assert _json.load(fh) == before
+
+
+def test_txn_gate_multipartition_splits_txn_across_epochs(spark):
+    """The generalized gate (stream_txn_gated_feed) over a 2-partition
+    feed with partition-local offsets and carried txn ids: txn 1 SPANS
+    the epoch boundary (2 of its 3 events in chunk 0), txn 3 is torn by
+    the capture cut.  Epoch 0 may release only txn 0; epoch 1 completes
+    txn 1 and releases 1 and 2 in commit order; txn 3 stays pending.
+    No global offset sequence exists anywhere in this feed."""
+    import json as _json
+    from datetime import datetime
+
+    from cdc_practice_spark.queries.streaming_queries import (
+        MP_FEED_FILE_SCHEMA,
+    )
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        load_pending_txn_buffer,
+        stream_txn_gated_feed,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="mp_gate_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    # (arrival, user): txn = arrival div 3; users 1,3 -> partition 0,
+    # users 2,4 -> partition 1, offsets dense per partition
+    arrivals = [
+        (0, 1), (1, 2), (2, 1), (3, 2), (4, 3), (5, 4),
+        (6, 1), (7, 3), (8, 2), (9, 4), (10, 1),
+    ]
+    part_of = {1: 0, 2: 1, 3: 0, 4: 1}
+    local = {0: 0, 1: 0}
+    rows = []
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    for g, u in arrivals:
+        p = part_of[u]
+        rows.append(
+            ("t", p, local[p], u, "click", float(g), ts(g), "false",
+             None, g // 3, g)
+        )
+        local[p] += 1
+
+    def write_chunk(idx, chunk_rows):
+        df = spark.createDataFrame(chunk_rows, MP_FEED_FILE_SCHEMA).coalesce(1)
+        part = os.path.join(work, f"_p{idx}")
+        df.write.mode("overwrite").parquet(part)
+        f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+        os.rename(os.path.join(part, f), os.path.join(src, f"chunk-{idx:03d}.parquet"))
+        import shutil as _sh
+        import time as _t
+        _sh.rmtree(part)
+        _t.sleep(0.05)
+
+    write_chunk(0, [r for r in rows if r[10] <= 4])   # splits txn 1
+    write_chunk(1, [r for r in rows if r[10] > 4])
+
+    declared = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 3), (3, 3)], "txn long, declared_c long"
+    )
+    state_root = os.path.join(work, "state")
+    stream = (
+        spark.readStream.schema(MP_FEED_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_txn_gated_feed(
+        spark,
+        stream,
+        state_root=state_root,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        declared_txn_counts=declared,
+        txn_col="txn",
+        n_buckets=8,
+    )
+    q.awaitTermination()
+
+    got = {
+        r.original_id: r.value
+        for r in load_bucketed_state(spark, state_root).collect()
+    }
+    # released txns 0-2 = arrivals 0..8: latest per user by arrival
+    assert got == {1: 6.0, 2: 8.0, 3: 7.0, 4: 5.0}
+    pending = sorted(
+        r._arrival for r in load_pending_txn_buffer(spark, state_root).collect()
+    )
+    assert pending == [9, 10]  # the torn txn only
+    with open(os.path.join(state_root, "_PENDING")) as fh:
+        assert _json.loads(fh.read())["frontier"] == 3
