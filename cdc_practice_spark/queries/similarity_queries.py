@@ -1138,3 +1138,97 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_dup") == 0).alias("exactly_once"),
         )
     )
+
+
+@register(
+    "ann_ivf_drift",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_corpus,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_batch,
+       TRUE AS share_drift,
+       TRUE AS dist_drift,
+       TRUE AS rebuild_improves,
+       TRUE AS post_rebuild_dist_ok
+FROM embeddings
+""",
+)
+def ann_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid-drift detection + the re-cluster job it triggers
+    (r10 — VERDICT r9 ask #5, closing the frozen-centroid loop of
+    ann_ivf_ingest): centroids are trained on the standing corpus
+    (vec_id % 5 <> 4) and FROZEN; the arriving batch is genuinely
+    OUT-OF-DISTRIBUTION (the held-out vectors shifted by a constant
+    direction — the fixture's embeddings are near-isotropic, so an
+    in-distribution batch cannot drift; a real deployment's drift IS a
+    distribution change).  Ingest assigns the batch under the frozen
+    centroids (O(batch)); the persisted per-cell stats
+    (operators/similarity.py::ivf_cell_stats) feed the drift report:
+
+      - share_drift: the largest cell's ppm share grew past 1.2× its
+        build value — the OOD batch piles into the nearest cell, so
+        probe cost concentrates (recall decays silently);
+      - dist_drift: mean assign-distance (integer micro units) grew
+        past 1.1× build — quantization error, the other recall alarm;
+      - rebuild_improves: the triggered re-cluster job (ivf_rebuild —
+        re-fit + full re-assign, the rare batch job) strictly lowers
+        the exact total assign-distance vs serving on from the frozen
+        centroids;
+      - post_rebuild_dist_ok: the distance alarm CLEARS against the
+        old baseline after rebuild (the share alarm legitimately stays
+        — the distribution really changed, and the rebuild's own stats
+        become the new baseline).
+
+    All metrics are integer/exact-decimal, so every boolean is
+    deterministic; k-means isn't SQL-expressible, so the oracle gates
+    decisions beside the exact split counts (the ann_ivf_ingest
+    pattern).  Rebuild == from-scratch identity is pinned in
+    tests/test_similarity.py."""
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.3) + F.lit(1.0)).alias(
+            "embedding"
+        ),
+    )
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+    a_build = tracked_persist(S.ivf_assign(corpus, cents))
+    merged = tracked_persist(corpus.unionByName(batch))
+    a_now = tracked_persist(S.ivf_assign(merged, cents))
+    build_stats = S.ivf_cell_stats(a_build)
+    now_stats = S.ivf_cell_stats(a_now)
+    rep = S.ivf_drift_report(build_stats, now_stats)
+
+    _cents2, a_re = S.ivf_rebuild(merged, k=8, n_iter=2)
+    a_re = tracked_persist(a_re)
+    tot_frozen = a_now.agg(
+        F.sum(F.col("dist2").cast("decimal(24,6)")).alias("t")
+    )
+    tot_re = a_re.agg(F.sum(F.col("dist2").cast("decimal(24,6)")).alias("t2"))
+    rep2 = S.ivf_drift_report(build_stats, S.ivf_cell_stats(a_re)).select(
+        F.col("dist_drift").alias("post_dist_drift")
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    return (
+        counts.crossJoin(rep.select("share_drift", "dist_drift"))
+        .crossJoin(tot_frozen)
+        .crossJoin(tot_re)
+        .crossJoin(rep2)
+        .select(
+            "n_corpus",
+            "n_batch",
+            "share_drift",
+            "dist_drift",
+            (F.col("t2") < F.col("t")).alias("rebuild_improves"),
+            (~F.col("post_dist_drift")).alias("post_rebuild_dist_ok"),
+        )
+    )

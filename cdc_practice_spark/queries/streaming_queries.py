@@ -1668,3 +1668,191 @@ def streaming_txn_gated_multipartition(
 
 
 ORACLES["streaming_txn_gated_multipartition"] = ORACLES["cdc_txn_boundary_apply"]
+
+
+# ---------------------------------------------------------------------------
+# Triage→purge composition (r10 — VERDICT r9 ask #6): the multi-signal
+# contamination report drives the retroactive purge of the ingest store,
+# exactly like the 8-gram retro audit does.
+# ---------------------------------------------------------------------------
+
+# The triage surface flags for REVIEW/PURGE at a more conservative
+# semantic threshold than the hard decontamination tau (0.35): paraphrase
+# contamination near the boundary is exactly what a multi-signal triage
+# exists to catch.  0.30 keeps the flagged∩kept set nonempty AND proper
+# at all 3 SFs (6/1/31 of 27/24/216 kept docs).
+_REPORT_PURGE_TAU = 0.30
+
+
+def _report_flagged_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed flag set: any of the three contamination signals
+    (exact fingerprint, shared 8-gram, embedding cosine >= the triage
+    tau) against the doc_id % 97 benchmark — corpus_contamination_report's
+    rules on the shared Arrow feature pass, with the semantic rule at
+    the triage threshold."""
+    from cdc_practice_spark.operators import similarity as S
+    from cdc_practice_spark.operators.corpus import corpus_features
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.session import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    feats = tracked_persist(
+        corpus_features(docs).select("doc_id", is_bench.alias("_b"), "fp", "g8")
+    )
+    f_hit = (
+        feats.filter(~F.col("_b"))
+        .join(
+            F.broadcast(feats.filter(F.col("_b")).select("fp").distinct()),
+            "fp",
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    bench_g = (
+        feats.filter(F.col("_b")).select(F.explode("g8").alias("g")).distinct()
+    )
+    g_hit = (
+        feats.filter(~F.col("_b"))
+        .select("doc_id", F.explode("g8").alias("g"))
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    emb = _lt(spark, sf_dir, "embeddings")
+    bench_v = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    s_hit = (
+        S.batch_topk_mapinpandas(
+            emb.filter(F.col("vec_id") % 97 != 0),
+            [list(r.embedding) for r in bench_v],
+        )
+        .filter(F.round(F.col("best_cosine"), 6) >= F.lit(_REPORT_PURGE_TAU))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return f_hit.unionByName(g_hit).unionByName(s_hit).distinct()
+
+
+def _report_purged_store(spark: SparkSession, sf_dir: str) -> str:
+    """Clone the finished ingest store, run the multi-signal report, and
+    APPLY its flags as a purge — memoized per corpus."""
+    import shutil
+
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.streaming.corpus import purge_ingest_docs
+
+    key = ("corpus_report_purge_store", sf_dir)
+    if key in _STATS_CACHE:
+        return _STATS_CACHE[key]
+    src_store = _corpus_ingest_store(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="report_purge_", dir=TMP_ROOT)
+    store = os.path.join(work, "store")
+    shutil.copytree(src_store, store)
+    purge_ingest_docs(spark, store, _report_flagged_ids(spark, sf_dir))
+    _STATS_CACHE[key] = store
+    return store
+
+
+def _report_purge_oracle() -> str:
+    from cdc_practice_spark.queries.pipeline_queries import _e2e_incr_chain
+    from cdc_practice_spark.queries.similarity_queries import _COS_RAW
+
+    return (
+        _e2e_incr_chain()
+        + f""", bl_fp AS (SELECT DISTINCT fp FROM feat WHERE doc_id % 97 = 0),
+f_hit AS (
+  SELECT doc_id FROM feat
+  WHERE doc_id % 97 <> 0 AND fp IN (SELECT fp FROM bl_fp)
+),
+bench_v AS (
+  SELECT vec_id AS bench_id, embedding AS bv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+s_hit AS (
+  SELECT vec_id AS doc_id FROM (
+    SELECT e.vec_id,
+           max({_COS_RAW.format(a='e.embedding', b='b.bv')}) AS mc
+    FROM embeddings e, bench_v b
+    WHERE e.vec_id % 97 <> 0
+    GROUP BY 1
+  ) WHERE round(mc, 6) >= {_REPORT_PURGE_TAU}
+),
+flagged AS (
+  SELECT doc_id FROM f_hit
+  UNION SELECT doc_id FROM contaminated WHERE doc_id % 97 <> 0
+  UNION SELECT doc_id FROM s_hit
+),
+flag_kept AS MATERIALIZED (
+  SELECT b5.doc_id FROM flagged JOIN b5 USING (doc_id)
+),
+b6 AS MATERIALIZED (
+  SELECT * FROM b5 WHERE doc_id NOT IN (SELECT doc_id FROM flag_kept)
+),
+toks3 AS MATERIALIZED (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn3
+  FROM b6
+),
+packed2 AS (
+  SELECT source, doc_id, n_tokens, rn3,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM toks3 WHERE rn3 = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn3,
+         CASE WHEN p.bin_fill + t.n_tokens > 256
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + t.n_tokens > 256
+              THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+  FROM toks3 t JOIN packed2 p ON t.source = p.source AND t.rn3 = p.rn3 + 1
+)
+SELECT f.doc_id, f.source, f.n_tokens,
+       CASE WHEN r.doc_id IS NOT NULL THEN 'purged_contaminated'
+            WHEN b1.doc_id IS NULL THEN 'dropped_lang'
+            WHEN b2.doc_id IS NULL THEN 'dropped_quality'
+            WHEN b3.doc_id IS NULL THEN 'dropped_dup'
+            WHEN b4.doc_id IS NULL THEN 'dropped_contaminated'
+            WHEN b5.doc_id IS NULL THEN 'dropped_mix'
+            ELSE 'kept' END AS disposition,
+       p2.bin_id, p2.bin_fill
+FROM feat f
+LEFT JOIN b1 USING (doc_id)
+LEFT JOIN b2 USING (doc_id)
+LEFT JOIN b3 USING (doc_id)
+LEFT JOIN b4 USING (doc_id)
+LEFT JOIN b5 USING (doc_id)
+LEFT JOIN flag_kept r USING (doc_id)
+LEFT JOIN packed2 p2 USING (doc_id)
+WHERE f.is_batch
+ORDER BY f.doc_id
+"""
+    )
+
+
+@register("corpus_purge_from_report", oracle=_report_purge_oracle())
+def corpus_purge_from_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triage→purge loop CLOSED (r10 — VERDICT r9 ask #6): the
+    multi-signal contamination report's flags feed
+    ``purge_ingest_docs`` as ONE composed surface, exactly like the
+    retroactive 8-gram list does in corpus_purge_apply — flagged
+    admitted docs are un-admitted in place (index + gram rows deleted,
+    dispositions flipped, only affected sources repacked) and the query
+    returns the store's post-purge disposition table.  The DuckDB
+    oracle recomputes the entire ingest WITHOUT ever admitting the
+    flagged docs, so the full-hash match proves the composition is
+    byte-equivalent to the never-admitted rebuild.
+
+    What the composition buys over the store's own ingest-time 8-gram
+    rule: the exact-fingerprint signal catches benchmark copies TOO
+    SHORT to carry an 8-gram (4/0/19 kept docs at the 3 SFs — real
+    misses of the ingest gate), and the triage-tau semantic signal
+    catches paraphrases no lexical rule sees (2/1/14).  The purge
+    itself is O(purge + affected-source rows) — never a store
+    rebuild."""
+    from cdc_practice_spark.streaming.corpus import load_ingest_dispositions
+
+    store = _report_purged_store(spark, sf_dir)
+    return load_ingest_dispositions(spark, store).orderBy("doc_id")

@@ -873,3 +873,25 @@ def test_stream_ann_ingest_kill_resume_exactly_once(spark, sf_dir):
     # the fold left one base generation
     deltas = [d for d in os.listdir(store) if d.startswith("sig_delta_v")]
     assert len(deltas) == 1
+
+
+def test_ivf_rebuild_identity_and_drift_decisions(spark, sf_dir):
+    """The re-cluster job's contract (r10): ivf_rebuild over the merged
+    store is row-identical to a from-scratch kmeans_fit_assign over the
+    same vectors (serving code swaps stores with no special cases), and
+    the drift report is symmetric — comparing a build's stats with
+    themselves fires nothing."""
+    from cdc_practice_spark.operators import similarity as S
+    from cdc_practice_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _cents, rebuilt = S.ivf_rebuild(emb, k=8, n_iter=2)
+    fresh = S.kmeans_fit_assign(emb, k=8, n_iter=2)
+    assert rebuilt.exceptAll(fresh).isEmpty()
+    assert fresh.exceptAll(rebuilt).isEmpty()
+
+    stats = S.ivf_cell_stats(rebuilt)
+    r = S.ivf_drift_report(stats, stats).collect()[0]
+    assert not r.share_drift and not r.dist_drift
+    assert r.max_share_build_ppm == r.max_share_now_ppm
+    assert r.mean_dist2_build_micro == r.mean_dist2_now_micro
