@@ -653,3 +653,71 @@ def test_unigram_lm_pruned_matches_pure_python_reference(spark, tmp_path):
     # the target number of multi-char survivors
     n_multi = sum(1 for p, _, _ in got if len(p) > 1)
     assert 0 < n_multi <= _ULM_PRUNE_KEEP < _ULM_PRUNE_SEED
+
+
+def test_hard_sigmoid_trainer_matches_pure_python(spark):
+    """operators/classifier.py parity vs an independent pure-Python
+    reimplementation of the integer-exact training loop on a tiny
+    synthetic corpus — every weight after 3 iterations must match
+    (the SQL-twin oracle proves Spark==DuckDB; this proves both match
+    the algorithm as specified)."""
+    import hashlib
+
+    from cdc_practice_spark.operators.classifier import (
+        bigram_ppm_features,
+        train_hard_sigmoid_lr,
+    )
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "lorem ipsum dolor sit amet consectetur"),
+        (2, "the the the a a of of in in on"),
+        (3, "zzz qqq xxx yyy www vvv"),
+        (4, "a stitch in time saves nine says the tailor"),
+        (5, "foo bar baz qux quux corge grault"),
+    ]
+    labels = {0: 1, 1: 0, 2: 1, 3: 0, 4: 1, 5: 0}
+
+    def tdiv(a, b):  # truncation toward zero, as Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    # pure-python features
+    feats = {}
+    for did, text in docs:
+        ts = [t for t in text.lower().strip().split() if t]
+        cnt = {}
+        for a, b in zip(ts, ts[1:]):
+            h = int(hashlib.md5(f"f:{a} {b}".encode()).hexdigest()[:15], 16) % 1024
+            cnt[h] = cnt.get(h, 0) + 1
+        tc = sum(cnt.values())
+        feats[did] = {b: tdiv(c * 1000000, tc) for b, c in cnt.items()}
+
+    n = len(docs)
+    w = {}
+    for it in range(3):
+        if it == 0:
+            err = {d: 500000 - labels[d] * 1000000 for d, _ in docs}
+        else:
+            err = {}
+            for d, _ in docs:
+                margin = tdiv(sum(w.get(b, 0) * x for b, x in feats[d].items()), 1000000)
+                p = max(0, min(1000000, 500000 + tdiv(margin, 4)))
+                err[d] = p - labels[d] * 1000000
+        grad = {}
+        for d, _ in docs:
+            for b, x in feats[d].items():
+                grad[b] = grad.get(b, 0) + err[d] * x
+        for b, g in grad.items():
+            w[b] = w.get(b, 0) - tdiv(tdiv(g, 1000000) * 16, n)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    lab = spark.createDataFrame(
+        [(d, y) for d, y in labels.items()], "doc_id long, y long"
+    )
+    bg = bigram_ppm_features(sdf)
+    got = {
+        r.b: r.w
+        for r in train_hard_sigmoid_lr(bg, lab, n, n_iter=3).collect()
+    }
+    assert got == w
