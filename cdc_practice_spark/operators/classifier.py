@@ -64,10 +64,22 @@ def bigram_bucket(g: F.Column, n_buckets: int = N_BUCKETS) -> F.Column:
 
 
 def bigram_ppm_features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
-    """(doc_id, b, x): per-doc PPM share of each hashed-bigram bucket —
-    one projection + explode + one map-side-combinable count + a
-    per-doc total join (the normalization).  Docs with < 2 tokens have
-    no row (their margin is 0 downstream via coalesce)."""
+    """(doc_id, b, x): per-doc PPM share of each hashed-bigram bucket.
+    Docs with < 2 tokens have no row (their margin is 0 downstream via
+    coalesce).
+
+    Plan shape: ONE exchange, keyed on doc_id, which everything
+    downstream reuses — the explode repartitions by doc_id; the
+    (doc_id, b) count needs only a doc_id clustering (subset
+    distribution, no second shuffle); the per-doc total is a window
+    over the same partitioning; and the TRAINER's per-iteration margin
+    aggregation and error joins all key on doc_id, so a persisted
+    frame with this partitioning makes every iteration's doc-side work
+    exchange-free (measured 2.33× → 1.62× vs DuckDB at sf1).  Only the
+    1024-row gradient aggregation shuffles per iteration — map-side
+    combined to B rows per partition."""
+    from pyspark.sql import Window
+
     ts = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
     )
@@ -79,12 +91,15 @@ def bigram_ppm_features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFram
         docs.select(F.col("doc_id"), ts.alias("ts"))
         .select("doc_id", F.explode(bigrams).alias("g"))
         .select("doc_id", bigram_bucket(F.col("g"), n_buckets).alias("b"))
+        .repartition("doc_id")
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("tc"))
-    return cnt.join(tot, "doc_id").select(
-        "doc_id", "b", F.expr("(c * 1000000) div tc").cast("long").alias("x")
+    tc = F.sum("c").over(Window.partitionBy("doc_id")).cast("long")
+    return cnt.withColumn("tc", tc).select(
+        "doc_id",
+        "b",
+        F.expr("(c * 1000000) div tc").cast("long").alias("x"),
     )
 
 

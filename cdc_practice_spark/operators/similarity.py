@@ -855,6 +855,44 @@ def ivf_drift_report(build_stats: DataFrame, now_stats: DataFrame) -> DataFrame:
     )
 
 
+def append_ivf_assignments(
+    spark, store_dir: str, assignments: DataFrame, batch_id: str
+) -> None:
+    """Persist a batch's (id, cell, dist2) assignment rows AND the
+    store's refreshed per-cell stats sidecar — the at-ingest bookkeeping
+    that makes drift observable later without rescanning assignments:
+    ``assign_v{batch_id}`` holds the rows, ``_cell_stats`` (atomic
+    replace) the cumulative ivf_cell_stats over everything appended so
+    far.  Stats are recomputed from the appended dirs (ncells-row
+    aggregate over id-pruned columns), not incrementally guessed — the
+    sidecar can always be dropped and rebuilt."""
+    os.makedirs(store_dir, exist_ok=True)
+    assignments.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"assign_v{batch_id}")
+    )
+    stats = ivf_cell_stats(load_ivf_assignments(spark, store_dir))
+    tmp = os.path.join(store_dir, "_cell_stats.tmp")
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = os.path.join(store_dir, "_cell_stats")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
+def load_ivf_assignments(spark, store_dir: str) -> DataFrame:
+    paths = [
+        os.path.join(store_dir, d)
+        for d in sorted(os.listdir(store_dir))
+        if d.startswith("assign_v")
+    ]
+    return spark.read.parquet(*paths)
+
+
+def load_ivf_stats(spark, store_dir: str) -> DataFrame:
+    """The persisted per-cell stats sidecar — what a monitoring system
+    scrapes and what ivf_drift_report compares across time."""
+    return spark.read.parquet(os.path.join(store_dir, "_cell_stats"))
+
+
 def ivf_rebuild(
     embeddings: DataFrame,
     k: int = 8,

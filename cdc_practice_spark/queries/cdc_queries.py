@@ -1595,17 +1595,38 @@ def cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn, so their equality join is exchange-free; the complete-txn
     semi join shuffles on the same key (AQE broadcasts it when small).
     Downstream is the standard cdc_current_snapshot pipeline
-    unchanged."""
-    from cdc_practice_spark.cdc import filter_complete_txns
+    unchanged.
 
+    r10 (VERDICT r9 watch item — 4.35× vs DuckDB at sf1): the general
+    gate (filter_complete_txns) aggregates observed and declared from
+    two separate frames, which here both derive from ONE events scan —
+    so the query computes both per-txn counts in a single conditional
+    aggregation (declared = count(*), observed = count where captured),
+    one scan instead of two; the general two-frame gate remains for
+    feeds whose transaction topic is a genuinely separate stream."""
     events = load_table(spark, sf_dir, "events")
     txn = F.expr(f"event_id div {_TXN_SIZE}")
     w = events.agg(
         (F.floor(F.max("event_id") * 0.8).cast("long") + 2).alias("w")
     )
-    trunc = events.crossJoin(F.broadcast(w)).filter(F.col("event_id") <= F.col("w"))
-    applied = filter_complete_txns(
-        trunc, events, txn, distinct_on=["event_id"]
+    counts = (
+        events.crossJoin(F.broadcast(w))
+        .groupBy(txn.alias("txn"))
+        .agg(
+            F.count(F.lit(1)).alias("declared_c"),
+            F.count(F.when(F.col("event_id") <= F.col("w"), 1)).alias(
+                "observed_c"
+            ),
+        )
+    )
+    complete = counts.filter(
+        F.col("observed_c") == F.col("declared_c")
+    ).select("txn")
+    trunc = events.crossJoin(F.broadcast(w)).filter(
+        F.col("event_id") <= F.col("w")
+    )
+    applied = trunc.join(
+        complete, txn == complete["txn"], "left_semi"
     ).drop("w")
     cur = build_current(change_feed_from_events(applied))
     return cur.select(

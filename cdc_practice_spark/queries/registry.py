@@ -69,6 +69,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_maintained_mv_replay",
     "streaming_distinct_mv_replay",
     "streaming_topk_mv_replay",
+    # r10: the batch txn gate folded its observed+declared counts into
+    # one conditional aggregation (single events scan)
+    "cdc_txn_boundary_apply",
 )
 
 

@@ -1856,3 +1856,376 @@ def corpus_purge_from_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _report_purged_store(spark, sf_dir)
     return load_ingest_dispositions(spark, store).orderBy("doc_id")
+
+
+def _add_wire(spark: SparkSession, sf_dir: str):
+    """The mixed-vintage wire of cdc_schema_evolution (ADD direction):
+    ``account_type`` exists only after the mid-feed ALTER at offset T
+    (to_json drops nulls, so pre-DDL events simply lack the field)."""
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    ev = load_table(spark, sf_dir, "events")
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+    wire = ev.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("user_id").alias("user_id"),
+                F.col("value").cast("string").alias("account"),
+                F.col("ts").cast("string").alias("registered_at"),
+                F.when(F.col("event_type") == "error", "true")
+                .otherwise("false")
+                .alias("__deleted"),
+                F.when(
+                    F.col("event_id") > t,
+                    F.when(F.col("user_id") % 2 == 0, "checking").otherwise(
+                        "savings"
+                    ),
+                ).alias("account_type"),
+            )
+        ).alias("value"),
+    )
+    return wire, int(t)
+
+
+@register(
+    "streaming_schema_evolution_add",
+    oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS t FROM events),
+feed AS (
+  SELECT event_id AS kafka_offset,
+         user_id AS original_id,
+         value,
+         ts AS registered_at,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+           AS __deleted,
+         CASE WHEN event_id > (SELECT t FROM t)
+              THEN CASE WHEN user_id % 2 = 0 THEN 'checking'
+                        ELSE 'savings' END
+         END AS account_type
+  FROM events
+),
+typed AS (
+  SELECT *,
+         CASE WHEN __deleted = 'true' THEN 'DELETE'
+              WHEN lag(__deleted) OVER w IS NULL
+                OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
+              ELSE 'UPDATE' END AS change_type
+  FROM feed
+  WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN change_type = 'INSERT'
+                         THEN registered_at END IGNORE NULLS)
+           OVER (PARTITION BY original_id ORDER BY kafka_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS original_registered_at
+  FROM typed
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT original_id,
+       original_id AS user_id,
+       value,
+       account_type,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       epoch_us(registered_at) AS last_updated_at_us
+FROM ranked
+WHERE rn = 1 AND __deleted = 'false'
+""",
+)
+def streaming_schema_evolution_add(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-stream ADD-column DDL applied by the running stream (the
+    other direction VERDICT r9 ask #2 named beside widen): the wire
+    gains ``account_type`` at offset T; epochs before the DDL parse and
+    merge WITHOUT the column (state buckets lack it entirely), the
+    first epoch at or past T resolves the evolved schema and the
+    bucketed state gains the column in place — pre-DDL bucket files
+    null-fill it through the explicit read schema, nothing is
+    rewritten, and a key never updated after the DDL reports NULL
+    (exactly the batch cdc_schema_evolution semantics, now under
+    micro-batch boundaries).  Full-hash oracle vs the batch snapshot
+    with the typed column recomputed straight from ``events``."""
+    from pyspark.sql.types import StringType, StructField
+
+    from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, evolve_schema
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_current_upsert_evolving,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="evolve_add_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    wire, t = _add_wire(spark, sf_dir)
+    _split_wire_into_files(spark, wire, src_dir, n_files=3)
+    ddl_chain = [
+        (
+            t + 1,
+            lambda s: evolve_schema(
+                s, [StructField("account_type", StringType())]
+            ),
+        )
+    ]
+
+    def normalize(parsed: DataFrame) -> DataFrame:
+        cols = [
+            F.col("kafka_offset"),
+            F.col("id").alias("original_id"),
+            F.col("account").cast("double").alias("value"),
+            F.to_timestamp("registered_at")
+            .cast("timestamp_ntz")
+            .alias("registered_at"),
+            F.col("__deleted"),
+        ]
+        if "account_type" in parsed.columns:
+            cols.append(F.col("account_type"))
+        # pre-DDL epochs: the column does not exist yet — the STATE
+        # gains it only once the DDL lands (the sink's effective-payload
+        # rule; earlier bucket files null-fill through the widened read)
+        return parsed.select(*cols)
+
+    stream = (
+        spark.readStream.schema(WIRE_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_current_upsert_evolving(
+        spark,
+        stream,
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        base_schema=CHANGE_EVENT_SCHEMA,
+        ddl_chain=ddl_chain,
+        normalize=normalize,
+        payload_cols=["value", "account_type"],
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructType,
+        TimestampNTZType,
+    )
+
+    read_schema = StructType(
+        [
+            StructField("original_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("account_type", StringType()),
+            StructField("original_registered_at", TimestampNTZType()),
+            StructField("last_updated_at", TimestampNTZType()),
+            StructField("last_offset", LongType()),
+        ]
+    )
+    state = load_bucketed_state(
+        spark, os.path.join(work, "state"), read_schema=read_schema
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "account_type",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+@register(
+    "streaming_schema_evolution_rename",
+    oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS t FROM events),
+feed AS (
+  SELECT event_id AS kafka_offset,
+         user_id AS original_id,
+         value,
+         ts AS registered_at,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+           AS __deleted
+  FROM events
+),
+typed AS (
+  SELECT *,
+         CASE WHEN __deleted = 'true' THEN 'DELETE'
+              WHEN lag(__deleted) OVER w IS NULL
+                OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
+              ELSE 'UPDATE' END AS change_type
+  FROM feed
+  WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN change_type = 'INSERT'
+                         THEN registered_at END IGNORE NULLS)
+           OVER (PARTITION BY original_id ORDER BY kafka_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS original_registered_at
+  FROM typed
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY original_id
+                               ORDER BY kafka_offset DESC) AS rn
+  FROM carried
+)
+SELECT original_id,
+       original_id AS user_id,
+       value AS balance,
+       kafka_offset > (SELECT t FROM t) AS from_renamed,
+       epoch_us(original_registered_at) AS original_registered_at_us,
+       epoch_us(registered_at) AS last_updated_at_us
+FROM ranked
+WHERE rn = 1 AND __deleted = 'false'
+""",
+)
+def streaming_schema_evolution_rename(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-stream RENAME DDL applied by the running stream (the third
+    direction, after widen and add): the wire writes ``account`` before
+    offset T and ``balance`` after; the recorded DDL swaps the parse
+    schema to rename_columns' dual-field form BETWEEN epochs, the
+    normalizer unifies with coalesce(new, old) per the schema's own
+    rename metadata, and the merged state is VALUE-CONTINUOUS per key
+    across the boundary — a key written in both vintages keeps one
+    unbroken balance history, and ``from_renamed`` records which
+    vintage the key's LAST event arrived in (pre-DDL bucket files
+    null-fill the flag through the widened read; the reader defaults it
+    to false).  Full-hash oracle vs the batch snapshot recomputed from
+    ``events``."""
+    from cdc_practice_spark.schemas import (
+        CHANGE_EVENT_SCHEMA,
+        rename_columns,
+        renamed_pairs,
+    )
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_current_upsert_evolving,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="evolve_rename_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    ev = load_table(spark, sf_dir, "events")
+    stats_key = ("events_max_offset", sf_dir)
+    if stats_key not in _STATS_CACHE:
+        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
+    t = _STATS_CACHE[stats_key] // 2
+    wire = ev.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("user_id").alias("user_id"),
+                # the RENAME: pre-T events write `account`, post-T
+                # events write `balance` — never both
+                F.when(F.col("event_id") <= t, F.col("value").cast("string"))
+                .alias("account"),
+                F.when(F.col("event_id") > t, F.col("value").cast("string"))
+                .alias("balance"),
+                F.col("ts").cast("string").alias("registered_at"),
+                F.when(F.col("event_type") == "error", "true")
+                .otherwise("false")
+                .alias("__deleted"),
+            )
+        ).alias("value"),
+    )
+    _split_wire_into_files(spark, wire, src_dir, n_files=3)
+    ddl_chain = [
+        (int(t) + 1, lambda s: rename_columns(s, {"account": "balance"}))
+    ]
+
+    def normalize(parsed: DataFrame) -> DataFrame:
+        pairs = dict()
+        # reader-side unification straight from the epoch schema's
+        # rename metadata — pre-DDL epochs have no pairs and read the
+        # old name directly
+        # (parsed carries the epoch's parse schema)
+        for f in parsed.schema.fields:
+            if f.metadata and "renamed_from" in f.metadata:
+                pairs[f.name] = f.metadata["renamed_from"]
+        if pairs:
+            ((new, old),) = pairs.items()
+            balance = F.coalesce(F.col(new), F.col(old))
+            from_renamed = F.col(new).isNotNull()
+        else:
+            balance = F.col("account")
+            from_renamed = F.lit(False)
+        return parsed.select(
+            "kafka_offset",
+            F.col("id").alias("original_id"),
+            balance.cast("double").alias("balance"),
+            F.to_timestamp("registered_at")
+            .cast("timestamp_ntz")
+            .alias("registered_at"),
+            "__deleted",
+            from_renamed.alias("from_renamed"),
+        )
+
+    stream = (
+        spark.readStream.schema(WIRE_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_current_upsert_evolving(
+        spark,
+        stream,
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        base_schema=CHANGE_EVENT_SCHEMA,
+        ddl_chain=ddl_chain,
+        normalize=normalize,
+        payload_cols=["balance", "from_renamed"],
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    read_schema = StructType(
+        [
+            StructField("original_id", LongType()),
+            StructField("balance", DoubleType()),
+            StructField("from_renamed", BooleanType()),
+            StructField("original_registered_at", TimestampNTZType()),
+            StructField("last_updated_at", TimestampNTZType()),
+            StructField("last_offset", LongType()),
+        ]
+    )
+    state = load_bucketed_state(
+        spark, os.path.join(work, "state"), read_schema=read_schema
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "balance",
+        F.coalesce("from_renamed", F.lit(False)).alias("from_renamed"),
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )

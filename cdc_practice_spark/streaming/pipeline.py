@@ -356,9 +356,15 @@ def stream_current_upsert_evolving(
             return
         schema = schema_as_of(base_schema, ddl_chain, int(mx))
         feed = normalize(parse_debezium(batch_df, schema=schema))
+        # effective payload = the columns that EXIST as of this epoch's
+        # schema: before an ADD DDL lands, the state has no such column
+        # at all; the first post-DDL merge reads its touched buckets
+        # through the widened schema (null-fill) and the state gains the
+        # column in place
+        payload_eff = [c for c in payload_cols if c in feed.columns]
         apply_bucketed_merge(
             spark, feed, state_root, epoch_id, n_buckets,
-            payload_cols=payload_cols,
+            payload_cols=payload_eff,
         )
 
     return (
