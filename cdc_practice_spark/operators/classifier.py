@@ -170,8 +170,15 @@ def train_hard_sigmoid_lr(
                     f"cast(w - ((g * {learn_rate}) div {n_docs}) as bigint)"
                 ).alias("w"),
             )
+        prev_w = w
         w = tracked_persist(new_w)
         w.count()  # materialize: bound the iteration's lineage
+        if prev_w is not None:
+            # the superseded iteration's weights are dead once the new
+            # table materialized — release now instead of accumulating
+            # n_iter-1 cached frames until release_tracked (the same
+            # discipline as the LSH radius-widening loop)
+            prev_w.unpersist()
     return w
 
 

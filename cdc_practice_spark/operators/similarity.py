@@ -829,8 +829,20 @@ def ivf_drift_report(build_stats: DataFrame, now_stats: DataFrame) -> DataFrame:
         )
 
     b, c = roll(build_stats, "b"), roll(now_stats, "c")
+    joined = b.crossJoin(c)
+    # loud failure on a meaningless baseline (review r10): empty stats
+    # roll to NULL aggregates, and every downstream div/compare would
+    # emit NULL drift booleans — a monitoring consumer testing the flag
+    # would see falsy None and the alarm would silently never fire
+    head = joined.head()
+    if not head.n_b or not head.n_c:
+        raise ValueError(
+            "ivf_drift_report: empty stats frame (build n="
+            f"{head.n_b}, now n={head.n_c}) — a drift report against an "
+            "empty store is meaningless; build the index first"
+        )
     return (
-        b.crossJoin(c)
+        joined
         .select(
             F.expr("max_n_b * 1000000 div n_b").alias("max_share_build_ppm"),
             F.expr("max_n_c * 1000000 div n_c").alias("max_share_now_ppm"),

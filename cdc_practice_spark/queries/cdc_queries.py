@@ -56,6 +56,20 @@ def _us(col: str) -> F.Column:
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
+def _events_max_offset(spark: SparkSession, sf_dir: str) -> int:
+    """max(event_id) of the fixture, memoized per sf_dir — the T every
+    mid-feed-DDL wire builder derives its ALTER position from (one
+    1-row-stats job per session, not per query)."""
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+
+    key = ("events_max_offset", sf_dir)
+    if key not in _STATS_CACHE:
+        _STATS_CACHE[key] = (
+            load_table(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
+        )
+    return _STATS_CACHE[key]
+
+
 # Shared oracle CTE: the normalized change feed + change_type + carry-forward,
 # mirroring cdc/feed.py + cdc/history.py exactly.
 FEED_CTE = """
@@ -612,10 +626,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.sources.kafka import parse_debezium
 
     ev = load_table(spark, sf_dir, "events")
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     # The wire after the mid-feed ALTER: to_json drops null fields, so
     # only post-ALTER events carry account_type — byte-for-byte how a
     # mixed-vintage binlog topic looks.
@@ -723,10 +734,7 @@ def cdc_schema_evolution_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.sources.kafka import parse_debezium
 
     ev = load_table(spark, sf_dir, "events")
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     wire = ev.select(
         F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
         F.lit(0).alias("partition"),
@@ -831,10 +839,7 @@ def cdc_schema_evolution_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.sources.kafka import parse_debezium
 
     ev = load_table(spark, sf_dir, "events")
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     wire = ev.select(
         F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
         F.lit(0).alias("partition"),
@@ -939,10 +944,7 @@ def cdc_schema_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.sources.kafka import parse_debezium
 
     ev = load_table(spark, sf_dir, "events")
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     wire = ev.select(
         F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
         F.lit(0).alias("partition"),
@@ -1132,10 +1134,7 @@ def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the split point only needs the column's MAX — a stats-catalog fact
     # (ANALYZE keeps per-column min/max), memoized like every other
     # size/stats decision in plans/hints.py
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     # fused single-pass form (r5): base MV + retract/insert legs from ONE
     # key-partitioned aggregation — two exchanges instead of six.  The
     # separate-frames production form (stored base + delta batch,
@@ -1188,10 +1187,7 @@ def cdc_incremental_minmax_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     base_feed = feed.filter(F.col("kafka_offset") <= t)
     delta_feed = feed.filter(F.col("kafka_offset") > t)
     base_current = tracked_persist(build_current(base_feed))
@@ -1265,10 +1261,7 @@ def cdc_incremental_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup-invariant consumer (first touch = per-key max_by) → the
     # coord-dedup-free feed: map-side-combinable key exchange
     feed = _feed_agg(spark, sf_dir)
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     maintained = delta_apply_topk_mv_onepass(feed, t, "event_type", 3)
     ex = maintained.select(
         "event_type", F.posexplode("topk").alias("pos", "e")
@@ -1325,10 +1318,7 @@ def cdc_incremental_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     base_feed = feed.filter(F.col("kafka_offset") <= t)
     delta_feed = feed.filter(F.col("kafka_offset") > t)
     base_current = tracked_persist(build_current(base_feed))
@@ -1381,10 +1371,7 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
-    mx = _STATS_CACHE[stats_key]
+    mx = _events_max_offset(spark, sf_dir)
     current = tracked_persist(build_current(feed))
     erase = current.filter(F.col("original_id") % 97 == 0).select(
         "original_id",
@@ -1454,10 +1441,7 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = feed.agg(F.max("kafka_offset")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
 
     def val(c: str) -> F.Column:
         return F.round(F.col(c).cast("decimal(12,2)"), 2).cast("double")

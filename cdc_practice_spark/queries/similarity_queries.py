@@ -1007,30 +1007,13 @@ def _split_embeddings_into_files(
     spark: SparkSession, batch: DataFrame, out_dir: str, n_files: int = 3
 ) -> None:
     """Write the arriving embedding batch as n id-ordered single-file
-    chunks with monotone mtimes (same arrival contract as the corpus
-    splitters)."""
-    import os
-    import shutil
-    import time
+    chunks with monotone mtimes — the shared frame splitter (with its
+    written-count assertion) keyed on vec_id."""
+    from cdc_practice_spark.queries.streaming_queries import (
+        _split_frame_into_files,
+    )
 
-    lo, hi = batch.agg(
-        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
-    ).collect()[0]
-    step = (int(hi) - int(lo)) // n_files + 1
-    for i in range(n_files):
-        chunk = batch.filter(
-            (F.col("vec_id") >= int(lo) + i * step)
-            & (F.col("vec_id") < int(lo) + (i + 1) * step)
-        ).coalesce(1)
-        part_dir = os.path.join(out_dir, f"_part{i}")
-        chunk.write.mode("overwrite").parquet(part_dir)
-        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(part_dir, src),
-            os.path.join(out_dir, f"chunk-{i:03d}.parquet"),
-        )
-        shutil.rmtree(part_dir)
-        time.sleep(0.05)
+    _split_frame_into_files(spark, batch, "vec_id", out_dir, n_files)
 
 
 @register(

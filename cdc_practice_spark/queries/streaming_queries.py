@@ -1302,13 +1302,10 @@ def _widen_wire(spark: SparkSession, sf_dir: str):
     overflows into BIGINT territory after it — as (topic, partition,
     offset, value-JSON) rows, plus T.  Byte-identical construction to
     the batch query so the streaming result shares its ground truth."""
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.queries.cdc_queries import _events_max_offset
 
     ev = load_table(spark, sf_dir, "events")
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     wire = ev.select(
         F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
         F.lit(0).alias("partition"),
@@ -1566,7 +1563,7 @@ def _multipartition_gated_state(spark: SparkSession, sf_dir: str) -> str:
     from pyspark.sql import Window
 
     from cdc_practice_spark.plans.hints import _STATS_CACHE
-    from cdc_practice_spark.queries.cdc_queries import _feed
+    from cdc_practice_spark.queries.cdc_queries import _TXN_SIZE, _feed
     from cdc_practice_spark.streaming.pipeline import stream_txn_gated_feed
 
     cache_key = ("mp_txn_gated_state", sf_dir)
@@ -1577,9 +1574,10 @@ def _multipartition_gated_state(spark: SparkSession, sf_dir: str) -> str:
     w = int(max_off * 0.8) + 2
     # Debezium's transaction topic: per-txn declared event counts (the
     # END records), over the FULL feed — commit ids are global even
-    # when the data topic is partitioned
+    # when the data topic is partitioned.  _TXN_SIZE is the oracle's
+    # constant (this query hash-compares against cdc_txn_boundary_apply)
     declared = events.groupBy(
-        F.expr("event_id div 5").alias("txn")
+        F.expr(f"event_id div {_TXN_SIZE}").alias("txn")
     ).agg(F.count(F.lit(1)).alias("declared_c"))
 
     # the wire truth of a keyed 4-partition topic: each key's events in
@@ -1588,7 +1586,7 @@ def _multipartition_gated_state(spark: SparkSession, sf_dir: str) -> str:
     # cut at w on ARRIVAL order)
     feed = (
         _feed(spark, sf_dir)
-        .withColumn("txn", F.expr("kafka_offset div 5"))
+        .withColumn("txn", F.expr(f"kafka_offset div {_TXN_SIZE}"))
         .withColumn("_arrival", F.col("kafka_offset"))
         .filter(F.col("kafka_offset") <= w)
     )
@@ -1862,13 +1860,10 @@ def _add_wire(spark: SparkSession, sf_dir: str):
     """The mixed-vintage wire of cdc_schema_evolution (ADD direction):
     ``account_type`` exists only after the mid-feed ALTER at offset T
     (to_json drops nulls, so pre-DDL events simply lack the field)."""
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.queries.cdc_queries import _events_max_offset
 
     ev = load_table(spark, sf_dir, "events")
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     wire = ev.select(
         F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
         F.lit(0).alias("partition"),
@@ -2121,13 +2116,10 @@ def streaming_schema_evolution_rename(
     work = tempfile.mkdtemp(prefix="evolve_rename_", dir=TMP_ROOT)
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.queries.cdc_queries import _events_max_offset
 
     ev = load_table(spark, sf_dir, "events")
-    stats_key = ("events_max_offset", sf_dir)
-    if stats_key not in _STATS_CACHE:
-        _STATS_CACHE[stats_key] = ev.agg(F.max("event_id")).collect()[0][0]
-    t = _STATS_CACHE[stats_key] // 2
+    t = _events_max_offset(spark, sf_dir) // 2
     wire = ev.select(
         F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
         F.lit(0).alias("partition"),

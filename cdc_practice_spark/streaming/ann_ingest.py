@@ -116,7 +116,13 @@ def stream_ann_ingest(
         idx = _load_union(
             spark, store_root, "sig_delta", pre_epochs, _SIG_SCHEMA
         )
-        new_sigs = rp_lsh_signatures(batch_df, planes, id_col, vec_col)
+        from cdc_practice_spark.plans.cache import tracked_persist
+
+        # persisted: the batch GEMM feeds both the conflict guard and
+        # the delta write (released per epoch by the _scoped wrapper)
+        new_sigs = tracked_persist(
+            rp_lsh_signatures(batch_df, planes, id_col, vec_col)
+        )
         # replay dedup on the (id, table) PAIR vs the PRE-epoch store
         # (rp_lsh_ingest's dedup_replays rule): a batch redelivered by an
         # at-least-once bus — or re-arriving through a wiped checkpoint —
@@ -128,11 +134,36 @@ def stream_ann_ingest(
                 id_col,
                 "left_semi",
             )
-            .select(id_col, "table")
+            .select(id_col, "table", "sig")
             .distinct()
         )
+        # contract guard (review r10): the replay dedup assumes ids are
+        # APPEND-ONLY — a re-arriving id is a byte-identical redelivery.
+        # A re-EMBEDDED vector (same id, new embedding) would be
+        # silently dropped here and the store would keep the old
+        # vector's signatures, breaking store==rebuild with no error —
+        # so a present (id, table) whose stored sig disagrees with the
+        # re-arrival's raises instead.  One batch-bounded broadcast
+        # join; updates belong to the erase-then-ingest path
+        # (rp_lsh_erase + a fresh batch).
+        conflicts = new_sigs.alias("n").join(
+            F.broadcast(present).alias("p"),
+            (F.col(f"n.{id_col}") == F.col(f"p.{id_col}"))
+            & (F.col("n.table") == F.col("p.table"))
+            & (F.col("n.sig") != F.col("p.sig")),
+        )
+        n_conflict = conflicts.count()
+        if n_conflict:
+            raise ValueError(
+                f"stream_ann_ingest: {n_conflict} signature rows of "
+                f"re-arriving ids disagree with the store — a vector was "
+                f"re-embedded under an existing id; erase it first "
+                f"(rp_lsh_erase), then ingest the new embedding"
+            )
         new_sigs = new_sigs.join(
-            F.broadcast(present), [id_col, "table"], "left_anti"
+            F.broadcast(present.select(id_col, "table")),
+            [id_col, "table"],
+            "left_anti",
         )
         new_sigs.write.mode("overwrite").parquet(
             os.path.join(store_root, f"sig_delta_v{store_epoch}")

@@ -458,7 +458,10 @@ def stream_txn_gated_feed(
     dec_c = declared_txn_counts.select(
         F.col("txn").cast("long").alias("txn"), "declared_c"
     )
-    max_txn = int(dec_c.agg(F.max("txn").alias("m")).head().m)
+    # empty manifest (no END record seen yet) is a legal state for the
+    # general API: everything observed must hold pending, not crash
+    _mx = dec_c.agg(F.max("txn").alias("m")).head().m
+    max_txn = int(_mx) if _mx is not None else -1
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # pending pointer content is JSON {path, frontier}: the buffer of
@@ -484,11 +487,19 @@ def stream_txn_gated_feed(
         obs_c = observed.groupBy(txn.alias("txn")).agg(
             F.count(F.lit(1)).alias("observed_c")
         )
+        # incomplete = declared with observed < declared, OR observed
+        # with NO declared row at all (its END record hasn't arrived —
+        # completeness is unknowable, so it must hold; a left join from
+        # the declared side would silently release such partial txns)
         m_df = (
-            dec_c.filter(F.col("txn") >= frontier)
-            .join(obs_c, "txn", "left")
+            dec_c.join(obs_c, "txn", "full_outer")
+            .filter(F.col("txn") >= frontier)
             .filter(
-                F.coalesce(F.col("observed_c"), F.lit(0)) < F.col("declared_c")
+                F.col("declared_c").isNull()
+                | (
+                    F.coalesce(F.col("observed_c"), F.lit(0))
+                    < F.col("declared_c")
+                )
             )
             .agg(F.min("txn").alias("m"))
         )

@@ -1359,3 +1359,86 @@ def test_txn_gate_multipartition_splits_txn_across_epochs(spark):
     assert pending == [9, 10]  # the torn txn only
     with open(os.path.join(state_root, "_PENDING")) as fh:
         assert _json.loads(fh.read())["frontier"] == 3
+
+
+def test_txn_gate_holds_undeclared_txns(spark):
+    """Review r10: a transaction whose END record has not reached the
+    manifest is UNKNOWABLE, not complete — its observed events must
+    hold pending, and the frontier must stop at it (a declared-side
+    left join silently released such partial txns).  Also covers the
+    empty-manifest start (no END records at all): everything pends."""
+    from cdc_practice_spark.queries.streaming_queries import (
+        MP_FEED_FILE_SCHEMA,
+    )
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        load_pending_txn_buffer,
+        stream_txn_gated_feed,
+    )
+    from datetime import datetime
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="undeclared_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # txn 0 = arrivals 0-2 (declared), txn 1 = arrivals 3-4 (NO END
+    # record yet), single partition, one chunk
+    rows = [
+        ("t", 0, i, (i % 2) + 1, "click", float(i), ts(i), "false",
+         None, i // 3, i)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, MP_FEED_FILE_SCHEMA).coalesce(1)
+    part = os.path.join(work, "_p0")
+    df.write.mode("overwrite").parquet(part)
+    f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+    os.rename(os.path.join(part, f), os.path.join(src, "chunk-000.parquet"))
+
+    declared = spark.createDataFrame([(0, 3)], "txn long, declared_c long")
+    state_root = os.path.join(work, "state")
+    q = stream_txn_gated_feed(
+        spark,
+        spark.readStream.schema(MP_FEED_FILE_SCHEMA).parquet(src),
+        state_root=state_root,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        declared_txn_counts=declared,
+        txn_col="txn",
+        n_buckets=4,
+    )
+    q.awaitTermination()
+    got = {
+        r.original_id: r.value
+        for r in load_bucketed_state(spark, state_root).collect()
+    }
+    assert got == {1: 2.0, 2: 1.0}  # txn 0 only (arrivals 0-2)
+    pending = sorted(
+        r._arrival
+        for r in load_pending_txn_buffer(spark, state_root).collect()
+    )
+    assert pending == [3, 4]  # the undeclared txn held, not released
+
+    # empty manifest: the stream starts and holds EVERYTHING
+    work2 = tempfile.mkdtemp(prefix="emptyman_", dir=TMP_ROOT)
+    src2 = os.path.join(work2, "src")
+    os.makedirs(src2)
+    import shutil as _sh
+    _sh.copy(os.path.join(src, "chunk-000.parquet"),
+             os.path.join(src2, "chunk-000.parquet"))
+    q2 = stream_txn_gated_feed(
+        spark,
+        spark.readStream.schema(MP_FEED_FILE_SCHEMA).parquet(src2),
+        state_root=os.path.join(work2, "state"),
+        checkpoint_dir=os.path.join(work2, "ckpt"),
+        declared_txn_counts=spark.createDataFrame(
+            [], "txn long, declared_c long"
+        ),
+        txn_col="txn",
+        n_buckets=4,
+    )
+    q2.awaitTermination()
+    assert load_bucketed_state(spark, os.path.join(work2, "state")).count() == 0
+    assert (
+        load_pending_txn_buffer(spark, os.path.join(work2, "state")).count()
+        == 5
+    )
