@@ -2221,3 +2221,173 @@ def streaming_schema_evolution_rename(
         us("original_registered_at").alias("original_registered_at_us"),
         us("last_updated_at").alias("last_updated_at_us"),
     )
+
+
+@register(
+    "streaming_schema_evolution_drop",
+    oracle="""
+WITH t AS (SELECT max(event_id) // 2 AS t FROM events),
+feed AS (
+  SELECT event_id AS kafka_offset,
+         user_id AS original_id,
+         CASE WHEN event_id <= (SELECT t FROM t) THEN value END AS v,
+         ts AS registered_at,
+         CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+           AS __deleted
+  FROM events
+),
+typed AS (
+  SELECT *,
+         CASE WHEN __deleted = 'true' THEN 'DELETE'
+              WHEN lag(__deleted) OVER w IS NULL
+                OR lag(__deleted) OVER w = 'true' THEN 'INSERT'
+              ELSE 'UPDATE' END AS change_type
+  FROM feed
+  WINDOW w AS (PARTITION BY original_id ORDER BY kafka_offset)
+),
+seg AS (
+  SELECT original_id,
+         max(kafka_offset) AS last_offset,
+         max_by(registered_at, kafka_offset) AS last_ts,
+         max_by(__deleted, kafka_offset) AS last_deleted,
+         max(CASE WHEN change_type = 'INSERT' THEN kafka_offset END) AS li
+  FROM typed GROUP BY original_id
+),
+cv AS (
+  SELECT s.original_id, max_by(t2.v, t2.kafka_offset) AS value_carried
+  FROM seg s JOIN typed t2
+    ON t2.original_id = s.original_id
+   AND t2.v IS NOT NULL AND t2.kafka_offset >= s.li
+  GROUP BY s.original_id
+),
+ins AS (
+  SELECT s.original_id, t3.registered_at AS ins_ts
+  FROM seg s JOIN typed t3
+    ON t3.original_id = s.original_id AND t3.kafka_offset = s.li
+)
+SELECT s.original_id,
+       s.original_id AS user_id,
+       cv.value_carried,
+       s.last_offset,
+       epoch_us(ins.ins_ts) AS original_registered_at_us,
+       epoch_us(s.last_ts) AS last_updated_at_us
+FROM seg s
+LEFT JOIN cv USING (original_id)
+JOIN ins USING (original_id)
+WHERE s.last_deleted = 'false'
+""",
+)
+def streaming_schema_evolution_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-stream DROP DDL applied by the running stream — the FOURTH
+    direction, completing add/drop/rename/widen under micro-batch
+    boundaries: the wire omits ``account`` after offset T (the upstream
+    DROP), the engine RETIRES the column (schemas.retire_columns — the
+    read schema keeps it, post-DDL events null-fill), and the bucketed
+    state CARRIES the retired value forward per live row via
+    merge_batch's carry rule: last non-null value at or after the key's
+    last INSERT, falling back to the state's carried value when a batch
+    contributes nothing.  The carry deliberately resets at re-insert (a
+    re-inserted row has no memory of its deleted predecessor — the
+    reference's row lifetime; the batch history query
+    cdc_schema_evolution_drop keeps the non-resetting HISTORY carry,
+    which a snapshot state cannot chunk-invariantly maintain).  The
+    oracle recomputes exactly that invariant from ``events``, so any
+    chunking dependence in the carry hash-fails across the 3-epoch
+    replay."""
+    from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, retire_columns
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_current_upsert_evolving,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="evolve_drop_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    from cdc_practice_spark.queries.cdc_queries import _events_max_offset
+
+    ev = load_table(spark, sf_dir, "events")
+    t = _events_max_offset(spark, sf_dir) // 2
+    wire = ev.select(
+        F.lit("dbserver1.bankdb.bank_accounts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("user_id").alias("user_id"),
+                # the DROP: post-T events omit `account` on the wire
+                F.when(F.col("event_id") <= t, F.col("value").cast("string"))
+                .alias("account"),
+                F.col("ts").cast("string").alias("registered_at"),
+                F.when(F.col("event_type") == "error", "true")
+                .otherwise("false")
+                .alias("__deleted"),
+            )
+        ).alias("value"),
+    )
+    _split_wire_into_files(spark, wire, src_dir, n_files=3)
+    # retirement is READ-SCHEMA metadata from day one: the one schema
+    # parses both vintages; there is no parse-side DDL to sequence
+    schema = retire_columns(CHANGE_EVENT_SCHEMA, ["account"])
+
+    def normalize(parsed: DataFrame) -> DataFrame:
+        return parsed.select(
+            "kafka_offset",
+            F.col("id").alias("original_id"),
+            F.col("account").cast("double").alias("value_carried"),
+            F.to_timestamp("registered_at")
+            .cast("timestamp_ntz")
+            .alias("registered_at"),
+            "__deleted",
+        )
+
+    stream = (
+        spark.readStream.schema(WIRE_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_current_upsert_evolving(
+        spark,
+        stream,
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        base_schema=schema,
+        ddl_chain=[],
+        normalize=normalize,
+        payload_cols=["value_carried"],
+        n_buckets=8,
+        carry_cols=("value_carried",),
+    )
+    q.awaitTermination()
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    read_schema = StructType(
+        [
+            StructField("original_id", LongType()),
+            StructField("value_carried", DoubleType()),
+            StructField("original_registered_at", TimestampNTZType()),
+            StructField("last_updated_at", TimestampNTZType()),
+            StructField("last_offset", LongType()),
+        ]
+    )
+    state = load_bucketed_state(
+        spark, os.path.join(work, "state"), read_schema=read_schema
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value_carried",
+        "last_offset",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )

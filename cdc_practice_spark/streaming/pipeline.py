@@ -220,6 +220,7 @@ def apply_bucketed_merge(
     epoch_id: int,
     n_buckets: int = 16,
     payload_cols: list[str] | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """One bucketed MERGE step (the body every bucketed sink shares):
     read the touched buckets, merge the batch, rewrite only those
@@ -247,9 +248,9 @@ def apply_bucketed_merge(
             touched,
             read_schema=state_schema_for(batch_df, payload_cols),
         )
-    new_state = merge_batch(existing, batch_df, payload_cols).withColumn(
-        "_bucket", _bucket_col(n_buckets)
-    )
+    new_state = merge_batch(
+        existing, batch_df, payload_cols, carry_cols
+    ).withColumn("_bucket", _bucket_col(n_buckets))
     out = os.path.join(state_root, f"v{epoch_id}")
     new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
     manifest = _read_manifest(state_root)
@@ -314,6 +315,7 @@ def stream_current_upsert_evolving(
     normalize,
     payload_cols: list[str],
     n_buckets: int = 16,
+    carry_cols: tuple[str, ...] = (),
 ) -> StreamingQuery:
     """S9 upsert sink with STREAMING SCHEMA EVOLUTION (r10 — VERDICT r9
     ask #2): the stream consumes the RAW wire (kafka-shaped JSON
@@ -365,6 +367,7 @@ def stream_current_upsert_evolving(
         apply_bucketed_merge(
             spark, feed, state_root, epoch_id, n_buckets,
             payload_cols=payload_eff,
+            carry_cols=tuple(c for c in carry_cols if c in feed.columns),
         )
 
     return (

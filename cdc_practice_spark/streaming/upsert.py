@@ -75,6 +75,7 @@ def merge_batch(
     existing: DataFrame,
     batch_feed: DataFrame,
     payload_cols: "list[str] | None" = None,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """One MERGE step: apply a micro-batch of normalized change events
     (cdc/feed.py shape) to the existing snapshot state.
@@ -95,6 +96,7 @@ def merge_batch(
         F.col("original_id").alias("ex_id"),
         F.col("original_registered_at").alias("ex_registered_at"),
         F.col("last_offset").alias("ex_last_offset"),
+        *[F.col(c).alias(f"ex_{c}") for c in carry_cols],
     )
 
     b = batch_feed.join(
@@ -127,6 +129,38 @@ def merge_batch(
     b = b.withColumn(
         "original_registered_at", F.coalesce(carry, F.col("ex_registered_at"))
     )
+
+    # CARRY columns (streaming DROP-direction schema evolution): a
+    # retired column's value persists across events that no longer
+    # carry it — per live-row lineage: the carry RESETS at each INSERT
+    # (a re-inserted row has no memory of its deleted predecessor's
+    # attributes, matching the reference's row lifetime) and otherwise
+    # takes the last non-null value, falling back to the state's
+    # carried value when the batch contributes nothing.  Implemented as
+    # one more expression over the SAME w_all window (no new exchange):
+    # INSERT rows emit value-or-RESET-sentinel so nulls before the
+    # insert can't leak through ignorenulls; the sentinel decodes back
+    # to null.  String transport is lossless for the double payloads
+    # the wire itself stringifies.  This per-batch rule is chunking-
+    # invariant: state always equals "last non-null value at or after
+    # the key's last INSERT" (the streaming_schema_evolution_drop
+    # oracle recomputes exactly that).
+    _RESET = "\x00reset"
+    for c in carry_cols:
+        cs = F.col(c).cast("string")
+        expr = F.when(
+            F.col("change_type") == "INSERT", F.coalesce(cs, F.lit(_RESET))
+        ).otherwise(cs)
+        carried = F.coalesce(
+            F.last(expr, ignorenulls=True).over(w_all),
+            F.col(f"ex_{c}").cast("string"),
+        )
+        b = b.withColumn(
+            c,
+            F.when(carried == _RESET, F.lit(None))
+            .otherwise(carried)
+            .cast(batch_feed.schema[c].dataType),
+        )
 
     rn = F.row_number().over(
         Window.partitionBy("original_id").orderBy(F.col("kafka_offset").desc())

@@ -398,3 +398,76 @@ def test_txn_gate_matches_model_for_random_truncation(spark, rows, txn_size, w_p
     complete = {t for t, c in obs.items() if c == declared[t]}
     want = sorted(i for i in range(w + 1) if i // txn_size in complete)
     assert got == want
+
+
+def test_merge_batch_carry_col_resets_at_reinsert(spark):
+    """The carry rule (streaming DROP evolution): a retired column's
+    value persists through null-carrying events within a live row's
+    lineage, falls back to state across batches, and RESETS at
+    re-insert — including the delete-and-reinsert-in-one-batch case
+    that makes naive last-non-null carry chunking-dependent."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from cdc_practice_spark.streaming.upsert import empty_state, merge_batch
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+    def feed(rows):
+        # rows: (offset, user, value_carried, deleted)
+        return spark.createDataFrame(
+            [
+                (o, 0, "t", u, float("nan") if v is None else v, ts(o), d)
+                for (o, u, v, d) in rows
+            ],
+            "kafka_offset long, kafka_partition int, kafka_topic string, "
+            "original_id long, value_carried double, "
+            "registered_at timestamp_ntz, __deleted string",
+        ).withColumn(
+            "value_carried",
+            F.when(F.isnan("value_carried"), None).otherwise(
+                F.col("value_carried")
+            ),
+        )
+
+    st = empty_state(
+        spark, payload_schema="value_carried double"
+    )
+    # epoch 0: insert with value, then a null-carrying update
+    st = merge_batch(
+        st,
+        feed([(0, 1, 10.0, "false"), (1, 1, None, "false")]),
+        payload_cols=["value_carried"],
+        carry_cols=("value_carried",),
+    )
+    got = {r.original_id: r.value_carried for r in st.collect()}
+    assert got == {1: 10.0}  # carried through the null update
+    # epoch 1: only null-carrying updates -> falls back to state
+    st = merge_batch(
+        st,
+        feed([(2, 1, None, "false")]),
+        payload_cols=["value_carried"],
+        carry_cols=("value_carried",),
+    )
+    got = {r.original_id: r.value_carried for r in st.collect()}
+    assert got == {1: 10.0}
+    # epoch 2: delete + re-insert (null value) IN ONE BATCH -> the
+    # re-inserted row must NOT inherit the dead row's 10.0
+    st = merge_batch(
+        st,
+        feed([(3, 1, None, "true"), (4, 1, None, "false")]),
+        payload_cols=["value_carried"],
+        carry_cols=("value_carried",),
+    )
+    got = {r.original_id: r.value_carried for r in st.collect()}
+    assert got == {1: None}
+    # epoch 3: a post-reset non-null value takes over again
+    st = merge_batch(
+        st,
+        feed([(5, 1, 42.0, "false"), (6, 1, None, "false")]),
+        payload_cols=["value_carried"],
+        carry_cols=("value_carried",),
+    )
+    got = {r.original_id: r.value_carried for r in st.collect()}
+    assert got == {1: 42.0}
