@@ -1234,3 +1234,114 @@ def ann_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("post_dist_drift")).alias("post_rebuild_dist_ok"),
         )
     )
+
+
+@register(
+    "streaming_ivf_ingest",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_corpus,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_batch,
+       TRUE AS store_equals_batch_assign,
+       TRUE AS exactly_once,
+       TRUE AS share_drift,
+       TRUE AS dist_drift
+FROM embeddings
+""",
+)
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF maintenance with at-ingest drift bookkeeping (r10 —
+    composes the streaming-ANN-ingest and IVF-drift asks into the
+    production shape): centroids train on the standing corpus and
+    freeze; the genuinely out-of-distribution batch ARRIVES as 3
+    micro-batches through ``stream_ivf_ingest`` (per-epoch assignment
+    deltas under the shared store-lifecycle kit, per-cell stats sidecar
+    refreshed at every epoch's commit); the drift report then reads the
+    PERSISTED sidecars alone — no assignment rescan, no vectors:
+
+      - store_equals_batch_assign: the accreted assignment store is
+        row-identical to one batch ivf_assign over corpus ∪ batch under
+        the same frozen centroids (chunked arrival changed nothing);
+      - exactly_once: one assignment row per vec_id;
+      - share_drift / dist_drift: both alarms fire off the on-disk
+        build-vs-current sidecars — the monitoring scrape that triggers
+        the ivf_rebuild job.
+
+    Kill-resume + sidecar-repair behavior rides the same store-kit
+    machinery pinned for the signature sink."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.streaming.ann_ingest import (
+        ivf_ingest_drift,
+        load_ivf_ingest_assignments,
+        seed_ivf_ingest,
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    # cast back to the wire's float element type: the stream reads the
+    # chunks with the embeddings schema, and the rebuild comparison must
+    # see byte-identical values on both paths
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.3) + F.lit(1.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ivf_stream_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _split_embeddings_into_files(spark, batch, src, n_files=3)
+    store = os.path.join(work, "store")
+    seed_ivf_ingest(spark, corpus, cents, store)
+    stream = (
+        spark.readStream.schema(emb.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ivf_ingest(
+        spark, stream, cents, store, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+
+    stored = tracked_persist(load_ivf_ingest_assignments(spark, store))
+    rebuilt = S.ivf_assign(corpus.unionByName(batch), cents)
+    d1 = stored.exceptAll(rebuilt).agg(F.count(F.lit(1)).alias("d1"))
+    d2 = rebuilt.exceptAll(stored).agg(F.count(F.lit(1)).alias("d2"))
+    dup = (
+        stored.groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    rep = ivf_ingest_drift(spark, store).select("share_drift", "dist_drift")
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    return (
+        counts.crossJoin(d1)
+        .crossJoin(d2)
+        .crossJoin(dup)
+        .crossJoin(rep)
+        .select(
+            "n_corpus",
+            "n_batch",
+            ((F.col("d1") + F.col("d2")) == 0).alias(
+                "store_equals_batch_assign"
+            ),
+            (F.col("n_dup") == 0).alias("exactly_once"),
+            "share_drift",
+            "dist_drift",
+        )
+    )

@@ -188,6 +188,160 @@ def stream_ann_ingest(
     return q
 
 
+_ASSIGN_SCHEMA = "vec_id long, cell int, dist2 double"
+
+
+def seed_ivf_ingest(
+    spark: SparkSession,
+    corpus_vectors: DataFrame,
+    centroids,
+    store_root: str,
+) -> None:
+    """Seed the IVF ingest store with the standing corpus' assignments
+    under the TRAINED (frozen) centroids, epoch -1, plus the build-time
+    stats sidecar.  No-op when already seeded."""
+    from cdc_practice_spark.operators.similarity import ivf_assign
+
+    os.makedirs(store_root, exist_ok=True)
+    if _sig_epochs(store_root):
+        return
+    ivf_assign(corpus_vectors, centroids).write.mode("overwrite").parquet(
+        os.path.join(store_root, "assign_v-1")
+    )
+    _swap_manifest(store_root, [-1])
+    _refresh_ivf_stats(spark, store_root)
+    # the BUILD-time stats snapshot — the drift report's baseline,
+    # never touched by later epochs
+    shutil.copytree(
+        os.path.join(store_root, "_cell_stats"),
+        os.path.join(store_root, "_cell_stats_build"),
+    )
+
+
+def _refresh_ivf_stats(spark: SparkSession, store_root: str) -> None:
+    from cdc_practice_spark.operators.similarity import ivf_cell_stats
+
+    stats = ivf_cell_stats(load_ivf_ingest_assignments(spark, store_root))
+    tmp = os.path.join(store_root, "_cell_stats.tmp")
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = os.path.join(store_root, "_cell_stats")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
+def load_ivf_ingest_assignments(
+    spark: SparkSession, store_root: str
+) -> DataFrame:
+    return _load_union(
+        spark, store_root, "assign", _sig_epochs(store_root), _ASSIGN_SCHEMA
+    )
+
+
+def ivf_ingest_drift(spark: SparkSession, store_root: str) -> DataFrame:
+    """The drift report straight off the store's PERSISTED sidecars:
+    build-time baseline vs current — no assignment rescan, no vectors
+    touched (what a monitoring scrape runs between epochs)."""
+    from cdc_practice_spark.operators.similarity import ivf_drift_report
+
+    build = spark.read.parquet(os.path.join(store_root, "_cell_stats_build"))
+    now = spark.read.parquet(os.path.join(store_root, "_cell_stats"))
+    return ivf_drift_report(build, now)
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    centroids,
+    store_root: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """IVF twin of ``stream_ann_ingest`` (r10 — composes VERDICT r9 asks
+    #4 and #5): arriving embeddings are assigned under the FROZEN
+    trained centroids per micro-batch (one codegen'd projection — the
+    corpus is never re-assigned) and accrete as per-epoch ``assign``
+    deltas under the shared store-lifecycle kit; the per-cell stats
+    sidecar is refreshed AT INGEST (recomputed from the committed dirs —
+    idempotent under replay), so the drift alarm that triggers the
+    re-cluster job reads persisted metadata the moment an epoch lands.
+    Same append-only contract as the signature sink: a re-arriving id
+    whose assignment disagrees with the store (a re-embedded vector)
+    raises — updates go through erase-then-ingest."""
+    from cdc_practice_spark.operators.similarity import ivf_assign
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        token = _run_token(checkpoint_dir)
+        store_epoch = epoch_id + _epoch_offset(store_root, token, epoch_id)
+        owner = _read_manifest_full(store_root)["owners"].get(str(store_epoch))
+        if owner is not None and owner != token:
+            raise RuntimeError(
+                f"stream_ivf_ingest: store epoch {store_epoch} was committed "
+                f"by another run ({owner}) — this checkpoint is stale"
+            )
+        pre_epochs = _pre_epoch_epochs(store_root, token, store_epoch)
+        idx = _load_union(
+            spark, store_root, "assign", pre_epochs, _ASSIGN_SCHEMA
+        )
+        new_rows = tracked_persist(
+            ivf_assign(
+                batch_df.select(F.col(id_col), F.col(vec_col)),
+                centroids,
+                id_col,
+                vec_col,
+            )
+        )
+        present = idx.join(
+            F.broadcast(new_rows.select(id_col).distinct()), id_col, "left_semi"
+        ).select(id_col, "cell", "dist2")
+        n_conflict = new_rows.alias("n").join(
+            F.broadcast(present).alias("p"),
+            (F.col(f"n.{id_col}") == F.col(f"p.{id_col}"))
+            & (
+                (F.col("n.cell") != F.col("p.cell"))
+                | (F.col("n.dist2") != F.col("p.dist2"))
+            ),
+        ).count()
+        if n_conflict:
+            raise ValueError(
+                f"stream_ivf_ingest: {n_conflict} re-arriving ids disagree "
+                f"with the stored assignment — a vector was re-embedded; "
+                f"erase it first, then ingest the new embedding"
+            )
+        new_rows = new_rows.join(
+            F.broadcast(present.select(id_col)), id_col, "left_anti"
+        )
+        new_rows.write.mode("overwrite").parquet(
+            os.path.join(store_root, f"assign_v{store_epoch}")
+        )
+        if store_epoch not in pre_epochs:
+            cur = _read_manifest_full(store_root)
+            _swap_manifest(
+                store_root,
+                pre_epochs + [store_epoch],
+                owners={**cur["owners"], str(store_epoch): token},
+            )
+        # stats sidecar LAST, after the manifest commit: recomputed from
+        # committed dirs, so a crash between commit and refresh leaves a
+        # stale-but-consistent sidecar the next epoch (or a manual
+        # refresh) repairs — never a torn one
+        _refresh_ivf_stats(spark, store_root)
+
+    token = _run_token(checkpoint_dir)
+    _acquire_writer_lease(spark, store_root, token)
+    q = (
+        vec_stream.writeStream.foreachBatch(_scoped(apply_batch))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _record_lease_query(store_root, token, str(q.id))
+    return q
+
+
 def compact_ann_ingest_store(spark: SparkSession, store_root: str) -> int:
     """Fold every committed signature delta into one base generation —
     bounds the store's read amplification (one delta dir per micro-batch
