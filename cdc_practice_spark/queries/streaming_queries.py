@@ -1780,9 +1780,15 @@ s_hit AS (
   ) WHERE round(mc, 6) >= {_REPORT_PURGE_TAU}
 ),
 flagged AS (
-  SELECT doc_id FROM f_hit
-  UNION SELECT doc_id FROM contaminated WHERE doc_id % 97 <> 0
-  UNION SELECT doc_id FROM s_hit
+  -- explicit DISTINCT over UNION ALL: inside this WITH RECURSIVE
+  -- chain DuckDB did NOT dedup the bare chained UNION, so a doc
+  -- flagged by two rules (first seen at sf0.1: fp + semantic) joined
+  -- b5 twice and duplicated its disposition row
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM f_hit
+    UNION ALL SELECT doc_id FROM contaminated WHERE doc_id % 97 <> 0
+    UNION ALL SELECT doc_id FROM s_hit
+  )
 ),
 flag_kept AS MATERIALIZED (
   SELECT b5.doc_id FROM flagged JOIN b5 USING (doc_id)
