@@ -895,3 +895,83 @@ def test_ivf_rebuild_identity_and_drift_decisions(spark, sf_dir):
     assert not r.share_drift and not r.dist_drift
     assert r.max_share_build_ppm == r.max_share_now_ppm
     assert r.mean_dist2_build_micro == r.mean_dist2_now_micro
+
+
+def test_stream_ivf_ingest_kill_resume_and_drift(spark, sf_dir):
+    """Kill-resume for the streaming IVF sink (r10): stop after the
+    first committed epoch, resume to completion — the accreted
+    assignments equal one batch assign over everything arrived, the
+    persisted stats sidecar equals a recompute, and the drift report
+    off the on-disk sidecars fires for the OOD batch."""
+    import os
+    import tempfile
+    import time as _time
+
+    from cdc_practice_spark.operators import similarity as S
+    from cdc_practice_spark.queries.similarity_queries import (
+        _split_embeddings_into_files,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.streaming.ann_ingest import (
+        ivf_ingest_drift,
+        load_ivf_ingest_assignments,
+        seed_ivf_ingest,
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.3) + F.lit(1.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ivf_stream_kill_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _split_embeddings_into_files(spark, batch, src, n_files=3)
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    seed_ivf_ingest(spark, corpus, cents, store)
+
+    def run(kill):
+        stream = (
+            spark.readStream.schema(emb.select("vec_id", "embedding").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_ivf_ingest(spark, stream, cents, store, ckpt)
+        if kill:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+                if done and not q.status["isTriggerActive"]:
+                    break
+                _time.sleep(0.1)
+            q.stop()
+        q.awaitTermination()
+
+    run(kill=True)
+    run(kill=False)  # resume
+
+    stored = load_ivf_ingest_assignments(spark, store)
+    rebuilt = S.ivf_assign(corpus.unionByName(batch), cents)
+    assert stored.exceptAll(rebuilt).isEmpty()
+    assert rebuilt.exceptAll(stored).isEmpty()
+    # persisted sidecar == recompute
+    sidecar = {
+        (r.cell): (r.n, r.sum_dist2)
+        for r in spark.read.parquet(os.path.join(store, "_cell_stats")).collect()
+    }
+    fresh = {
+        (r.cell): (r.n, r.sum_dist2)
+        for r in S.ivf_cell_stats(stored).collect()
+    }
+    assert sidecar == fresh
+    rep = ivf_ingest_drift(spark, store).collect()[0]
+    assert rep.share_drift and rep.dist_drift
