@@ -621,7 +621,6 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_change_type,
         with_registered_at_carry,
     )
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
     from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, evolve_schema
     from cdc_practice_spark.sources.kafka import parse_debezium
 
@@ -729,7 +728,6 @@ def cdc_schema_evolution_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one projection + one window over a single key exchange —
     retirement is schema-on-read metadata and costs nothing at scale."""
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
     from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, retire_columns
     from cdc_practice_spark.sources.kafka import parse_debezium
 
@@ -830,7 +828,6 @@ def cdc_schema_evolution_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one projection + one window over a single key exchange —
     rename is schema-on-read metadata, zero rewrite cost at any scale."""
     from cdc_practice_spark.cdc.history import with_change_type
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
     from cdc_practice_spark.schemas import (
         CHANGE_EVENT_SCHEMA,
         rename_columns,
@@ -935,7 +932,6 @@ def cdc_schema_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import IntegerType, LongType, StructField
 
     from cdc_practice_spark.cdc.history import with_change_type
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
     from cdc_practice_spark.schemas import (
         CHANGE_EVENT_SCHEMA,
         evolve_schema,
@@ -1126,7 +1122,6 @@ def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     The midpoint is a driver-side scalar (one max() job — same class as
     the ANN query-vector collects)."""
     from cdc_practice_spark.cdc.incremental import delta_apply_mv_onepass
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     # dedup-invariant consumer (first touch = per-key max_by) → the
     # coord-dedup-free feed: map-side-combinable key exchange
@@ -1184,7 +1179,6 @@ def cdc_incremental_minmax_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes from scratch over the full feed."""
     from cdc_practice_spark.cdc.incremental import delta_apply_minmax_mv, minmax_mv
     from cdc_practice_spark.plans.cache import tracked_persist
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
     t = _events_max_offset(spark, sf_dir) // 2
@@ -1256,7 +1250,6 @@ def cdc_incremental_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate-frames production form is delta_apply_topk_mv,
     property-tested at arbitrary split points."""
     from cdc_practice_spark.cdc.incremental import delta_apply_topk_mv_onepass
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     # dedup-invariant consumer (first touch = per-key max_by) → the
     # coord-dedup-free feed: map-side-combinable key exchange
@@ -1315,7 +1308,6 @@ def cdc_incremental_distinct_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         support_mv,
     )
     from cdc_practice_spark.plans.cache import tracked_persist
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
     t = _events_max_offset(spark, sf_dir) // 2
@@ -1368,7 +1360,6 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded, so an unretracted contribution hash-fails."""
     from cdc_practice_spark.cdc.incremental import current_mv, delta_apply_mv
     from cdc_practice_spark.plans.cache import tracked_persist
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
     mx = _events_max_offset(spark, sf_dir)
@@ -1438,7 +1429,6 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed_delta_current,
     )
     from cdc_practice_spark.plans.cache import tracked_persist
-    from cdc_practice_spark.plans.hints import _STATS_CACHE
 
     feed = _feed(spark, sf_dir)
     t = _events_max_offset(spark, sf_dir) // 2

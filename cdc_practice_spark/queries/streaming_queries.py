@@ -2108,11 +2108,7 @@ def streaming_schema_evolution_rename(
     null-fill the flag through the widened read; the reader defaults it
     to false).  Full-hash oracle vs the batch snapshot recomputed from
     ``events``."""
-    from cdc_practice_spark.schemas import (
-        CHANGE_EVENT_SCHEMA,
-        rename_columns,
-        renamed_pairs,
-    )
+    from cdc_practice_spark.schemas import CHANGE_EVENT_SCHEMA, rename_columns
     from cdc_practice_spark.streaming.pipeline import (
         load_bucketed_state,
         stream_current_upsert_evolving,
