@@ -139,18 +139,89 @@ def pq_encode(
     codebook: Codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<int>, norm double) in one codegen projection.
     The stored norm is what makes cosine ADC exact-denominator (FAISS
-    stores it next to the codes for inner-product/cosine indexes)."""
+    stores it next to the codes for inner-product/cosine indexes).
+    ``keep_cols`` carries index metadata (the IVF cell id) into the
+    codes table, so an IVF-PQ codes store stays cell-partitionable."""
     v = to_double(F.col(vec_col))
     norm = F.round(
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6
     )
     return embeddings.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         _codes_expr(v, codebook).alias("codes"),
         norm.alias("norm"),
+    )
+
+
+def adc_shortlist(
+    codes: DataFrame,
+    codebook: Codebook,
+    query_vec: list[float],
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, adc_cosine) shortlist over a pq_encode'd codes frame — the
+    shared ADC stage of IndexPQ and IndexIVFPQ: the LUT lut[j][c] =
+    <q_j, centroid_c> is built driver-side (O(m·ksub·dsub) floats) and
+    baked into the plan as literal arrays, so scoring is m element_at
+    lookups per row inside codegen; the shortlist is
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    import math
+
+    m, dsub = len(codebook), len(codebook[0][0])
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    lut = [
+        [
+            round(
+                sum(
+                    float(query_vec[j * dsub + t]) * c[t] for t in range(dsub)
+                ),
+                6,
+            )
+            for c in codebook[j]
+        ]
+        for j in range(m)
+    ]
+    adc_dot = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[j]]), F.col("codes")[j] + 1
+        )
+        adc_dot = term if adc_dot is None else adc_dot + term
+    return (
+        codes.select(
+            F.col(id_col),
+            F.round(adc_dot / (F.col("norm") * F.lit(qnorm)), 6).alias("adc_cosine"),
+        )
+        .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+
+
+def _exact_rerank(
+    vectors: DataFrame,
+    short: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine rerank of a BROADCAST shortlist against the full
+    vectors — the only stage that touches uncompressed embeddings."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vectors.join(F.broadcast(short.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(to_double(F.col(vec_col)), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
     )
 
 
@@ -167,45 +238,56 @@ def pq_topk(
     by exact cosine among the ADC shortlist — the deployment shape where
     PQ prunes and full vectors (cold storage) are read only for the
     shortlist."""
-    import math
-
-    m, dsub = len(codebook), len(codebook[0][0])
-    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    # LUT: lut[j][c] = <q_j, centroid_c> — driver-side O(m·ksub·dsub)
-    lut = [
-        [
-            round(
-                sum(
-                    float(query_vec[j * dsub + t]) * c[t] for t in range(dsub)
-                ),
-                6,
-            )
-            for c in codebook[j]
-        ]
-        for j in range(m)
-    ]
     codes = pq_encode(embeddings, codebook, id_col=id_col, vec_col=vec_col)
-    adc_dot = None
-    for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut[j]]), F.col("codes")[j] + 1
-        )
-        adc_dot = term if adc_dot is None else adc_dot + term
-    short = (
-        codes.select(
-            F.col(id_col),
-            F.round(adc_dot / (F.col("norm") * F.lit(qnorm)), 6).alias("adc_cosine"),
-        )
-        .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
-        .limit(shortlist)
+    short = adc_shortlist(codes, codebook, query_vec, shortlist, id_col)
+    return _exact_rerank(embeddings, short, query_vec, k, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    codebook: Codebook,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-vector serving index (r11, VERDICT
+    r10 ask #5; FAISS IndexIVFPQ): IVF prunes WHICH rows are scored,
+    PQ compresses WHAT is scored, and full vectors are read only for
+    the final shortlist:
+
+      1. probe: rank cells by centroid cosine (_ranked_cells — the
+         shared deterministic probe order) and keep the nprobe best —
+         with the store partitioned by cell this is PARTITION PRUNING,
+         the other cells' files are never opened;
+      2. ADC: score ONLY the probed cells' code rows by LUT lookup —
+         the codes table (8 codes + norm ≈ 12 B/vector vs 256 B raw,
+         ~21× smaller) is what stays hot in memory at corpus scale;
+         pass a precomputed ``codes`` frame (pq_encode with the cell
+         column kept) for the production train-once/encode-once shape,
+         else the probed embeddings are encoded on the fly;
+      3. exact rerank: broadcast the shortlist ids against the probed
+         cells' full vectors (cold storage touched shortlist-wide, and
+         still partition-pruned).
+
+    Deterministic end-to-end (round-6, id tiebreaks), so the recall
+    decision sits under the oracle gate (ann_ivf_pq_recall)."""
+    from cdc_practice_spark.operators.similarity import _ranked_cells
+
+    best_cells = _ranked_cells(
+        embeddings, query_vec, cell_col, vec_col, limit=nprobe
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        embeddings.join(F.broadcast(short.select(id_col)), id_col)
-        .select(
-            F.col(id_col),
-            F.round(cosine(to_double(F.col(vec_col)), q), 6).alias("cosine"),
+    if codes is None:
+        probed_vecs = embeddings.filter(F.col(cell_col).isin(best_cells))
+        probed_codes = pq_encode(
+            probed_vecs, codebook, id_col=id_col, vec_col=vec_col
         )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    else:
+        probed_vecs = embeddings.filter(F.col(cell_col).isin(best_cells))
+        probed_codes = codes.filter(F.col(cell_col).isin(best_cells))
+    short = adc_shortlist(probed_codes, codebook, query_vec, shortlist, id_col)
+    return _exact_rerank(probed_vecs, short, query_vec, k, id_col, vec_col)

@@ -867,27 +867,60 @@ def ivf_drift_report(build_stats: DataFrame, now_stats: DataFrame) -> DataFrame:
     )
 
 
+def swap_stats_sidecar(store_dir: str, stats: DataFrame, name: str = "_cell_stats") -> None:
+    """Atomically publish a stats sidecar (r10 ADVICE: rmtree+rename is
+    NOT atomic — a scrape between the two calls saw no sidecar at all).
+    The manifest pattern instead: stage the frame at a fresh generation
+    dir ``{name}_g{n}`` no pointer references, then commit by
+    ``os.replace`` of the one-line pointer file ``{name}.ptr`` — a
+    reader always resolves a complete generation; stale generations are
+    GC'd only after the commit point."""
+    ptr = os.path.join(store_dir, name + ".ptr")
+    gen = 0
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            gen = int(fh.read().strip().rsplit("_g", 1)[1]) + 1
+    staged = f"{name}_g{gen}"
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_dir, staged)
+    )
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(staged)
+    os.replace(tmp, ptr)
+    for d in os.listdir(store_dir):
+        if d.startswith(name + "_g") and d != staged:
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+
+
+def read_stats_sidecar(spark, store_dir: str, name: str = "_cell_stats") -> DataFrame:
+    """Resolve a sidecar through its pointer file (legacy un-pointered
+    ``{name}`` dirs still readable for stores written before r11)."""
+    ptr = os.path.join(store_dir, name + ".ptr")
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            return spark.read.parquet(os.path.join(store_dir, fh.read().strip()))
+    return spark.read.parquet(os.path.join(store_dir, name))
+
+
 def append_ivf_assignments(
     spark, store_dir: str, assignments: DataFrame, batch_id: str
 ) -> None:
     """Persist a batch's (id, cell, dist2) assignment rows AND the
     store's refreshed per-cell stats sidecar — the at-ingest bookkeeping
     that makes drift observable later without rescanning assignments:
-    ``assign_v{batch_id}`` holds the rows, ``_cell_stats`` (atomic
-    replace) the cumulative ivf_cell_stats over everything appended so
-    far.  Stats are recomputed from the appended dirs (ncells-row
+    ``assign_v{batch_id}`` holds the rows, ``_cell_stats`` (pointer-file
+    atomic swap) the cumulative ivf_cell_stats over everything appended
+    so far.  Stats are recomputed from the appended dirs (ncells-row
     aggregate over id-pruned columns), not incrementally guessed — the
     sidecar can always be dropped and rebuilt."""
     os.makedirs(store_dir, exist_ok=True)
     assignments.write.mode("overwrite").parquet(
         os.path.join(store_dir, f"assign_v{batch_id}")
     )
-    stats = ivf_cell_stats(load_ivf_assignments(spark, store_dir))
-    tmp = os.path.join(store_dir, "_cell_stats.tmp")
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
-    final = os.path.join(store_dir, "_cell_stats")
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(tmp, final)
+    swap_stats_sidecar(
+        store_dir, ivf_cell_stats(load_ivf_assignments(spark, store_dir))
+    )
 
 
 def load_ivf_assignments(spark, store_dir: str) -> DataFrame:
@@ -902,7 +935,7 @@ def load_ivf_assignments(spark, store_dir: str) -> DataFrame:
 def load_ivf_stats(spark, store_dir: str) -> DataFrame:
     """The persisted per-cell stats sidecar — what a monitoring system
     scrapes and what ivf_drift_report compares across time."""
-    return spark.read.parquet(os.path.join(store_dir, "_cell_stats"))
+    return read_stats_sidecar(spark, store_dir, "_cell_stats")
 
 
 def ivf_rebuild(

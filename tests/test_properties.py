@@ -186,6 +186,131 @@ def test_merge_batch_drops_stale_redelivery(spark):
     assert out[2] == (21.0, 3)  # the genuinely new event applied
 
 
+def test_merge_batch_tombstone_frontier_blocks_resurrection(spark):
+    """The deleted-key frontier (r11 — r10 ADVICE): a DELETEd key has
+    no live state row, so the live-row offset guard alone lets a
+    partial redelivery carrying the key's old INSERT but not its later
+    DELETE resurrect it.  With the persisted tombstone frontier the
+    stale INSERT is dropped; a genuinely NEW re-insert (offset past the
+    delete) still applies."""
+    from datetime import datetime
+
+    from cdc_practice_spark.cdc.feed import change_feed_from_events
+    from cdc_practice_spark.streaming.upsert import (
+        empty_state,
+        merge_batch,
+        updated_tombstones,
+    )
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    epoch0 = change_feed_from_events(
+        spark.createDataFrame(
+            [
+                (0, ts(0), 1, "signup", 10.0, "{}"),
+                (1, ts(1), 1, "error", 0.0, "{}"),  # DELETE key 1
+                (2, ts(2), 2, "signup", 20.0, "{}"),
+            ],
+            schema,
+        )
+    )
+    state = merge_batch(empty_state(spark), epoch0)
+    tombs = updated_tombstones(None, epoch0)
+    assert {(r.original_id, r.last_offset) for r in tombs.collect()} == {(1, 1)}
+    assert 1 not in {r.original_id for r in state.collect()}
+
+    # partial redelivery: key 1's old INSERT (offset 0) WITHOUT its
+    # later DELETE (offset 1) — the exact slipped-past-dedup threat
+    replay = change_feed_from_events(
+        spark.createDataFrame([(0, ts(0), 1, "signup", 10.0, "{}")], schema)
+    )
+    # without the tombstone frontier the key is resurrected (the hole)
+    assert 1 in {
+        r.original_id for r in merge_batch(state, replay).collect()
+    }
+    # with it, the stale INSERT is dropped
+    guarded = merge_batch(state, replay, tombstones=tombs)
+    assert 1 not in {r.original_id for r in guarded.collect()}
+    # replays never advance the frontier (monotone)
+    tombs2 = updated_tombstones(tombs, replay)
+    assert {(r.original_id, r.last_offset) for r in tombs2.collect()} == {(1, 1)}
+
+    # a genuinely new re-insert at offset 3 (> delete offset 1) applies
+    reinsert = change_feed_from_events(
+        spark.createDataFrame([(3, ts(3), 1, "signup", 12.0, "{}")], schema)
+    )
+    out = {
+        r.original_id: (r.value, r.last_offset)
+        for r in merge_batch(state, reinsert, tombstones=tombs).collect()
+    }
+    assert out[1] == (12.0, 3)
+
+
+def test_bucketed_sink_persists_tombstone_frontier(spark, tmp_path):
+    """End-to-end through apply_bucketed_merge: the delete frontier is
+    persisted under manifest keys ``t{b}``, survives epochs, and blocks
+    a later-epoch resurrection; state readers never see sidecar rows."""
+    from datetime import datetime
+
+    from cdc_practice_spark.cdc.feed import change_feed_from_events
+    from cdc_practice_spark.streaming.pipeline import (
+        apply_bucketed_merge,
+        load_bucketed_state,
+        load_bucketed_tombstones,
+    )
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    root = str(tmp_path / "state")
+    feed = lambda rows: change_feed_from_events(  # noqa: E731
+        spark.createDataFrame(rows, schema)
+    )
+    apply_bucketed_merge(
+        spark,
+        feed(
+            [
+                (0, ts(0), 1, "signup", 10.0, "{}"),
+                (1, ts(1), 1, "error", 0.0, "{}"),
+                (2, ts(2), 2, "signup", 20.0, "{}"),
+            ]
+        ),
+        root,
+        epoch_id=0,
+        n_buckets=4,
+    )
+    assert {r.original_id for r in load_bucketed_state(spark, root).collect()} == {2}
+    tombs = load_bucketed_tombstones(spark, root, list(range(4)))
+    assert {(r.original_id, r.last_offset) for r in tombs.collect()} == {(1, 1)}
+    # epoch 1: the partial redelivery — deleted key must NOT resurrect
+    apply_bucketed_merge(
+        spark,
+        feed([(0, ts(0), 1, "signup", 10.0, "{}")]),
+        root,
+        epoch_id=1,
+        n_buckets=4,
+    )
+    assert {r.original_id for r in load_bucketed_state(spark, root).collect()} == {2}
+    # epoch 2: a real re-insert past the delete offset applies
+    apply_bucketed_merge(
+        spark,
+        feed([(3, ts(3), 1, "signup", 12.0, "{}")]),
+        root,
+        epoch_id=2,
+        n_buckets=4,
+    )
+    out = {
+        r.original_id: r.value
+        for r in load_bucketed_state(spark, root).collect()
+    }
+    assert out == {1: 12.0, 2: 20.0}
+
+
 def test_bmp_roundtrip_randomized():
     """Property: synth_bmp → decode_bmp_numpy is pixel-exact for ANY
     (asset_id, width, height) — every padding/stride class, ids beyond

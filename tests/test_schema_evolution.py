@@ -426,3 +426,197 @@ def test_streaming_widen_kill_resume_across_ddl(spark, sf_dir):
     assert resumed == uninterrupted
     # the widen is load-bearing: post-DDL amounts exceed int32
     assert any(v[1] is not None and v[1] > 2**31 for v in resumed.values())
+
+
+def test_gated_evolving_ddl_splits_txn_defers_schema(spark):
+    """r11 VERDICT ask #6, the sharp case on a SYNTHETIC wire: a
+    widening DDL's effective offset lands INSIDE a transaction the
+    first chunk leaves incomplete.  Epoch 0's raw batch max offset is
+    PAST the DDL — batch-max schema resolution (the r10 evolving sink)
+    would widen early — but the composed sink resolves by RELEASED
+    frontier, so epoch 0 merges only the complete earlier txns under
+    the NARROW schema (pinned on the written parquet's physical type)
+    and holds the DDL's txn whole.  Chunk 2 completes the txn: the DDL
+    takes effect with its release, the state widens in place, and the
+    final state equals applying everything in one batch."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import IntegerType, LongType, StructField
+
+    from cdc_practice_spark.queries.streaming_queries import (
+        TMP_ROOT,
+        WIRE_FILE_SCHEMA,
+        _write_wire_chunk,
+    )
+    from cdc_practice_spark.schemas import (
+        CHANGE_EVENT_SCHEMA,
+        evolve_schema,
+        widen_column,
+    )
+    from cdc_practice_spark.streaming.pipeline import (
+        load_bucketed_state,
+        stream_txn_gated_evolving,
+    )
+    from cdc_practice_spark.streaming.upsert import state_schema_for
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="gated_evo_t_", dir=TMP_ROOT)
+
+    # 10 events, txn_size 5 → txns {0,1}; DDL effective at offset 7
+    # (inside txn 1); chunk A = offsets 0..8 (txn 1 incomplete, max
+    # offset 8 ≥ 7 — the sharp precondition), chunk B = offset 9.
+    TXN = 5
+    DDL_OFF = 7
+    rows = []
+    for off in range(10):
+        amt = 10**10 + off if off >= DDL_OFF else 100 + off
+        rows.append(
+            (
+                "t",
+                0,
+                off,
+                _json.dumps(
+                    {
+                        "id": off % 4,
+                        "user_id": off % 4,
+                        "account": str(float(off)),
+                        "registered_at": f"2024-01-01 00:0{off % 10}:00",
+                        "__deleted": "false",
+                        "amount_cents": amt,
+                    }
+                ),
+            )
+        )
+    wire = spark.createDataFrame(rows, WIRE_FILE_SCHEMA)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    _write_wire_chunk(spark, wire.filter(F.col("offset") <= 8), src_dir, 0)
+    _write_wire_chunk(spark, wire.filter(F.col("offset") > 8), src_dir, 1)
+
+    base = evolve_schema(
+        CHANGE_EVENT_SCHEMA, [StructField("amount_cents", IntegerType())]
+    )
+    ddl_chain = [
+        (DDL_OFF, lambda s: widen_column(s, "amount_cents", LongType()))
+    ]
+
+    def normalize(parsed):
+        return parsed.select(
+            "kafka_offset",
+            F.col("id").alias("original_id"),
+            F.col("account").cast("double").alias("value"),
+            F.to_timestamp("registered_at")
+            .cast("timestamp_ntz")
+            .alias("registered_at"),
+            "__deleted",
+            "amount_cents",
+        )
+
+    declared = spark.createDataFrame(
+        [(o,) for o in range(10)], "kafka_offset long"
+    )
+    state_root = os.path.join(work, "state")
+
+    def run_once(src):
+        stream = (
+            spark.readStream.schema(WIRE_FILE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_txn_gated_evolving(
+            spark,
+            stream,
+            state_root=state_root,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            base_schema=base,
+            ddl_chain=ddl_chain,
+            normalize=normalize,
+            payload_cols=["value", "amount_cents"],
+            declared_offsets=declared,
+            txn_size=TXN,
+            n_buckets=4,
+        )
+        q.awaitTermination()
+
+    # ---- chunk A only: txn 1 (and the DDL inside it) must hold
+    src_a = os.path.join(work, "src_a")
+    os.makedirs(src_a)
+    _write_wire_chunk(spark, wire.filter(F.col("offset") <= 8), src_a, 0)
+    work_a_state = state_root
+    state_root = os.path.join(work, "state_a")
+
+    stream_a = (
+        spark.readStream.schema(WIRE_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_a)
+    )
+    qa = stream_txn_gated_evolving(
+        spark,
+        stream_a,
+        state_root=state_root,
+        checkpoint_dir=os.path.join(work, "ckpt_a"),
+        base_schema=base,
+        ddl_chain=ddl_chain,
+        normalize=normalize,
+        payload_cols=["value", "amount_cents"],
+        declared_offsets=declared,
+        txn_size=TXN,
+        n_buckets=4,
+    )
+    qa.awaitTermination()
+    from cdc_practice_spark.sources.kafka import parse_debezium
+
+    mid = load_bucketed_state(
+        spark,
+        state_root,
+        read_schema=state_schema_for(
+            normalize(parse_debezium(wire.limit(1), schema=base)),
+            ["value", "amount_cents"],
+        ),
+    )
+    got_mid = {r.original_id: r.last_offset for r in mid.collect()}
+    # only txn 0 (offsets 0..4) released — the held txn never merged
+    assert max(got_mid.values()) == 4
+    # the written state files carry the NARROW physical type: the DDL
+    # did NOT take effect although the batch max offset (8) passed it
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(state_root, "v*", "_bucket=*", "*.parquet"))
+    assert files
+    for fpath in files:
+        typ = _pq.read_schema(fpath).field("amount_cents").type
+        assert str(typ) == "int32", (fpath, typ)
+
+    # ---- full feed: the txn releases, DDL applies, state == one-batch
+    state_root = work_a_state
+    run_once(src_dir)
+    from pyspark.sql.types import (
+        DoubleType,
+        StructType,
+        TimestampNTZType,
+    )
+
+    wide_state = StructType(
+        [
+            StructField("original_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("amount_cents", LongType()),
+            StructField("original_registered_at", TimestampNTZType()),
+            StructField("last_updated_at", TimestampNTZType()),
+            StructField("last_offset", LongType()),
+        ]
+    )
+    final = {
+        r.original_id: (r.value, r.amount_cents, r.last_offset)
+        for r in load_bucketed_state(
+            spark, state_root, read_schema=wide_state
+        ).collect()
+    }
+    # each key's last event: ids 0..3 appear at offsets {id, id+4, id+8}∩[0,10)
+    assert final[0] == (8.0, 10**10 + 8, 8)
+    assert final[1] == (9.0, 10**10 + 9, 9)
+    assert final[2] == (6.0, 100 + 6, 6)
+    assert final[3] == (7.0, 10**10 + 7, 7)
