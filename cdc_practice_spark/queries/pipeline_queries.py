@@ -1530,8 +1530,14 @@ def corpus_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dp, walk = _unigram_viterbi_pieces(costs)
     # segmentation once per DISTINCT word; walk emits pieces END-first,
-    # reverse() restores left-to-right order before the id transform
-    wmap = (
+    # reverse() restores left-to-right order before the id transform.
+    # PERSISTED (vocabulary-sized — the tokenizer artifact), and not
+    # only for reuse: the downstream posexplode's implicit
+    # size(tok_ids)>0 predicate otherwise gets pushed through the
+    # broadcast join BELOW the distinct, re-inlining the whole Viterbi
+    # DP per word OCCURRENCE — measured 28 s vs 1.6 s at sf0.1; the
+    # cache is the pushdown barrier that keeps the DP per-distinct-word.
+    wmap = tracked_persist(
         words.select("w")
         .distinct()
         .withColumn("dp", dp)
