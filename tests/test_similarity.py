@@ -1075,3 +1075,76 @@ def test_ivf_pq_topk_deterministic_recall_and_composition(emb, qvec):
     c = [(r.vec_id, r.cosine) for r in
          Q.ivf_pq_topk(emb, cb, qvec, k=10, nprobe=3, codes=codes).collect()]
     assert c == a
+
+
+def test_swap_stats_sidecar_generations_and_legacy_fallback(spark, tmp_path):
+    """r11 (r10 ADVICE): sidecar publication is a staged generation dir
+    + pointer os.replace — after N swaps exactly one generation dir
+    remains, the pointer always resolves to a complete table, and the
+    reader still accepts the pre-r11 un-pointered legacy layout."""
+    import os
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    for i in range(3):
+        S.swap_stats_sidecar(
+            store,
+            spark.createDataFrame([(i, i + 10, None)], "cell int, n long, sum_dist2 decimal(24,6)"),
+            "_cell_stats",
+        )
+        got = {r.cell for r in S.read_stats_sidecar(spark, store, "_cell_stats").collect()}
+        assert got == {i}
+    gens = [d for d in os.listdir(store) if d.startswith("_cell_stats_g")]
+    assert len(gens) == 1  # stale generations GC'd after the commit point
+    with open(os.path.join(store, "_cell_stats.ptr")) as fh:
+        assert fh.read().strip() == gens[0]
+    # legacy layout (pre-r11 store): plain dir, no pointer
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    spark.createDataFrame([(9, 1, None)], "cell int, n long, sum_dist2 decimal(24,6)").coalesce(
+        1
+    ).write.parquet(os.path.join(legacy, "_cell_stats"))
+    got = {r.cell for r in S.read_stats_sidecar(spark, legacy, "_cell_stats").collect()}
+    assert got == {9}
+
+
+def test_ivf_pq_probe_prunes_partitioned_codes_store(spark, sf_dir, tmp_path):
+    """The IVF-PQ scale claim, proven on plans: with BOTH the vectors
+    and the persisted codes table laid out partitioned by cell, the
+    probe's cell filter is PARTITION pruning on both scans — only the
+    probed cells' directories are listed — and the result is identical
+    to the unpartitioned run."""
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.plans.explain import plan_string
+    from cdc_practice_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+
+    vec_dir = str(tmp_path / "vectors")
+    emb.write.partitionBy("label").parquet(vec_dir)
+    part_emb = spark.read.parquet(vec_dir).select("vec_id", "embedding", "label")
+    codes_dir = str(tmp_path / "codes")
+    Q.pq_encode(emb, cb, keep_cols=("label",)).write.partitionBy("label").parquet(
+        codes_dir
+    )
+    part_codes = spark.read.parquet(codes_dir).select(
+        "vec_id", "codes", "norm", "label"
+    )
+
+    want = [
+        (r.vec_id, r.cosine)
+        for r in Q.ivf_pq_topk(emb, cb, qv, k=10, nprobe=3).collect()
+    ]
+    got_df = Q.ivf_pq_topk(part_emb, cb, qv, k=10, nprobe=3, codes=part_codes)
+    got = [(r.vec_id, r.cosine) for r in got_df.collect()]
+    assert got == want
+
+    plan = plan_string(got_df)
+    pruned = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "label" in ln
+    ]
+    # both the codes scan (ADC stage) and the vector scan (rerank) prune
+    assert len(pruned) >= 2, plan[:2000]

@@ -1442,3 +1442,80 @@ def test_txn_gate_holds_undeclared_txns(spark):
         load_pending_txn_buffer(spark, os.path.join(work2, "state")).count()
         == 5
     )
+
+
+def test_vacuum_reclaims_superseded_tombstone_dirs(spark, tmp_path):
+    """r11: the delete-frontier sidecar participates in vacuum — a
+    tombstone bucket dir superseded by a later epoch's rewrite is
+    reclaimed, the referenced one survives, and the resurrection guard
+    still holds after the vacuum."""
+    from datetime import datetime
+
+    from cdc_practice_spark.streaming.pipeline import (
+        apply_bucketed_merge,
+        load_bucketed_state,
+        load_bucketed_tombstones,
+        vacuum_state,
+    )
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    root = str(tmp_path / "state")
+    feed = lambda rows: change_feed_from_events(  # noqa: E731
+        spark.createDataFrame(rows, schema)
+    )
+    # epoch 0 deletes key 1; epoch 1 touches the same bucket set again
+    # (key 1's bucket tombstones get REWRITTEN at v1_tombs)
+    apply_bucketed_merge(
+        spark,
+        feed(
+            [
+                (0, ts(0), 1, "signup", 10.0, "{}"),
+                (1, ts(1), 1, "error", 0.0, "{}"),
+                (2, ts(2), 2, "signup", 20.0, "{}"),
+            ]
+        ),
+        root,
+        epoch_id=0,
+        n_buckets=2,
+    )
+    apply_bucketed_merge(
+        spark,
+        feed(
+            [
+                (3, ts(3), 1, "signup", 11.0, "{}"),  # re-insert key 1
+                (4, ts(4), 2, "update", 21.0, "{}"),
+            ]
+        ),
+        root,
+        epoch_id=1,
+        n_buckets=2,
+    )
+    assert os.path.isdir(os.path.join(root, "v0_tombs"))
+    deleted = vacuum_state(root, keep_last=0)
+    # the superseded v0 tombstone dirs are reclaimed (every bucket was
+    # rewritten at epoch 1), the referenced v1 ones survive
+    assert any("v0_tombs" in p for p in deleted), deleted
+    assert not any("v1_tombs" in p for p in deleted), deleted
+    tombs = {
+        (r.original_id, r.last_offset)
+        for r in load_bucketed_tombstones(spark, root, [0, 1]).collect()
+    }
+    assert tombs == {(1, 1)}
+    # guard still live post-vacuum: replaying key 1's pre-delete INSERT
+    # must not regress the re-inserted row
+    apply_bucketed_merge(
+        spark,
+        feed([(0, ts(0), 1, "signup", 10.0, "{}")]),
+        root,
+        epoch_id=2,
+        n_buckets=2,
+    )
+    out = {
+        r.original_id: r.value
+        for r in load_bucketed_state(spark, root).collect()
+    }
+    assert out == {1: 11.0, 2: 21.0}
