@@ -1,0 +1,152 @@
+"""Physical token-shard export — the byte-shipping half of the
+tokenize→pack→shard chain (r11; the manifest/digest half is
+queries/pipeline_queries.py::corpus_tokenize_pack_shard).
+
+A training run consumes FILES, not DataFrames, so the last mile writes
+one directory per (source, shard_id) holding the shard's positioned
+token rows, and commits the whole export with ONE atomic manifest
+replace (the store-kit discipline):
+
+  out_dir/
+    source=<s>/shard_id=<k>/part-*.parquet   (bin_id, doc_id, pos, tok_id)
+    _EXPORT_MANIFEST                          JSON: per-shard n_seqs,
+                                              n_docs, n_tokens, digest
+
+Layout choices, argued at 100 TB:
+  - data is repartitioned ON the shard key before partitionBy, so each
+    shard is exactly one file (a training loader memory-maps a shard —
+    file-per-shard is the contract every tokenized-dataset format
+    ships, e.g. the .bin shards of public GPT training stacks);
+  - rows carry an explicit ``pos`` so readers never depend on parquet
+    row order (engines may reorder row groups; the digest orders by
+    pos, not file order);
+  - the manifest is the ONE commit point: a crash mid-write leaves
+    data dirs but no manifest, and the next run overwrites them (the
+    writes are per-shard overwrite-idempotent); a completed export is
+    a NO-OP on re-run (the resume contract — a nightly re-trigger must
+    not rewrite 100 TB of shards).
+
+Reference lineage: the reference ships rows to a warehouse
+(simple_kafka_etl.py:147-175) — this is the analogous terminal sink for
+the training-data pipeline the engine adds on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_EXPORT_MANIFEST"
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, _MANIFEST)
+
+
+def read_export_manifest(out_dir: str) -> list[dict] | None:
+    if not os.path.exists(_manifest_path(out_dir)):
+        return None
+    with open(_manifest_path(out_dir)) as fh:
+        return json.load(fh)
+
+
+def export_token_shards(
+    spark: SparkSession,
+    stream: DataFrame,
+    sharded: DataFrame,
+    out_dir: str,
+) -> dict:
+    """Write the packed token stream as file-per-shard parquet + the
+    atomic export manifest.  ``stream``/``sharded`` are the frames
+    ``_tokenized_shard_frames`` builds.  Returns {"written": bool,
+    "n_shards": int}; a completed export (manifest present) is a
+    no-op."""
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _shard_manifest,
+        _shard_token_rows,
+    )
+
+    if read_export_manifest(out_dir) is not None:
+        return {"written": False, "n_shards": 0}
+    os.makedirs(out_dir, exist_ok=True)
+    rows = _shard_token_rows(stream, sharded)
+    (
+        rows.repartition("source", "shard_id")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("source", "shard_id")
+        .parquet(out_dir)
+    )
+    manifest = [
+        {
+            "source": r.source,
+            "shard_id": int(r.shard_id),
+            "n_seqs": int(r.n_seqs),
+            "n_docs": int(r.n_docs),
+            "n_tokens": int(r.n_tokens),
+            "digest": int(r.digest),
+        }
+        for r in _shard_manifest(stream, sharded).collect()
+    ]  # one row per SHARD — index-sized driver traffic, not data-sized
+    tmp = _manifest_path(out_dir) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))  # THE commit point
+    return {"written": True, "n_shards": len(manifest)}
+
+
+def verify_token_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Recompute (n_tokens, digest) from the WRITTEN FILES and join
+    against the committed manifest — the reader-side integrity check a
+    training job runs before consuming a shard.  Returns one row per
+    manifest shard: (source, shard_id, n_seqs, n_docs, n_tokens,
+    digest, files_match) where files_match also covers shards with no
+    token rows (files must then hold none either)."""
+    manifest = read_export_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no export manifest at {out_dir}")
+    man_df = spark.createDataFrame(
+        [
+            (
+                m["source"],
+                m["shard_id"],
+                m["n_seqs"],
+                m["n_docs"],
+                m["n_tokens"],
+                m["digest"],
+            )
+            for m in manifest
+        ],
+        "source string, shard_id long, n_seqs long, n_docs long, "
+        "n_tokens long, digest long",
+    )
+    from cdc_practice_spark.queries.pipeline_queries import shard_digest_agg
+
+    files = (
+        spark.read.parquet(out_dir)
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("f_tokens"),
+            shard_digest_agg(),
+        )
+        .withColumnRenamed("digest", "f_digest")
+    )
+    return (
+        man_df.join(files, ["source", "shard_id"], "left")
+        .select(
+            "source",
+            "shard_id",
+            "n_seqs",
+            "n_docs",
+            "n_tokens",
+            "digest",
+            (
+                (F.coalesce("f_tokens", F.lit(0)) == F.col("n_tokens"))
+                & (F.coalesce("f_digest", F.lit(0)) == F.col("digest"))
+            ).alias("files_match"),
+        )
+        .orderBy("source", "shard_id")
+    )

@@ -1486,8 +1486,15 @@ def corpus_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost = the existing encode + pack passes plus one shard-keyed
     window — no new shuffle class (the r10 verdict's 'done' bar); only
     narrow (doc_id, wp, pp, tok_id) rows ever shuffle, never text."""
-    from pyspark.sql import Window
+    stream, sharded = _tokenized_shard_frames(spark, sf_dir)
+    return _shard_manifest(stream, sharded)
 
+
+def _tokenized_shard_frames(spark: SparkSession, sf_dir: str):
+    """(stream, sharded): the narrow token stream (doc_id, source, wp,
+    pp, tok_id) and the per-doc (bin_id, shard_id) assignment — shared
+    by the manifest query and the physical exporter
+    (operators/shards.py)."""
     from cdc_practice_spark.operators.packing import pack_greedy
     from cdc_practice_spark.plans.cache import tracked_persist
     from cdc_practice_spark.queries.text_queries import (
@@ -1574,26 +1581,52 @@ def corpus_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bin_id") / _SHARD_SEQS).cast("long").alias("shard_id"),
         )
     )
+    return stream, sharded
+
+
+def _shard_token_rows(stream: DataFrame, sharded: DataFrame) -> DataFrame:
+    """The positioned per-shard token rows (source, shard_id, bin_id,
+    doc_id, pos, tok_id) — what the exporter writes and the digest
+    hashes; the window partitions by shard (≤ ~16·256 tokens plus
+    oversize docs), so the sort is shard-local."""
+    from pyspark.sql import Window
+
     w_pos = Window.partitionBy("source", "shard_id").orderBy(
         "doc_id", "wp", "pp"
     )
     # doc→shard map is doc-count-sized: broadcast only while it fits
     # (at 100 TB this becomes a doc_id-keyed shuffle join, the same key
     # the stream already clusters on)
-    digests = (
+    return (
         stream.join(
-            broadcast_if_small(sharded.select("doc_id", "shard_id")), "doc_id"
+            broadcast_if_small(
+                sharded.select("doc_id", "shard_id", "bin_id")
+            ),
+            "doc_id",
         )
         .withColumn("pos", F.row_number().over(w_pos).cast("long"))
-        .groupBy("source", "shard_id")
-        .agg(
-            F.pmod(
-                F.sum(F.pmod(F.col("tok_id").cast("long") * F.col("pos"), _SHARD_MOD)),
-                F.lit(_SHARD_MOD),
-            )
-            .cast("long")
-            .alias("digest")
+        .select("source", "shard_id", "bin_id", "doc_id", "pos", "tok_id")
+    )
+
+
+def shard_digest_agg() -> F.Column:
+    """Σ tok_id·pos mod p — the order-sensitive stream digest both the
+    manifest and any reader of the written shards recompute."""
+    return (
+        F.pmod(
+            F.sum(F.pmod(F.col("tok_id").cast("long") * F.col("pos"), _SHARD_MOD)),
+            F.lit(_SHARD_MOD),
         )
+        .cast("long")
+        .alias("digest")
+    )
+
+
+def _shard_manifest(stream: DataFrame, sharded: DataFrame) -> DataFrame:
+    digests = (
+        _shard_token_rows(stream, sharded)
+        .groupBy("source", "shard_id")
+        .agg(shard_digest_agg())
     )
     return (
         sharded.groupBy("source", "shard_id")
@@ -1613,3 +1646,49 @@ def corpus_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+def _shard_roundtrip_oracle() -> str:
+    return (
+        "SELECT x.*, TRUE AS files_match FROM ("
+        + _shard_oracle()
+        + ") x"
+    )
+
+
+@register("corpus_shard_export_roundtrip", oracle=_shard_roundtrip_oracle())
+def corpus_shard_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard export SHIPS BYTES and the bytes survive the round
+    trip (r11, completing ask #6's last mile): export the packed token
+    stream as file-per-shard parquet with the atomic manifest commit
+    (operators/shards.py), then run the READER-side integrity check —
+    recompute every shard's token count and order-sensitive digest FROM
+    THE WRITTEN FILES and compare against the committed manifest.  The
+    emitted rows are the manifest's (hash-checked against the same SQL
+    twin as corpus_tokenize_pack_shard) plus the per-shard files_match
+    boolean — so a torn write, a dropped row group, a reordered stream,
+    or a manifest/file divergence anywhere flips the hash.
+
+    Idempotence rides the same surface: the export is invoked twice and
+    the second call must be a manifest-present no-op (asserted here —
+    a nightly re-trigger never rewrites shards; the crash-repair window
+    is pinned in tests/test_pipeline_ops.py)."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.operators.shards import (
+        export_token_shards,
+        verify_token_shards,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="shard_export_", dir=TMP_ROOT), "shards"
+    )
+    stream, sharded = _tokenized_shard_frames(spark, sf_dir)
+    first = export_token_shards(spark, stream, sharded, out)
+    assert first["written"], "fresh export must write"
+    again = export_token_shards(spark, stream, sharded, out)
+    assert not again["written"], "completed export must be a no-op"
+    return verify_token_shards(spark, out)

@@ -178,3 +178,53 @@ def test_pack_greedy_matches_python_model_on_random_feeds(spark):
         assert got == want
 
     check()
+
+
+def test_shard_export_idempotent_and_crash_repair(spark, sf_dir):
+    """r11 exporter contract: fresh export writes file-per-shard + the
+    manifest; re-run is a no-op (shard files byte-untouched); a crash
+    BEFORE the manifest commit (simulated by deleting the manifest)
+    leaves a state the next run repairs to reader-verified integrity;
+    every shard is exactly one data file."""
+    import glob
+    import os
+    import tempfile
+
+    from cdc_practice_spark.operators.shards import (
+        export_token_shards,
+        verify_token_shards,
+    )
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _tokenized_shard_frames,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="shard_exp_t_", dir=TMP_ROOT), "shards"
+    )
+    stream, sharded = _tokenized_shard_frames(spark, sf_dir)
+    res = export_token_shards(spark, stream, sharded, out)
+    assert res["written"] and res["n_shards"] > 0
+    ver = verify_token_shards(spark, out)
+    rows = ver.collect()
+    assert len(rows) == res["n_shards"]
+    assert all(r.files_match for r in rows)
+    # file-per-shard: each shard dir holds exactly one parquet file
+    shard_dirs = glob.glob(os.path.join(out, "source=*", "shard_id=*"))
+    assert len(shard_dirs) == res["n_shards"]
+    for d in shard_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    # no-op re-run: mtimes untouched
+    mtimes = {p: os.path.getmtime(p) for d in shard_dirs
+              for p in glob.glob(os.path.join(d, "*.parquet"))}
+    assert export_token_shards(spark, stream, sharded, out) == {
+        "written": False, "n_shards": 0,
+    }
+    assert mtimes == {p: os.path.getmtime(p) for p in mtimes}
+    # crash window: manifest missing (export died pre-commit) → the
+    # next run rewrites and re-commits; reader verifies green again
+    os.unlink(os.path.join(out, "_EXPORT_MANIFEST"))
+    res2 = export_token_shards(spark, stream, sharded, out)
+    assert res2["written"] and res2["n_shards"] == res["n_shards"]
+    assert all(r.files_match for r in verify_token_shards(spark, out).collect())
