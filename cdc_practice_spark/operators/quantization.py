@@ -281,13 +281,12 @@ def ivf_pq_topk(
     best_cells = _ranked_cells(
         embeddings, query_vec, cell_col, vec_col, limit=nprobe
     )
+    probed_vecs = embeddings.filter(F.col(cell_col).isin(best_cells))
     if codes is None:
-        probed_vecs = embeddings.filter(F.col(cell_col).isin(best_cells))
         probed_codes = pq_encode(
             probed_vecs, codebook, id_col=id_col, vec_col=vec_col
         )
     else:
-        probed_vecs = embeddings.filter(F.col(cell_col).isin(best_cells))
         probed_codes = codes.filter(F.col(cell_col).isin(best_cells))
     short = adc_shortlist(probed_codes, codebook, query_vec, shortlist, id_col)
     return _exact_rerank(probed_vecs, short, query_vec, k, id_col, vec_col)

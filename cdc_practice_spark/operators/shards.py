@@ -69,10 +69,14 @@ def export_token_shards(
         _shard_token_rows,
     )
 
+    from cdc_practice_spark.plans.cache import tracked_persist
+
     if read_export_manifest(out_dir) is not None:
         return {"written": False, "n_shards": 0}
     os.makedirs(out_dir, exist_ok=True)
-    rows = _shard_token_rows(stream, sharded)
+    # persisted: the SAME materialized rows feed the file write and the
+    # manifest digest — one pass over the token stream, not two
+    rows = tracked_persist(_shard_token_rows(stream, sharded))
     (
         rows.repartition("source", "shard_id")
         .sortWithinPartitions("pos")
@@ -89,7 +93,7 @@ def export_token_shards(
             "n_tokens": int(r.n_tokens),
             "digest": int(r.digest),
         }
-        for r in _shard_manifest(stream, sharded).collect()
+        for r in _shard_manifest(stream, sharded, rows=rows).collect()
     ]  # one row per SHARD — index-sized driver traffic, not data-sized
     tmp = _manifest_path(out_dir) + f".tmp{os.getpid()}"
     with open(tmp, "w") as fh:

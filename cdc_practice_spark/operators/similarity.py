@@ -872,14 +872,19 @@ def swap_stats_sidecar(store_dir: str, stats: DataFrame, name: str = "_cell_stat
     NOT atomic — a scrape between the two calls saw no sidecar at all).
     The manifest pattern instead: stage the frame at a fresh generation
     dir ``{name}_g{n}`` no pointer references, then commit by
-    ``os.replace`` of the one-line pointer file ``{name}.ptr`` — a
-    reader always resolves a complete generation; stale generations are
-    GC'd only after the commit point."""
+    ``os.replace`` of the one-line pointer file ``{name}.ptr``.  A
+    reader always resolves a complete generation, and the IMMEDIATELY
+    SUPERSEDED generation survives one more swap (GC'd at N+2, not N+1)
+    so a lazy DataFrame that resolved the pointer just before a swap
+    can still finish its scan — only generations two swaps old are
+    reclaimed (review r11: resolve and scan are not atomic)."""
     ptr = os.path.join(store_dir, name + ".ptr")
+    prev = None
     gen = 0
     if os.path.exists(ptr):
         with open(ptr) as fh:
-            gen = int(fh.read().strip().rsplit("_g", 1)[1]) + 1
+            prev = fh.read().strip()
+        gen = int(prev.rsplit("_g", 1)[1]) + 1
     staged = f"{name}_g{gen}"
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(store_dir, staged)
@@ -889,7 +894,7 @@ def swap_stats_sidecar(store_dir: str, stats: DataFrame, name: str = "_cell_stat
         fh.write(staged)
     os.replace(tmp, ptr)
     for d in os.listdir(store_dir):
-        if d.startswith(name + "_g") and d != staged:
+        if d.startswith(name + "_g") and d not in (staged, prev):
             shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
 
 

@@ -1622,9 +1622,15 @@ def shard_digest_agg() -> F.Column:
     )
 
 
-def _shard_manifest(stream: DataFrame, sharded: DataFrame) -> DataFrame:
+def _shard_manifest(
+    stream: DataFrame, sharded: DataFrame, rows: "DataFrame | None" = None
+) -> DataFrame:
+    """``rows`` short-circuits the positioned-token-rows recomputation
+    when the caller already materialized them (the exporter persists
+    the frame it writes and derives the manifest from it — one pass
+    over the token stream, not two; review r11)."""
     digests = (
-        _shard_token_rows(stream, sharded)
+        (_shard_token_rows(stream, sharded) if rows is None else rows)
         .groupBy("source", "shard_id")
         .agg(shard_digest_agg())
     )

@@ -83,6 +83,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_txn_gated_multipartition",
     "streaming_txn_gated_evolving",
     "corpus_shard_export_roundtrip",
+    "streaming_ivf_pq_serve",
 )
 
 

@@ -1546,3 +1546,132 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_diff") == 0).alias("precomputed_codes_identical"),
         )
     )
+
+
+@register(
+    "streaming_ivf_pq_serve",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_corpus,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_batch,
+       TRUE AS store_serve_identical,
+       TRUE AS recall_ok,
+       TRUE AS sublinear_ok
+FROM embeddings
+""",
+)
+def streaming_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served off the INCREMENTALLY MAINTAINED store (r11 —
+    composes the IVF ingest store with the IVF-PQ serving index): the
+    store is seeded on the standing corpus with BOTH tiers (assignments
+    under the frozen centroids AND PQ codes under the frozen codebook),
+    an arriving batch appends its epoch delta to both tiers at O(batch)
+    cost, and queries are then served entirely from store artifacts —
+    probe order from the persisted frozen centroids (driver-side cosine
+    over k rows, no data scan), ADC ranking from the accreted codes
+    deltas, cell membership from the accreted assignments — touching
+    the full vectors only for the exact-rerank shortlist.
+
+    Decision booleans (the ann_ivf_pq_recall convention):
+      - store_serve_identical: the store-served top-k equals
+        ``ivf_pq_topk`` run directly over corpus ∪ batch with the same
+        frozen parameters — incremental maintenance changed nothing;
+      - recall_ok: recall@10 ≥ 0.5 vs exact brute force;
+      - sublinear_ok: the probed cells hold strictly fewer vectors
+        than the corpus (the pruning witness)."""
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.streaming.ann_ingest import (
+        append_ivf_ingest_batch,
+        ivf_pq_topk_from_store,
+        load_ivf_ingest_assignments,
+        seed_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select("vec_id", "embedding")
+    qv = _query_vec(spark, sf_dir)
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+    codebook = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+
+    import os
+    import tempfile
+
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="ivf_pq_store_", dir=TMP_ROOT), "store"
+    )
+    seed_ivf_ingest(spark, corpus, cents, store, codebook=codebook)
+    append_ivf_ingest_batch(spark, store, batch, cents, epoch=0, codebook=codebook)
+
+    merged = tracked_persist(corpus.unionByName(batch))
+    served = tracked_persist(
+        ivf_pq_topk_from_store(
+            spark, store, merged, codebook, qv, k=10, nprobe=3, shortlist=50
+        )
+    )
+    # the SAME probe order the store path derives from its persisted
+    # frozen centroids — the direct arm must compare like for like (a
+    # data-mean centroid probe could legitimately rank cells
+    # differently and the identity boolean would test the wrong thing)
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+    from cdc_practice_spark.streaming.ann_ingest import load_centroids
+
+    sims = []
+    for cell, c in enumerate(load_centroids(store)):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        sims.append((round(sum(float(a) * float(b) for a, b in zip(qv, c)) / (cn * qn), 6), cell))
+    best = [cell for _s, cell in sorted(sims, key=lambda t: (-t[0], t[1]))[:3]]
+
+    # direct (non-store) run: same frozen cells, codes encoded fresh,
+    # membership from the same ivf_assign the store accreted
+    direct_src = merged.join(
+        load_ivf_ingest_assignments(spark, store).select(
+            "vec_id", F.col("cell").alias("label")
+        ),
+        "vec_id",
+    ).filter(F.col("label").isin(best))
+    codes_direct = Q.pq_encode(direct_src, codebook, keep_cols=("label",))
+    short = Q.adc_shortlist(codes_direct, codebook, qv, shortlist=50)
+    direct = Q._exact_rerank(direct_src, short, qv, k=10, id_col="vec_id", vec_col="embedding")
+    same = (
+        served.exceptAll(direct)
+        .unionByName(direct.exceptAll(served))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    exact = S.brute_force_topk(merged, qv, k=10).select("vec_id")
+    overlap = exact.join(
+        served.select(F.col("vec_id").alias("s_id")),
+        exact["vec_id"] == F.col("s_id"),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    n_scored = (
+        load_ivf_ingest_assignments(spark, store)
+        .filter(F.col("cell").isin(best))
+        .agg(F.count(F.lit(1)).alias("n_scored"))
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )
+    return (
+        counts.crossJoin(same)
+        .crossJoin(overlap)
+        .crossJoin(n_scored)
+        .select(
+            "n_corpus",
+            "n_batch",
+            (F.col("n_diff") == 0).alias("store_serve_identical"),
+            (F.col("n_overlap") >= 5).alias("recall_ok"),
+            (F.col("n_scored") < F.col("n_vectors")).alias("sublinear_ok"),
+        )
+    )

@@ -1354,19 +1354,10 @@ def _split_frame_into_files(
         chunk = df.filter(F.col(order_col) >= int(lo) + i * step)
         if i < n_files - 1:
             chunk = chunk.filter(F.col(order_col) < int(lo) + (i + 1) * step)
-        chunk = chunk.coalesce(1)
-        part_dir = os.path.join(out_dir, f"_part{i}")
-        chunk.write.mode("overwrite").parquet(part_dir)
-        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(part_dir, src),
-            os.path.join(out_dir, f"chunk-{i:03d}.parquet"),
-        )
+        _write_wire_chunk(spark, chunk, out_dir, i)
         n_written += spark.read.parquet(
             os.path.join(out_dir, f"chunk-{i:03d}.parquet")
         ).count()
-        shutil.rmtree(part_dir)
-        time.sleep(0.05)
     assert n_written == n, (
         f"_split_frame_into_files: chunks hold {n_written} of {n} rows"
     )
@@ -2427,12 +2418,16 @@ def streaming_txn_gated_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_txn_gated_evolving): the widen-scenario wire replays in two
     chunks CUT MID-TRANSACTION — the first chunk ends one event short
     of completing the transaction containing the ALTER's effective
-    offset, so epoch 0 must hold that whole transaction AND keep
-    parsing under the narrow pre-DDL schema even though the batch's raw
-    max offset is already past the ALTER (batch-max resolution would
-    have widened early — the exact bug this composition closes).  When
-    the second chunk completes the transaction, the DDL takes effect
-    with its release and the state widens in place.
+    offset, so epoch 0 must hold that whole transaction and keep
+    parsing under the narrow pre-DDL schema.  Whenever the fixture
+    geometry allows (the ALTER is not its transaction's last event —
+    true unless t+1 ≡ last-of-txn at that SF), chunk 1's raw max offset
+    is already PAST the ALTER, so batch-max schema resolution would
+    have widened early — the exact bug this composition closes; the
+    sharp case is additionally pinned unconditionally on a synthetic
+    wire in tests/test_schema_evolution.py.  When the second chunk
+    completes the transaction, the DDL takes effect with its release
+    and the state widens in place.
 
     The final state must full-hash equal the batch widened snapshot
     (the streaming_schema_evolution oracle, shared): every transaction
@@ -2463,7 +2458,9 @@ def streaming_txn_gated_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"offset div {txn_size}") == txn0
         ).select("offset").collect()
     ]  # ≤ txn_size rows — index-sized
-    cut = max(in_txn0) - 1 if len(in_txn0) > 1 else max(in_txn0)
+    # always exclude txn0's last event from chunk 1 so the txn is held
+    # (a cut AT the last event would complete it and hold nothing)
+    cut = max(in_txn0) - 1
     _write_wire_chunk(spark, wire.filter(F.col("offset") <= cut), src_dir, 0)
     _write_wire_chunk(spark, wire.filter(F.col("offset") > cut), src_dir, 1)
 

@@ -196,6 +196,7 @@ def seed_ivf_ingest(
     corpus_vectors: DataFrame,
     centroids,
     store_root: str,
+    codebook=None,
 ) -> None:
     """Seed the IVF ingest store with the standing corpus' assignments
     under the TRAINED (frozen) centroids, epoch -1, plus the build-time
@@ -218,6 +219,15 @@ def seed_ivf_ingest(
     ivf_assign(corpus_vectors, centroids).write.mode("overwrite").parquet(
         assign_dir
     )
+    if codebook is not None:
+        _write_codes_delta(
+            spark,
+            store_root,
+            corpus_vectors,
+            spark.read.schema(_ASSIGN_SCHEMA).parquet(assign_dir),
+            codebook,
+            -1,
+        )
     # stats straight off the staged dir (the manifest — and hence
     # load_ivf_ingest_assignments — doesn't reference it yet)
     stats = ivf_cell_stats(
@@ -227,9 +237,10 @@ def seed_ivf_ingest(
     # the BUILD-time stats snapshot — the drift report's baseline,
     # never touched by later epochs
     swap_stats_sidecar(store_root, stats, "_cell_stats_build")
-    # the frozen trained parameters, so the store is self-describing
-    # (a resuming ingest or the drift-rebuild job reads them back)
-    write_centroids(store_root, centroids)
+    # the frozen trained parameters, keyed to generation -1 and
+    # selected by the manifest swap below, so the store is
+    # self-describing and the pairing is atomic
+    write_centroids(store_root, centroids, generation=-1)
     _swap_manifest(store_root, [-1])
 
 
@@ -254,6 +265,92 @@ def load_ivf_ingest_assignments(
     )
 
 
+_CODES_SCHEMA = "vec_id long, cell int, codes array<int>, norm double"
+
+
+def _write_codes_delta(
+    spark: SparkSession,
+    store_root: str,
+    vectors: DataFrame,
+    assigned: DataFrame,
+    codebook,
+    epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One epoch's PQ codes, cell-attached from the epoch's assignment
+    rows (so codes and assignments cover the identical id set) — one
+    codegen encode projection over just the batch, committed by the
+    same manifest swap as the assignment delta."""
+    from cdc_practice_spark.operators.quantization import pq_encode
+
+    codes = pq_encode(
+        vectors.select(F.col(id_col), F.col(vec_col)), codebook, id_col, vec_col
+    ).join(assigned.select(id_col, "cell"), id_col)
+    codes.select(id_col, "cell", "codes", "norm").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_root, f"codes_v{epoch}"))
+
+
+def load_ivf_ingest_codes(spark: SparkSession, store_root: str) -> DataFrame:
+    """The accreted PQ codes table (written when the ingest sink was
+    given a codebook) — the compressed ranking tier IVF-PQ serves from."""
+    return _load_union(
+        spark, store_root, "codes", _sig_epochs(store_root), _CODES_SCHEMA
+    )
+
+
+def ivf_pq_topk_from_store(
+    spark: SparkSession,
+    store_root: str,
+    embeddings: DataFrame,
+    codebook,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-PQ straight off the STREAMING-MAINTAINED store (r11):
+    probe order comes from the store's FROZEN persisted centroids
+    (driver-side cosine over k rows — no data scan, unlike the
+    centroid-aggregate probe), candidate ranking from the accreted
+    codes deltas, cell membership from the accreted assignments, and
+    only the shortlist touches ``embeddings`` (the full vectors, which
+    the store deliberately does not hold — they live in the corpus
+    table / cold storage).  At 100 TB: the probe is cell pruning on
+    the (cell-partitionable) codes store, the served query never scans
+    vectors outside the shortlist, and everything the query needs
+    beyond the corpus itself was maintained incrementally at ingest."""
+    import math
+
+    from cdc_practice_spark.operators.quantization import (
+        _exact_rerank,
+        adc_shortlist,
+    )
+
+    cents = load_centroids(store_root)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sims = []
+    for cell, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
+        sims.append((round(dot / (cn * qn), 6), cell))
+    best_cells = [
+        cell for _s, cell in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]
+    ]
+    probed_codes = load_ivf_ingest_codes(spark, store_root).filter(
+        F.col("cell").isin(best_cells)
+    )
+    short = adc_shortlist(probed_codes, codebook, query_vec, shortlist, id_col)
+    assign = load_ivf_ingest_assignments(spark, store_root).filter(
+        F.col("cell").isin(best_cells)
+    )
+    probed_vecs = embeddings.join(assign.select(id_col), id_col, "left_semi")
+    return _exact_rerank(probed_vecs, short, query_vec, k, id_col, vec_col)
+
+
 def ivf_ingest_drift(spark: SparkSession, store_root: str) -> DataFrame:
     """The drift report straight off the store's PERSISTED sidecars:
     build-time baseline vs current — no assignment rescan, no vectors
@@ -276,6 +373,7 @@ def stream_ivf_ingest(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook=None,
 ) -> StreamingQuery:
     """IVF twin of ``stream_ann_ingest`` (r10 — composes VERDICT r9 asks
     #4 and #5): arriving embeddings are assigned under the FROZEN
@@ -337,6 +435,22 @@ def stream_ivf_ingest(
         new_rows.write.mode("overwrite").parquet(
             os.path.join(store_root, f"assign_v{store_epoch}")
         )
+        if codebook is not None:
+            # the IVF-PQ serving tier maintained AT INGEST: the epoch's
+            # codes delta covers exactly the assignment delta's ids and
+            # commits under the same manifest swap below
+            _write_codes_delta(
+                spark,
+                store_root,
+                batch_df.join(
+                    F.broadcast(new_rows.select(id_col)), id_col, "left_semi"
+                ),
+                new_rows,
+                codebook,
+                store_epoch,
+                id_col,
+                vec_col,
+            )
         if store_epoch not in pre_epochs:
             cur = _read_manifest_full(store_root)
             _swap_manifest(
@@ -370,46 +484,65 @@ def append_ivf_ingest_batch(
     epoch: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook=None,
 ) -> None:
     """One batch-mode epoch append — stream_ivf_ingest's apply_batch
     without the checkpoint/lease machinery (maintenance jobs and tests
     that already hold the store exclusively): assign under the frozen
     centroids, commit the delta through the manifest, refresh the stats
-    sidecar.  Same overwrite-idempotent layout, so batch and streaming
-    epochs interleave freely."""
+    sidecar; with ``codebook``, the epoch's PQ codes delta too.  Same
+    overwrite-idempotent layout, so batch and streaming epochs
+    interleave freely."""
     from cdc_practice_spark.operators.similarity import ivf_assign
 
     epochs = _sig_epochs(store_root)
+    assign_dir = os.path.join(store_root, f"assign_v{epoch}")
     ivf_assign(
         batch_df.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
-    ).write.mode("overwrite").parquet(
-        os.path.join(store_root, f"assign_v{epoch}")
-    )
+    ).write.mode("overwrite").parquet(assign_dir)
+    if codebook is not None:
+        _write_codes_delta(
+            spark,
+            store_root,
+            batch_df,
+            spark.read.schema(_ASSIGN_SCHEMA).parquet(assign_dir),
+            codebook,
+            epoch,
+            id_col,
+            vec_col,
+        )
     if epoch not in epochs:
         _swap_manifest(store_root, epochs + [epoch])
     _refresh_ivf_stats(spark, store_root)
 
 
-def _centroids_path(store_root: str) -> str:
-    return os.path.join(store_root, "_centroids.json")
+def _centroids_path(store_root: str, generation: int) -> str:
+    return os.path.join(store_root, f"_centroids.v{generation}.json")
 
 
-def write_centroids(store_root: str, centroids) -> None:
-    """Persist the frozen k×dim centroid matrix beside the store
-    (driver-sized by definition) — atomic replace, so a resuming ingest
-    or a maintenance swap never reads a torn matrix."""
+def write_centroids(store_root: str, centroids, generation: int) -> None:
+    """Persist the frozen k×dim centroid matrix KEYED TO its base
+    generation (driver-sized by definition).  The live matrix is
+    selected by the MANIFEST (min committed epoch = the base
+    generation), so a store swap commits assignments and centroids in
+    the same atomic os.replace — a crash can never leave a committed
+    store paired with the wrong parameters (review r11)."""
     import json as _json
 
-    tmp = _centroids_path(store_root) + f".tmp{os.getpid()}"
+    path = _centroids_path(store_root, generation)
+    tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "w") as fh:
         _json.dump([[float(x) for x in c] for c in centroids], fh)
-    os.replace(tmp, _centroids_path(store_root))
+    os.replace(tmp, path)
 
 
 def load_centroids(store_root: str):
+    """The live frozen centroids: resolved through the manifest's base
+    generation, never a bare filename — see write_centroids."""
     import json as _json
 
-    with open(_centroids_path(store_root)) as fh:
+    gen = min(_sig_epochs(store_root))
+    with open(_centroids_path(store_root, gen)) as fh:
         return _json.load(fh)
 
 
@@ -422,6 +555,7 @@ def ivf_drift_maintenance(
     n_iter: int = 2,
     retries: int = 0,
     retry_delay_s: float = 0.0,
+    codebook=None,
 ) -> dict:
     """The alarm→action loop-closer (r11 — VERDICT r10 ask #3,
     mirroring r10's report→purge): read the PERSISTED drift report off
@@ -441,11 +575,18 @@ def ivf_drift_maintenance(
          build baseline — the rebuild's own stats become the new
          baseline, so the alarm clears) and the new frozen centroids.
 
-    Crash protocol: sidecars land AFTER the manifest commit, so any
-    crash leaves either the old store intact (pre-swap) or the new
-    assignments with stale sidecars — and stale sidecars keep or
-    re-raise the alarm, so the next maintenance run repairs by
-    re-running the idempotent rebuild; no state is unrecoverable.
+    Crash protocol (tightened after review r11): the new centroids are
+    keyed to the staged generation and SELECTED BY the manifest swap
+    itself, so a committed store can never pair with the wrong
+    parameters.  The stats sidecars land after the commit, current
+    first, the alarm-clearing baseline LAST — every crash window
+    either leaves the old store intact (pre-swap: the alarm still
+    fires, the idempotent rebuild re-runs at the same generation id),
+    or a fully consistent new store whose stats are merely stale:
+    stale CURRENT stats reproduce exactly the pre-rebuild comparison
+    that fired the alarm (deterministic re-fire → repair), and a stale
+    BASELINE alone is conservative (drift measured against the older
+    build fires earlier, never later).
 
     No alarm → NO-OP: the decision is still ledgered (a monitoring
     audit trail needs the "checked, clean" rows too) and the store is
@@ -482,6 +623,22 @@ def ivf_drift_maintenance(
             b = min([-1] + man["epochs"]) - 1
             out = os.path.join(store_root, f"assign_v{b}")
             assigns.write.mode("overwrite").parquet(out)
+            # centroids staged at the new generation BEFORE the swap —
+            # invisible until the manifest selects generation b
+            write_centroids(store_root, cents, generation=b)
+            if codebook is not None:
+                # codes-bearing store: re-attach the rebuilt cells (the
+                # PQ codes themselves depend only on vector+codebook,
+                # but the delta must cover generation b's id set under
+                # its cells); staged pre-swap like the assignments
+                _write_codes_delta(
+                    spark,
+                    store_root,
+                    vectors,
+                    spark.read.schema(_ASSIGN_SCHEMA).parquet(out),
+                    codebook,
+                    b,
+                )
             hwm = max(
                 man["hwm"],
                 max([e for e in man["epochs"] if e >= 0], default=-1),
@@ -491,13 +648,20 @@ def ivf_drift_maintenance(
                 spark.read.schema(_ASSIGN_SCHEMA).parquet(out)
             )
             swap_stats_sidecar(store_root, stats, "_cell_stats")
+            # baseline LAST: this is the alarm-clearing step, so every
+            # earlier crash leaves the alarm deterministically re-firing
             swap_stats_sidecar(store_root, stats, "_cell_stats_build")
-            write_centroids(store_root, cents)
             for e in man["epochs"]:
                 if e != b:
                     old = os.path.join(store_root, f"assign_v{e}")
                     if os.path.isdir(old):
                         shutil.rmtree(old)
+                    old_c = _centroids_path(store_root, e)
+                    if os.path.exists(old_c):
+                        os.unlink(old_c)
+                    old_codes = os.path.join(store_root, f"codes_v{e}")
+                    if os.path.isdir(old_codes):
+                        shutil.rmtree(old_codes)
             return f"rebuilt at generation {b}"
         finally:
             # batch job, not a streaming query — release explicitly so

@@ -268,20 +268,39 @@ def apply_bucketed_merge(
         )
     from cdc_practice_spark.streaming.upsert import updated_tombstones
 
-    tombs = load_bucketed_tombstones(spark, state_root, touched)
+    # deleted-key frontier (r10 ADVICE), PAY-AS-YOU-GO (review r11): a
+    # delete-free epoch over buckets with no recorded tombstones skips
+    # the sidecar entirely — the merge plan is then identical to the
+    # frontier-less one, and delete-free streams never pay the extra
+    # read/write jobs.  With deletes (or standing tombstones) the guard
+    # joins the frontier; the sidecar is REWRITTEN only when this batch
+    # actually advances it (contains deletes).
+    pre_manifest = _read_manifest(state_root)
+    has_standing_tombs = any(f"t{b}" in pre_manifest for b in touched)
+    batch_has_deletes = not batch_df.filter(
+        F.col("__deleted") == "true"
+    ).isEmpty()
+    tombs = (
+        load_bucketed_tombstones(spark, state_root, touched)
+        if (has_standing_tombs or batch_has_deletes)
+        else None
+    )
     new_state = merge_batch(
         existing, batch_df, payload_cols, carry_cols, tombstones=tombs
     ).withColumn("_bucket", _bucket_col(n_buckets))
     out = os.path.join(state_root, f"v{epoch_id}")
     new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
-    # the deleted-key frontier for the touched buckets (r10 ADVICE):
-    # rewritten whole per touched bucket like state — one row per
-    # ever-deleted key, so the sidecar is deleted-keys-sized
-    new_tombs = updated_tombstones(tombs, batch_df).withColumn(
-        "_bucket", _bucket_col(n_buckets)
-    )
-    tomb_out = os.path.join(state_root, f"v{epoch_id}_tombs")
-    new_tombs.write.mode("overwrite").partitionBy("_bucket").parquet(tomb_out)
+    tomb_out = None
+    if batch_has_deletes:
+        # rewritten whole per touched bucket like state — one row per
+        # ever-deleted key, so the sidecar is deleted-keys-sized
+        new_tombs = updated_tombstones(tombs, batch_df).withColumn(
+            "_bucket", _bucket_col(n_buckets)
+        )
+        tomb_out = os.path.join(state_root, f"v{epoch_id}_tombs")
+        new_tombs.write.mode("overwrite").partitionBy("_bucket").parquet(
+            tomb_out
+        )
     manifest = _read_manifest(state_root)
     for b in touched:
         bucket_dir = os.path.join(out, f"_bucket={b}")
@@ -291,9 +310,10 @@ def apply_bucketed_merge(
             manifest[str(b)] = bucket_dir
         else:
             manifest.pop(str(b), None)
-        tomb_dir = os.path.join(tomb_out, f"_bucket={b}")
-        if os.path.isdir(tomb_dir):
-            manifest[f"t{b}"] = tomb_dir
+        if tomb_out is not None:
+            tomb_dir = os.path.join(tomb_out, f"_bucket={b}")
+            if os.path.isdir(tomb_dir):
+                manifest[f"t{b}"] = tomb_dir
     _swap_manifest(state_root, manifest)
     _snapshot_manifest(state_root, manifest, epoch_id)  # time travel
 

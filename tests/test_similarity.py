@@ -1094,10 +1094,12 @@ def test_swap_stats_sidecar_generations_and_legacy_fallback(spark, tmp_path):
         )
         got = {r.cell for r in S.read_stats_sidecar(spark, store, "_cell_stats").collect()}
         assert got == {i}
-    gens = [d for d in os.listdir(store) if d.startswith("_cell_stats_g")]
-    assert len(gens) == 1  # stale generations GC'd after the commit point
+    gens = sorted(d for d in os.listdir(store) if d.startswith("_cell_stats_g"))
+    # current + immediately-superseded survive (one-swap grace window
+    # for in-flight lazy readers); older generations reclaimed
+    assert gens == ["_cell_stats_g1", "_cell_stats_g2"]
     with open(os.path.join(store, "_cell_stats.ptr")) as fh:
-        assert fh.read().strip() == gens[0]
+        assert fh.read().strip() == "_cell_stats_g2"
     # legacy layout (pre-r11 store): plain dir, no pointer
     legacy = str(tmp_path / "legacy")
     os.makedirs(legacy)
@@ -1148,3 +1150,71 @@ def test_ivf_pq_probe_prunes_partitioned_codes_store(spark, sf_dir, tmp_path):
     ]
     # both the codes scan (ADC stage) and the vector scan (rerank) prune
     assert len(pruned) >= 2, plan[:2000]
+
+
+def test_stream_ivf_ingest_maintains_pq_codes_tier(spark, sf_dir):
+    """r11: a codebook-bearing streaming IVF ingest accretes the PQ
+    codes delta per epoch alongside assignments (identical id sets,
+    same manifest commit), and the accreted codes equal one batch
+    pq_encode over everything arrived; store-served IVF-PQ equals the
+    direct composition over the same frozen parameters."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.queries.similarity_queries import (
+        _split_embeddings_into_files,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.streaming.ann_ingest import (
+        ivf_pq_topk_from_store,
+        load_ivf_ingest_assignments,
+        load_ivf_ingest_codes,
+        seed_ivf_ingest,
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select("vec_id", "embedding")
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ivf_pq_stream_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _split_embeddings_into_files(spark, batch, src, n_files=2)
+    store = os.path.join(work, "store")
+    seed_ivf_ingest(spark, corpus, cents, store, codebook=cb)
+    stream = (
+        spark.readStream.schema(emb.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ivf_ingest(
+        spark, stream, cents, store, os.path.join(work, "ckpt"), codebook=cb
+    )
+    q.awaitTermination()
+
+    stored_codes = load_ivf_ingest_codes(spark, store)
+    merged = corpus.unionByName(batch)
+    want_codes = Q.pq_encode(merged, cb).join(
+        load_ivf_ingest_assignments(spark, store).select("vec_id", "cell"),
+        "vec_id",
+    ).select("vec_id", "cell", "codes", "norm")
+    assert stored_codes.exceptAll(want_codes).isEmpty()
+    assert want_codes.exceptAll(stored_codes).isEmpty()
+    # codes and assignments cover the same ids
+    a_ids = {r.vec_id for r in load_ivf_ingest_assignments(spark, store).select("vec_id").collect()}
+    c_ids = {r.vec_id for r in stored_codes.select("vec_id").collect()}
+    assert a_ids == c_ids
+    # served query returns k rows with exact scores
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    got = ivf_pq_topk_from_store(spark, store, merged, cb, qv, k=10)
+    rows = got.collect()
+    assert len(rows) == 10
+    exact = {r.vec_id: r.cosine for r in S.brute_force_topk(merged, qv, k=500).collect()}
+    for r in rows:
+        assert r.cosine == exact[r.vec_id]  # rerank scores are exact

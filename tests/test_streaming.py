@@ -1467,8 +1467,10 @@ def test_vacuum_reclaims_superseded_tombstone_dirs(spark, tmp_path):
     feed = lambda rows: change_feed_from_events(  # noqa: E731
         spark.createDataFrame(rows, schema)
     )
-    # epoch 0 deletes key 1; epoch 1 touches the same bucket set again
-    # (key 1's bucket tombstones get REWRITTEN at v1_tombs)
+    # epoch 0 deletes key 1; epoch 1 carries a NEW delete (key 2), so
+    # the frontier ADVANCES and the sidecar is rewritten at v1_tombs —
+    # a delete-free epoch would deliberately skip the rewrite (the
+    # pay-as-you-go rule) and keep v0_tombs referenced
     apply_bucketed_merge(
         spark,
         feed(
@@ -1487,7 +1489,7 @@ def test_vacuum_reclaims_superseded_tombstone_dirs(spark, tmp_path):
         feed(
             [
                 (3, ts(3), 1, "signup", 11.0, "{}"),  # re-insert key 1
-                (4, ts(4), 2, "update", 21.0, "{}"),
+                (4, ts(4), 2, "error", 0.0, "{}"),  # DELETE key 2
             ]
         ),
         root,
@@ -1496,20 +1498,25 @@ def test_vacuum_reclaims_superseded_tombstone_dirs(spark, tmp_path):
     )
     assert os.path.isdir(os.path.join(root, "v0_tombs"))
     deleted = vacuum_state(root, keep_last=0)
-    # the superseded v0 tombstone dirs are reclaimed (every bucket was
-    # rewritten at epoch 1), the referenced v1 ones survive
+    # every v0 tombstone bucket was rewritten at epoch 1 → v0_tombs is
+    # unreferenced and reclaimed; the referenced v1 ones survive
     assert any("v0_tombs" in p for p in deleted), deleted
     assert not any("v1_tombs" in p for p in deleted), deleted
     tombs = {
         (r.original_id, r.last_offset)
         for r in load_bucketed_tombstones(spark, root, [0, 1]).collect()
     }
-    assert tombs == {(1, 1)}
-    # guard still live post-vacuum: replaying key 1's pre-delete INSERT
-    # must not regress the re-inserted row
+    assert tombs == {(1, 1), (2, 4)}
+    # guard still live post-vacuum: replaying key 2's pre-delete INSERT
+    # must not resurrect it, and key 1's old INSERT must not regress it
     apply_bucketed_merge(
         spark,
-        feed([(0, ts(0), 1, "signup", 10.0, "{}")]),
+        feed(
+            [
+                (0, ts(0), 1, "signup", 10.0, "{}"),
+                (2, ts(2), 2, "signup", 20.0, "{}"),
+            ]
+        ),
         root,
         epoch_id=2,
         n_buckets=2,
@@ -1518,4 +1525,6 @@ def test_vacuum_reclaims_superseded_tombstone_dirs(spark, tmp_path):
         r.original_id: r.value
         for r in load_bucketed_state(spark, root).collect()
     }
-    assert out == {1: 11.0, 2: 21.0}
+    assert out == {1: 11.0}
+    # the delete-free epoch paid nothing: no v2 tombstone sidecar
+    assert not os.path.isdir(os.path.join(root, "v2_tombs"))
