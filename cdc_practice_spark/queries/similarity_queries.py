@@ -1480,8 +1480,12 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-prunes WHICH cells are scored, the 8×16 PQ codebook's ADC
     lookups rank WITHIN the probed cells off the ~21×-compressed codes
     table (12 B vs 256 B per vector — the part that stays in RAM at
-    corpus scale), and only the 50-row shortlist touches full vectors
-    for the exact rerank.
+    corpus scale), and only the 200-row shortlist touches full vectors
+    for the exact rerank.  nprobe=5/8 with a deep shortlist: the sf0.1
+    sweep caught nprobe=3/50 at recall 2/10 — the fixture's top-10
+    spreads across cells at 2000 vectors, so the probe (not the
+    quantizer) was the recall limit; 5 cells read ~half the corpus'
+    CODES (still code-tier-only) and recall reads 7/9/6 across the SFs.
 
     Decision booleans (k-means + PQ aren't SQL-replicable, so the
     oracle gates decisions — the ann_pq_recall convention):
@@ -1504,7 +1508,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     codebook = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
     got = tracked_persist(
-        Q.ivf_pq_topk(emb, codebook, qv, k=10, nprobe=3, shortlist=50)
+        Q.ivf_pq_topk(emb, codebook, qv, k=10, nprobe=5, shortlist=200)
     )
     exact = S.brute_force_topk(emb, qv, k=10).select("vec_id")
     overlap = exact.join(
@@ -1515,7 +1519,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # sublinearity witness: rows the ADC stage actually scored = the
     # probed cells' share of the codes table
-    best_cells = S._ranked_cells(emb, qv, "label", "embedding", limit=3)
+    best_cells = S._ranked_cells(emb, qv, "label", "embedding", limit=5)
     n_scored = emb.filter(F.col("label").isin(best_cells)).agg(
         F.count(F.lit(1)).alias("n_scored")
     )
@@ -1525,7 +1529,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.pq_encode(emb, codebook, keep_cols=("label",))
     )
     got2 = Q.ivf_pq_topk(
-        emb, codebook, qv, k=10, nprobe=3, shortlist=50, codes=codes
+        emb, codebook, qv, k=10, nprobe=5, shortlist=200, codes=codes
     )
     same = (
         got.exceptAll(got2)

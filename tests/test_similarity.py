@@ -1057,23 +1057,23 @@ def test_ivf_pq_topk_deterministic_recall_and_composition(emb, qvec):
 
     cb = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
     a = [(r.vec_id, r.cosine) for r in
-         Q.ivf_pq_topk(emb, cb, qvec, k=10, nprobe=3).collect()]
+         Q.ivf_pq_topk(emb, cb, qvec, k=10, nprobe=5, shortlist=200).collect()]
     b = [(r.vec_id, r.cosine) for r in
-         Q.ivf_pq_topk(emb, cb, qvec, k=10, nprobe=3).collect()]
+         Q.ivf_pq_topk(emb, cb, qvec, k=10, nprobe=5, shortlist=200).collect()]
     assert a == b
     # composition: identical to PQ over the probed subset
-    cells = S._ranked_cells(emb, qvec, "label", "embedding", limit=3)
+    cells = S._ranked_cells(emb, qvec, "label", "embedding", limit=5)
     probed = emb.filter(F.col("label").isin(cells))
     want = [(r.vec_id, r.cosine) for r in
-            Q.pq_topk(probed, cb, qvec, k=10).collect()]
+            Q.pq_topk(probed, cb, qvec, k=10, shortlist=200).collect()]
     assert a == want
-    # recall floor vs full-corpus exact
+    # recall floor vs full-corpus exact (sweep-tuned: 7/9/6 at the SFs)
     exact = {r.vec_id for r in S.brute_force_topk(emb, qvec, k=10).collect()}
     assert len({v for v, _ in a} & exact) >= 5
     # precomputed codes path
     codes = Q.pq_encode(emb, cb, keep_cols=("label",))
     c = [(r.vec_id, r.cosine) for r in
-         Q.ivf_pq_topk(emb, cb, qvec, k=10, nprobe=3, codes=codes).collect()]
+         Q.ivf_pq_topk(emb, cb, qvec, k=10, nprobe=5, shortlist=200, codes=codes).collect()]
     assert c == a
 
 
