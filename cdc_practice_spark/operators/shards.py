@@ -106,9 +106,12 @@ def verify_token_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     """Recompute (n_tokens, digest) from the WRITTEN FILES and join
     against the committed manifest — the reader-side integrity check a
     training job runs before consuming a shard.  Returns one row per
-    manifest shard: (source, shard_id, n_seqs, n_docs, n_tokens,
-    digest, files_match) where files_match also covers shards with no
-    token rows (files must then hold none either)."""
+    manifest shard — plus one per FILE-ONLY shard (data on disk the
+    manifest never committed: external corruption or a foreign writer;
+    its manifest columns are null and files_match false, so the
+    divergence flips the hash instead of being silently ignored —
+    review r11); files_match also covers shards with no token rows
+    (files must then hold none either)."""
     manifest = read_export_manifest(out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no export manifest at {out_dir}")
@@ -139,7 +142,7 @@ def verify_token_shards(spark: SparkSession, out_dir: str) -> DataFrame:
         .withColumnRenamed("digest", "f_digest")
     )
     return (
-        man_df.join(files, ["source", "shard_id"], "left")
+        man_df.join(files, ["source", "shard_id"], "full_outer")
         .select(
             "source",
             "shard_id",
@@ -148,7 +151,8 @@ def verify_token_shards(spark: SparkSession, out_dir: str) -> DataFrame:
             "n_tokens",
             "digest",
             (
-                (F.coalesce("f_tokens", F.lit(0)) == F.col("n_tokens"))
+                F.col("n_tokens").isNotNull()  # manifest row exists
+                & (F.coalesce("f_tokens", F.lit(0)) == F.col("n_tokens"))
                 & (F.coalesce("f_digest", F.lit(0)) == F.col("digest"))
             ).alias("files_match"),
         )

@@ -1617,19 +1617,16 @@ def streaming_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the SAME probe order the store path derives from its persisted
-    # frozen centroids — the direct arm must compare like for like (a
-    # data-mean centroid probe could legitimately rank cells
-    # differently and the identity boolean would test the wrong thing)
-    import math
+    # frozen centroids (the shared probe_cells helper) — the direct arm
+    # must compare like for like: a data-mean centroid probe could
+    # legitimately rank cells differently and the identity boolean
+    # would test the wrong thing
+    from cdc_practice_spark.streaming.ann_ingest import (
+        load_centroids,
+        probe_cells,
+    )
 
-    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
-    from cdc_practice_spark.streaming.ann_ingest import load_centroids
-
-    sims = []
-    for cell, c in enumerate(load_centroids(store)):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        sims.append((round(sum(float(a) * float(b) for a, b in zip(qv, c)) / (cn * qn), 6), cell))
-    best = [cell for _s, cell in sorted(sims, key=lambda t: (-t[0], t[1]))[:3]]
+    best = probe_cells(load_centroids(store), qv, nprobe=3)
 
     # direct (non-store) run: same frozen cells, codes encoded fresh,
     # membership from the same ivf_assign the store accreted

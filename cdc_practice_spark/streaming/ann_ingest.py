@@ -268,6 +268,40 @@ def load_ivf_ingest_assignments(
 _CODES_SCHEMA = "vec_id long, cell int, codes array<int>, norm double"
 
 
+def _store_has_codes(store_root: str, epochs: list[int]) -> bool:
+    """Whether the store carries the PQ codes tier: the BASE generation
+    (min committed epoch — written by seed or rebuild) has a codes
+    delta iff the store was built with a codebook."""
+    if not epochs:
+        return False
+    return os.path.isdir(os.path.join(store_root, f"codes_v{min(epochs)}"))
+
+
+def _check_codes_contract(
+    store_root: str, epochs: list[int], codebook, op: str
+) -> None:
+    """The codes tier is a STORE-LEVEL invariant, not a per-call option
+    (review r11): an epoch appended without codes to a codes-bearing
+    store would be permanently invisible to the ADC shortlist (served
+    IVF-PQ silently omits its vectors), and codes appended to a
+    codes-less store would serve a corpus-less partial tier.  Both
+    contract violations raise loudly, mirroring the re-embedded-id
+    guard."""
+    has = _store_has_codes(store_root, epochs)
+    if has and codebook is None:
+        raise ValueError(
+            f"{op}: store {store_root!r} carries a PQ codes tier — pass "
+            f"the codebook, or every id this epoch adds will be "
+            f"invisible to served IVF-PQ queries"
+        )
+    if codebook is not None and epochs and not has:
+        raise ValueError(
+            f"{op}: store {store_root!r} has no codes tier (seeded "
+            f"without a codebook) — re-seed with the codebook; appending "
+            f"codes now would serve a partial tier missing the corpus"
+        )
+
+
 def _write_codes_delta(
     spark: SparkSession,
     store_root: str,
@@ -323,23 +357,12 @@ def ivf_pq_topk_from_store(
     the (cell-partitionable) codes store, the served query never scans
     vectors outside the shortlist, and everything the query needs
     beyond the corpus itself was maintained incrementally at ingest."""
-    import math
-
     from cdc_practice_spark.operators.quantization import (
         _exact_rerank,
         adc_shortlist,
     )
 
-    cents = load_centroids(store_root)
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    sims = []
-    for cell, c in enumerate(cents):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
-        sims.append((round(dot / (cn * qn), 6), cell))
-    best_cells = [
-        cell for _s, cell in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]
-    ]
+    best_cells = probe_cells(load_centroids(store_root), query_vec, nprobe)
     probed_codes = load_ivf_ingest_codes(spark, store_root).filter(
         F.col("cell").isin(best_cells)
     )
@@ -401,6 +424,9 @@ def stream_ivf_ingest(
                 f"by another run ({owner}) — this checkpoint is stale"
             )
         pre_epochs = _pre_epoch_epochs(store_root, token, store_epoch)
+        _check_codes_contract(
+            store_root, pre_epochs, codebook, "stream_ivf_ingest"
+        )
         idx = _load_union(
             spark, store_root, "assign", pre_epochs, _ASSIGN_SCHEMA
         )
@@ -496,6 +522,9 @@ def append_ivf_ingest_batch(
     from cdc_practice_spark.operators.similarity import ivf_assign
 
     epochs = _sig_epochs(store_root)
+    _check_codes_contract(
+        store_root, epochs, codebook, "append_ivf_ingest_batch"
+    )
     assign_dir = os.path.join(store_root, f"assign_v{epoch}")
     ivf_assign(
         batch_df.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
@@ -538,12 +567,38 @@ def write_centroids(store_root: str, centroids, generation: int) -> None:
 
 def load_centroids(store_root: str):
     """The live frozen centroids: resolved through the manifest's base
-    generation, never a bare filename — see write_centroids."""
+    generation, never a bare filename — see write_centroids.  Stores
+    written before the generation-keyed layout fall back to the legacy
+    bare ``_centroids.json`` (the sidecar kit's migration convention)."""
     import json as _json
 
     gen = min(_sig_epochs(store_root))
-    with open(_centroids_path(store_root, gen)) as fh:
+    path = _centroids_path(store_root, gen)
+    if not os.path.exists(path):
+        legacy = os.path.join(store_root, "_centroids.json")
+        if os.path.exists(legacy):
+            path = legacy
+    with open(path) as fh:
         return _json.load(fh)
+
+
+def probe_cells(centroids, query_vec, nprobe: int) -> list[int]:
+    """THE deterministic frozen-parameter probe order: round-6 cosine
+    of the query against each stored centroid, ranked desc with a
+    cell-id tiebreak — driver-side over k rows, shared by the serving
+    path and any consistency check (a drifted copy of this ranking
+    would silently compare different probe orders — review r11)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sims = []
+    for cell, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
+        sims.append((round(dot / (cn * qn), 6), cell))
+    return [
+        cell for _s, cell in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]
+    ]
 
 
 def ivf_drift_maintenance(
@@ -618,8 +673,11 @@ def ivf_drift_maintenance(
         token = f"maint-{_uuid.uuid4().hex[:12]}"
         _acquire_writer_lease(spark, store_root, token)
         try:
-            cents, assigns = ivf_rebuild(vectors, k=k, n_iter=n_iter)
             man = _read_manifest_full(store_root)
+            _check_codes_contract(
+                store_root, man["epochs"], codebook, "ivf_drift_maintenance"
+            )
+            cents, assigns = ivf_rebuild(vectors, k=k, n_iter=n_iter)
             b = min([-1] + man["epochs"]) - 1
             out = os.path.join(store_root, f"assign_v{b}")
             assigns.write.mode("overwrite").parquet(out)
@@ -659,9 +717,13 @@ def ivf_drift_maintenance(
                     old_c = _centroids_path(store_root, e)
                     if os.path.exists(old_c):
                         os.unlink(old_c)
-                    old_codes = os.path.join(store_root, f"codes_v{e}")
-                    if os.path.isdir(old_codes):
-                        shutil.rmtree(old_codes)
+                    if codebook is not None:
+                        # only a codes-writing rebuild supersedes codes
+                        # dirs (the contract guard above already rejects
+                        # a codebook-less rebuild of a codes store)
+                        old_codes = os.path.join(store_root, f"codes_v{e}")
+                        if os.path.isdir(old_codes):
+                            shutil.rmtree(old_codes)
             return f"rebuilt at generation {b}"
         finally:
             # batch job, not a streaming query — release explicitly so

@@ -301,7 +301,9 @@ def apply_bucketed_merge(
         new_tombs.write.mode("overwrite").partitionBy("_bucket").parquet(
             tomb_out
         )
-    manifest = _read_manifest(state_root)
+    # single-writer lease ⇒ nothing changed the manifest since the
+    # pre-merge read — reuse it instead of a second parse
+    manifest = dict(pre_manifest)
     for b in touched:
         bucket_dir = os.path.join(out, f"_bucket={b}")
         # a touched bucket can still end up empty (all its keys

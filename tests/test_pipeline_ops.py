@@ -228,3 +228,38 @@ def test_shard_export_idempotent_and_crash_repair(spark, sf_dir):
     res2 = export_token_shards(spark, stream, sharded, out)
     assert res2["written"] and res2["n_shards"] == res["n_shards"]
     assert all(r.files_match for r in verify_token_shards(spark, out).collect())
+
+
+def test_shard_verify_flags_file_only_shard(spark, sf_dir):
+    """review r11: shard data on disk the manifest never committed must
+    surface as a files_match=false row, not be silently ignored."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_practice_spark.operators.shards import (
+        export_token_shards,
+        verify_token_shards,
+    )
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _tokenized_shard_frames,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="shard_rogue_t_", dir=TMP_ROOT), "shards"
+    )
+    stream, sharded = _tokenized_shard_frames(spark, sf_dir)
+    export_token_shards(spark, stream, sharded, out)
+    # plant a rogue shard: copy an existing one to an uncommitted id
+    some = sorted(glob.glob(os.path.join(out, "source=*", "shard_id=*")))[0]
+    rogue = os.path.join(os.path.dirname(some), "shard_id=9999")
+    shutil.copytree(some, rogue)
+    rows = verify_token_shards(spark, out).collect()
+    bad = [r for r in rows if not r.files_match]
+    assert len(bad) == 1 and bad[0].shard_id == 9999
+    assert bad[0].n_tokens is None  # no manifest row for it
+    good = [r for r in rows if r.files_match]
+    assert len(good) == len(rows) - 1 and good  # the rest still verify

@@ -935,9 +935,12 @@ def test_stream_ivf_ingest_kill_resume_and_drift(spark, sf_dir):
     src = os.path.join(work, "src")
     os.makedirs(src)
     _split_embeddings_into_files(spark, batch, src, n_files=3)
+    from cdc_practice_spark.operators import quantization as Q
+
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
     store = os.path.join(work, "store")
     ckpt = os.path.join(work, "ckpt")
-    seed_ivf_ingest(spark, corpus, cents, store)
+    seed_ivf_ingest(spark, corpus, cents, store, codebook=cb)
 
     def run(kill):
         stream = (
@@ -945,7 +948,7 @@ def test_stream_ivf_ingest_kill_resume_and_drift(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = stream_ivf_ingest(spark, stream, cents, store, ckpt)
+        q = stream_ivf_ingest(spark, stream, cents, store, ckpt, codebook=cb)
         if kill:
             deadline = _time.time() + 120
             while _time.time() < deadline:
@@ -976,6 +979,19 @@ def test_stream_ivf_ingest_kill_resume_and_drift(spark, sf_dir):
     assert sidecar == fresh
     rep = ivf_ingest_drift(spark, store).collect()[0]
     assert rep.share_drift and rep.dist_drift
+    # r11: the PQ codes tier survived the kill-resume exactly-once too —
+    # accreted codes equal one batch encode over everything arrived,
+    # with the same id set as the assignments
+    from cdc_practice_spark.streaming.ann_ingest import load_ivf_ingest_codes
+
+    stored_codes = load_ivf_ingest_codes(spark, store)
+    want_codes = (
+        Q.pq_encode(corpus.unionByName(batch), cb)
+        .join(stored.select("vec_id", "cell"), "vec_id")
+        .select("vec_id", "cell", "codes", "norm")
+    )
+    assert stored_codes.exceptAll(want_codes).isEmpty()
+    assert want_codes.exceptAll(stored_codes).isEmpty()
 
 
 def test_ivf_drift_maintenance_noop_and_rebuild(spark, sf_dir):
@@ -1218,3 +1234,70 @@ def test_stream_ivf_ingest_maintains_pq_codes_tier(spark, sf_dir):
     exact = {r.vec_id: r.cosine for r in S.brute_force_topk(merged, qv, k=500).collect()}
     for r in rows:
         assert r.cosine == exact[r.vec_id]  # rerank scores are exact
+
+
+def test_ivf_codes_tier_is_store_level_contract(spark, sf_dir):
+    """review r11: the PQ codes tier is a store invariant — appending
+    without the codebook to a codes-bearing store raises (the epoch's
+    ids would be invisible to served queries), appending WITH a
+    codebook to a codes-less store raises (partial tier), and a
+    codebook-less drift rebuild of a codes store raises instead of
+    destroying the tier.  Legacy bare _centroids.json still loads."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.streaming.ann_ingest import (
+        append_ivf_ingest_batch,
+        ivf_drift_maintenance,
+        load_centroids,
+        seed_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.3) + F.lit(1.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="codes_contract_", dir=TMP_ROOT)
+
+    with_codes = os.path.join(work, "with_codes")
+    seed_ivf_ingest(spark, corpus, cents, with_codes, codebook=cb)
+    with _pytest.raises(ValueError, match="codes tier"):
+        append_ivf_ingest_batch(spark, with_codes, batch, cents, epoch=0)
+    # maintenance guard: force an alarm first (OOD epoch WITH codes),
+    # then a codebook-less rebuild must refuse to destroy the tier
+    append_ivf_ingest_batch(
+        spark, with_codes, batch, cents, epoch=0, codebook=cb
+    )
+    merged = corpus.unionByName(batch)
+    with _pytest.raises(ValueError, match="codes tier"):
+        ivf_drift_maintenance(
+            spark, with_codes, merged, os.path.join(work, "runs2")
+        )
+
+    without_codes = os.path.join(work, "without_codes")
+    seed_ivf_ingest(spark, corpus, cents, without_codes)
+    with _pytest.raises(ValueError, match="no codes tier"):
+        append_ivf_ingest_batch(
+            spark, without_codes, batch, cents, epoch=0, codebook=cb
+        )
+
+    # legacy layout: bare _centroids.json (pre-r11 store) still resolves
+    legacy = os.path.join(work, "legacy")
+    seed_ivf_ingest(spark, corpus, cents, legacy)
+    os.rename(
+        os.path.join(legacy, "_centroids.v-1.json"),
+        os.path.join(legacy, "_centroids.json"),
+    )
+    assert load_centroids(legacy) == cents
