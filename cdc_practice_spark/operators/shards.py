@@ -21,10 +21,12 @@ Layout choices, argued at 100 TB:
     row order (engines may reorder row groups; the digest orders by
     pos, not file order);
   - the manifest is the ONE commit point: a crash mid-write leaves
-    data dirs but no manifest, and the next run overwrites them (the
-    writes are per-shard overwrite-idempotent); a completed export is
-    a NO-OP on re-run (the resume contract — a nightly re-trigger must
-    not rewrite 100 TB of shards).
+    data dirs but no manifest, and the next run REWRITES THE WHOLE
+    EXPORT DIRECTORY (the static-overwrite partitionBy write clears
+    out_dir first — repair is directory-wide, atomic by manifest, not
+    per shard); a completed export is a NO-OP on re-run (the resume
+    contract — a nightly re-trigger must not rewrite 100 TB of
+    shards).
 
 Reference lineage: the reference ships rows to a warehouse
 (simple_kafka_etl.py:147-175) — this is the analogous terminal sink for

@@ -461,6 +461,13 @@ def stream_ivf_ingest(
         new_rows.write.mode("overwrite").parquet(
             os.path.join(store_root, f"assign_v{store_epoch}")
         )
+        if not pre_epochs:
+            # unseeded root (r11 ADVICE low): this first commit IS the
+            # store's base generation, so the frozen centroids persist
+            # here — otherwise a store created solely by the stream
+            # passes every contract check but load_centroids (and hence
+            # ivf_pq_topk_from_store) fails on a missing parameters file
+            write_centroids(store_root, centroids, generation=store_epoch)
         if codebook is not None:
             # the IVF-PQ serving tier maintained AT INGEST: the epoch's
             # codes delta covers exactly the assignment delta's ids and
@@ -517,23 +524,61 @@ def append_ivf_ingest_batch(
     that already hold the store exclusively): assign under the frozen
     centroids, commit the delta through the manifest, refresh the stats
     sidecar; with ``codebook``, the epoch's PQ codes delta too.  Same
-    overwrite-idempotent layout, so batch and streaming epochs
+    overwrite-idempotent layout AND the same append-only contract as
+    the streaming twin (r11 ADVICE medium): ids already in the store
+    are dropped (a redelivered batch is a no-op, a half-delivery is
+    repaired), and a re-arriving id whose assignment DISAGREES with the
+    store raises — without the guard a duplicate batch would write the
+    same ids into a second delta, double-counting ivf_cell_stats
+    (skewing the drift alarm) and letting served top-k emit duplicate
+    ids.  Only with both guards do batch and streaming epochs
     interleave freely."""
     from cdc_practice_spark.operators.similarity import ivf_assign
+    from cdc_practice_spark.plans.cache import tracked_persist
 
     epochs = _sig_epochs(store_root)
     _check_codes_contract(
         store_root, epochs, codebook, "append_ivf_ingest_batch"
     )
+    pre_epochs = [e for e in epochs if e != epoch]
+    idx = _load_union(spark, store_root, "assign", pre_epochs, _ASSIGN_SCHEMA)
+    new_rows = tracked_persist(
+        ivf_assign(
+            batch_df.select(F.col(id_col), F.col(vec_col)),
+            centroids,
+            id_col,
+            vec_col,
+        )
+    )
+    present = idx.join(
+        F.broadcast(new_rows.select(id_col).distinct()), id_col, "left_semi"
+    ).select(id_col, "cell", "dist2")
+    n_conflict = new_rows.alias("n").join(
+        F.broadcast(present).alias("p"),
+        (F.col(f"n.{id_col}") == F.col(f"p.{id_col}"))
+        & (
+            (F.col("n.cell") != F.col("p.cell"))
+            | (F.col("n.dist2") != F.col("p.dist2"))
+        ),
+    ).count()
+    if n_conflict:
+        raise ValueError(
+            f"append_ivf_ingest_batch: {n_conflict} re-arriving ids disagree "
+            f"with the stored assignment — a vector was re-embedded; erase "
+            f"it first, then ingest the new embedding"
+        )
+    new_rows = new_rows.join(
+        F.broadcast(present.select(id_col)), id_col, "left_anti"
+    )
     assign_dir = os.path.join(store_root, f"assign_v{epoch}")
-    ivf_assign(
-        batch_df.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
-    ).write.mode("overwrite").parquet(assign_dir)
+    new_rows.write.mode("overwrite").parquet(assign_dir)
     if codebook is not None:
         _write_codes_delta(
             spark,
             store_root,
-            batch_df,
+            batch_df.join(
+                F.broadcast(new_rows.select(id_col)), id_col, "left_semi"
+            ),
             spark.read.schema(_ASSIGN_SCHEMA).parquet(assign_dir),
             codebook,
             epoch,
@@ -572,12 +617,26 @@ def load_centroids(store_root: str):
     bare ``_centroids.json`` (the sidecar kit's migration convention)."""
     import json as _json
 
-    gen = min(_sig_epochs(store_root))
+    epochs = _sig_epochs(store_root)
+    if not epochs:
+        raise ValueError(
+            f"load_centroids: store {store_root!r} has no committed epochs "
+            f"— seed it (seed_ivf_ingest) or ingest at least one batch "
+            f"before serving"
+        )
+    gen = min(epochs)
     path = _centroids_path(store_root, gen)
     if not os.path.exists(path):
         legacy = os.path.join(store_root, "_centroids.json")
         if os.path.exists(legacy):
             path = legacy
+        else:
+            raise FileNotFoundError(
+                f"load_centroids: store {store_root!r} has committed epochs "
+                f"but no persisted centroids at generation {gen} — the "
+                f"store predates the centroid persistence contract; re-seed "
+                f"or write_centroids() the trained parameters"
+            )
     with open(path) as fh:
         return _json.load(fh)
 

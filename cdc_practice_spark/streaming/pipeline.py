@@ -285,22 +285,49 @@ def apply_bucketed_merge(
         if (has_standing_tombs or batch_has_deletes)
         else None
     )
+    out = os.path.join(state_root, f"v{epoch_id}")
+    tomb_out = os.path.join(state_root, f"v{epoch_id}_tombs")
+
+    # replay self-overwrite guard (r11 ADVICE): after a crash BETWEEN
+    # the manifest swap and the streaming checkpoint commit, the replay
+    # of this same epoch finds the manifest already pointing touched
+    # buckets (or their tombstone sidecars) INTO the v{epoch} dirs the
+    # mode('overwrite') writes below delete at start — Spark's
+    # self-overwrite check only matches exact paths, so the lazy read
+    # would hit FileNotFoundException (or, with ignoreMissingFiles,
+    # silently lose the delete frontier and re-enable deleted-key
+    # resurrection).  Pin any input whose files live under a dir this
+    # epoch rewrites — eager, lineage-truncating materialization; only
+    # the rare crash-replay epoch ever pays it.
+    def _under(paths: list[str], d: str) -> bool:
+        return any(p == d or p.startswith(d + os.sep) for p in paths)
+
+    state_inputs = [
+        pre_manifest[str(b)] for b in touched if str(b) in pre_manifest
+    ]
+    tomb_inputs = [
+        pre_manifest[f"t{b}"] for b in touched if f"t{b}" in pre_manifest
+    ]
+    if _under(state_inputs, out):
+        existing = existing.localCheckpoint(eager=True)
+    if tombs is not None and _under(tomb_inputs, tomb_out):
+        tombs = tombs.localCheckpoint(eager=True)
+
     new_state = merge_batch(
         existing, batch_df, payload_cols, carry_cols, tombstones=tombs
     ).withColumn("_bucket", _bucket_col(n_buckets))
-    out = os.path.join(state_root, f"v{epoch_id}")
     new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
-    tomb_out = None
     if batch_has_deletes:
         # rewritten whole per touched bucket like state — one row per
         # ever-deleted key, so the sidecar is deleted-keys-sized
         new_tombs = updated_tombstones(tombs, batch_df).withColumn(
             "_bucket", _bucket_col(n_buckets)
         )
-        tomb_out = os.path.join(state_root, f"v{epoch_id}_tombs")
         new_tombs.write.mode("overwrite").partitionBy("_bucket").parquet(
             tomb_out
         )
+    else:
+        tomb_out = None
     # single-writer lease ⇒ nothing changed the manifest since the
     # pre-merge read — reuse it instead of a second parse
     manifest = dict(pre_manifest)

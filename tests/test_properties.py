@@ -596,3 +596,71 @@ def test_merge_batch_carry_col_resets_at_reinsert(spark):
     )
     got = {r.original_id: r.value_carried for r in st.collect()}
     assert got == {1: 42.0}
+
+
+def test_bucketed_merge_epoch_replay_self_overwrite(spark, tmp_path):
+    """r11 ADVICE: a crash BETWEEN the manifest swap and the streaming
+    checkpoint commit replays the same epoch with the manifest already
+    pointing touched buckets (and their tombstone sidecars) INTO the
+    v{epoch} dirs the replay overwrites.  mode('overwrite') deletes the
+    whole parent dir before the write job reads its inputs — a
+    read-leaf-overwrite-parent primitive demonstrably fails with
+    FAILED_READ_FILE.FILE_NOT_EXIST on this Spark (the self-overwrite
+    check only matches exact paths); whether the full merge plan hits
+    it depends on plan/scan timing, so the eager localCheckpoint pin
+    makes the replay contract unconditional instead of
+    plan-shape-dependent.  The replay must succeed and leave state AND
+    frontier intact."""
+    from datetime import datetime
+
+    from cdc_practice_spark.cdc.feed import change_feed_from_events
+    from cdc_practice_spark.streaming.pipeline import (
+        apply_bucketed_merge,
+        load_bucketed_state,
+        load_bucketed_tombstones,
+    )
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    root = str(tmp_path / "state")
+    feed = lambda rows: change_feed_from_events(  # noqa: E731
+        spark.createDataFrame(rows, schema)
+    )
+    epoch0 = [
+        (0, ts(0), 1, "signup", 10.0, "{}"),
+        (1, ts(1), 1, "error", 0.0, "{}"),  # DELETE key 1
+        (2, ts(2), 2, "signup", 20.0, "{}"),
+    ]
+    apply_bucketed_merge(spark, feed(epoch0), root, epoch_id=0, n_buckets=4)
+    # delete-bearing epoch 1 — commits manifest entries t{b} → v1_tombs
+    epoch1 = [
+        (3, ts(3), 3, "signup", 30.0, "{}"),
+        (4, ts(4), 2, "error", 0.0, "{}"),  # DELETE key 2
+    ]
+    apply_bucketed_merge(spark, feed(epoch1), root, epoch_id=1, n_buckets=4)
+    want_state = {
+        (r.original_id, r.value, r.last_offset)
+        for r in load_bucketed_state(spark, root).collect()
+    }
+    want_tombs = {
+        (r.original_id, r.last_offset)
+        for r in load_bucketed_tombstones(spark, root, list(range(4))).collect()
+    }
+    assert want_tombs == {(1, 1), (2, 4)}
+
+    # THE replay: same epoch id, same batch, manifest already swapped —
+    # inputs for the touched buckets now live under v1 / v1_tombs
+    apply_bucketed_merge(spark, feed(epoch1), root, epoch_id=1, n_buckets=4)
+    got_state = {
+        (r.original_id, r.value, r.last_offset)
+        for r in load_bucketed_state(spark, root).collect()
+    }
+    got_tombs = {
+        (r.original_id, r.last_offset)
+        for r in load_bucketed_tombstones(spark, root, list(range(4))).collect()
+    }
+    assert got_state == want_state
+    assert got_tombs == want_tombs

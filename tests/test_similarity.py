@@ -1301,3 +1301,128 @@ def test_ivf_codes_tier_is_store_level_contract(spark, sf_dir):
         os.path.join(legacy, "_centroids.json"),
     )
     assert load_centroids(legacy) == cents
+
+
+def test_append_ivf_ingest_batch_redelivery_and_conflict_guard(spark, sf_dir):
+    """r11 ADVICE medium: the batch append enforces the SAME append-only
+    contract as the streaming sink — a redelivered batch (same ids,
+    new epoch) adds NOTHING (no duplicate assignment/codes rows, no
+    double-counted cell stats skewing the drift alarm, no duplicate ids
+    in served top-k), and a re-embedded id (same id, different vector)
+    raises instead of silently keeping the stale rows."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.streaming.ann_ingest import (
+        append_ivf_ingest_batch,
+        load_ivf_ingest_assignments,
+        load_ivf_ingest_codes,
+        seed_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select("vec_id", "embedding")
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ivf_append_guard_", dir=TMP_ROOT)
+    store = os.path.join(work, "store")
+    seed_ivf_ingest(spark, corpus, cents, store, codebook=cb)
+
+    append_ivf_ingest_batch(spark, store, batch, cents, epoch=0, codebook=cb)
+    rows_before = sorted(
+        (r.vec_id, r.cell)
+        for r in load_ivf_ingest_assignments(spark, store).collect()
+    )
+    stats_before = {
+        r.cell: (r.n, r.sum_dist2)
+        for r in S.read_stats_sidecar(spark, store, "_cell_stats").collect()
+    }
+    n_ids = len({v for v, _c in rows_before})
+    assert len(rows_before) == n_ids  # unique before redelivery
+
+    # redelivery at a NEW epoch id (an at-least-once bus re-sending a
+    # whole batch): must be a committed-but-empty epoch, not duplicates
+    append_ivf_ingest_batch(spark, store, batch, cents, epoch=1, codebook=cb)
+    rows_after = sorted(
+        (r.vec_id, r.cell)
+        for r in load_ivf_ingest_assignments(spark, store).collect()
+    )
+    assert rows_after == rows_before
+    stats_after = {
+        r.cell: (r.n, r.sum_dist2)
+        for r in S.read_stats_sidecar(spark, store, "_cell_stats").collect()
+    }
+    assert stats_after == stats_before
+    codes = load_ivf_ingest_codes(spark, store)
+    assert codes.count() == codes.select("vec_id").distinct().count()
+
+    # re-embedded id (same id, different vector) → raise, not drop
+    reembedded = batch.limit(3).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.3) + F.lit(1.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="re-embedded"):
+        append_ivf_ingest_batch(
+            spark, store, reembedded, cents, epoch=2, codebook=cb
+        )
+
+
+def test_stream_ivf_ingest_unseeded_root_persists_centroids(spark, sf_dir):
+    """r11 ADVICE low: a store created SOLELY by the streaming sink (no
+    seed) must still be servable — the first commit persists the frozen
+    centroids at the base generation, so ivf_pq_topk_from_store works;
+    and load_centroids on a store with no committed epochs raises a
+    descriptive error instead of an opaque min()/FileNotFoundError."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.queries.similarity_queries import (
+        _split_embeddings_into_files,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.streaming.ann_ingest import (
+        ivf_pq_topk_from_store,
+        load_centroids,
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = S.kmeans_centroids(emb, k=8, n_iter=2)
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ivf_unseeded_", dir=TMP_ROOT)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _split_embeddings_into_files(spark, emb, src, n_files=2)
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+
+    os.makedirs(store, exist_ok=True)
+    with _pytest.raises(ValueError, match="no committed epochs"):
+        load_centroids(store)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ivf_ingest(spark, stream, cents, store, ckpt, codebook=cb)
+    q.awaitTermination()
+
+    assert load_centroids(store) == cents
+    qvec = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    served = ivf_pq_topk_from_store(
+        spark, store, emb, cb, qvec, k=5, nprobe=8, shortlist=50
+    ).collect()
+    assert len(served) == 5
