@@ -59,7 +59,12 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # r12: reset at round start (all seventeen r11 pins earned their
 # CORRECTNESS_r11 rows); repopulated as r12 changes land.
 CHANGED_ROUND: int = 12
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # new r12 surfaces: raw-document extraction (markup→text)
+    "corpus_extract_html",
+    "corpus_boilerplate_lines",
+    "corpus_extract_then_quality",
+)
 
 
 def _spent_pins() -> set[str]:
