@@ -64,6 +64,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "corpus_extract_html",
     "corpus_boilerplate_lines",
     "corpus_extract_then_quality",
+    # batched multi-query ANN serving
+    "ann_batch_serve",
 )
 
 

@@ -1676,3 +1676,84 @@ def streaming_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_scored") < F.col("n_vectors")).alias("sublinear_ok"),
         )
     )
+
+
+@register(
+    "ann_batch_serve",
+    oracle="""
+SELECT CAST(g.range AS BIGINT) AS qid,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST(10 AS BIGINT) AS k,
+       CAST(10 AS BIGINT) AS n_results,
+       TRUE AS match_single
+FROM range(0, 8) g
+ORDER BY qid
+""",
+)
+def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query IVF-PQ serving (r12 — VERDICT r11 ask #3):
+    8 query vectors as a DATAFRAME through ivf_pq_topk_batch — per-query
+    probe cells, ADC LUTs, and norms are codegen expressions over the
+    query rows, so all 8 queries cost ONE scan of the codes side and
+    one shortlist-sized rerank join (plan-pinned in
+    tests/test_similarity.py) instead of 8 driver round-trips.  This is
+    the set-oriented shape kNN-graph construction, hard-negative
+    mining, and retrieval eval need at scale.
+
+    The oracle-gated claim: every query's top-k — ids, round-6 cosines,
+    AND ranks — is IDENTICAL to the single-query ivf_pq_topk path run
+    once per query (the batch expressions replicate the driver-side
+    fold order exactly); any divergence in probe ranking, LUT math, ADC
+    fold, shortlist cut, or rerank tiebreak flips match_single and the
+    hash.  n_vectors keeps the row data-dependent."""
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
+    qrows = (
+        emb.filter(F.col("vec_id").isin([7 * i + 1 for i in range(8)]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    qdata = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(qrows)]
+    queries = spark.createDataFrame(qdata, "qid long, qvec array<double>")
+    cents = Q.ivf_centroid_rows(emb, dim=len(qdata[0][1]))
+    batch = tracked_persist(
+        Q.ivf_pq_topk_batch(
+            emb, cb, queries, cents, k=10, nprobe=5, shortlist=50
+        )
+    )
+    singles = None
+    for i, qv in qdata:
+        s = Q.ivf_pq_topk(emb, cb, qv, k=10, nprobe=5, shortlist=50).select(
+            F.lit(i).cast("long").alias("qid"), "vec_id", "cosine"
+        )
+        singles = s if singles is None else singles.unionByName(s)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    singles = singles.withColumn("rank", F.row_number().over(w).cast("long"))
+    b_agg = batch.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "vec_id", "cosine"))
+        ).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+    )
+    s_agg = singles.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "vec_id", "cosine"))
+        ).alias("s")
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        b_agg.join(s_agg, "qid")
+        .crossJoin(F.broadcast(n_vec))
+        .select(
+            "qid",
+            "n_vectors",
+            F.lit(10).cast("long").alias("k"),
+            "n_results",
+            (F.col("b") == F.col("s")).alias("match_single"),
+        )
+        .orderBy("qid")
+    )

@@ -820,3 +820,44 @@ def compact_ann_ingest_store(spark: SparkSession, store_root: str) -> int:
             if os.path.isdir(folded):
                 shutil.rmtree(folded)
     return n
+
+
+def ivf_pq_topk_batch_from_store(
+    spark: SparkSession,
+    store_root: str,
+    embeddings: DataFrame,
+    codebook,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched serving off the STREAMING-MAINTAINED store (r12 — the
+    set-oriented twin of ivf_pq_topk_from_store): probe order from the
+    persisted frozen centroids (as literals in the query plan — the
+    probe_cells ranking as an expression), candidate ranking from the
+    accreted codes deltas scanned ONCE for all queries, exact rerank
+    only over shortlist ids.  N queries cost one codes scan + one
+    shortlist-sized vector join instead of N driver round-trips."""
+    from cdc_practice_spark.operators.quantization import ivf_pq_topk_batch
+
+    cents = load_centroids(store_root)
+    return ivf_pq_topk_batch(
+        embeddings,
+        codebook,
+        queries,
+        list(enumerate(cents)),
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col="cell",
+        codes=load_ivf_ingest_codes(spark, store_root),
+        qid_col=qid_col,
+        qvec_col=qvec_col,
+    )

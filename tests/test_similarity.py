@@ -1426,3 +1426,72 @@ def test_stream_ivf_ingest_unseeded_root_persists_centroids(spark, sf_dir):
         spark, store, emb, cb, qvec, k=5, nprobe=8, shortlist=50
     ).collect()
     assert len(served) == 5
+
+
+def test_ivf_pq_batch_one_codes_scan_and_store_twin(spark, sf_dir):
+    """r12 batched serving (VERDICT r11 ask #3): N queries must cost ONE
+    scan of the codes store — the probe frame broadcasts against it —
+    and the store-served batch wrapper must agree with the per-query
+    store path for every query."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.streaming.ann_ingest import (
+        ivf_pq_topk_batch_from_store,
+        ivf_pq_topk_from_store,
+        seed_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+    qdata = [
+        (i, [float(x) for x in r.embedding])
+        for i, r in enumerate(
+            emb.filter(F.col("vec_id").isin([3, 11, 29])).orderBy("vec_id").collect()
+        )
+    ]
+    queries = spark.createDataFrame(qdata, "qid long, qvec array<double>")
+
+    # ONE scan of a persisted codes table for all N queries
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="pq_batch_", dir=TMP_ROOT)
+    codes_path = os.path.join(work, "codes")
+    Q.pq_encode(emb, cb, keep_cols=("label",)).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+    cents = Q.ivf_centroid_rows(emb, dim=len(qdata[0][1]))
+    plan = (
+        Q.ivf_pq_topk_batch(
+            emb, cb, queries, cents, k=5, nprobe=3, shortlist=20, codes=codes
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("codes") >= 1
+    assert plan.count(codes_path) == 1, f"codes store scanned != once:\n{plan}"
+
+    # store-served twin: batch == per-query loop, id/cosine/rank-exact
+    store = os.path.join(work, "store")
+    seed_ivf_ingest(
+        spark, emb.select("vec_id", "embedding"),
+        [v for _c, v in cents], store, codebook=cb,
+    )
+    got = {
+        (r.qid, r.rank): (r.vec_id, r.cosine)
+        for r in ivf_pq_topk_batch_from_store(
+            spark, store, emb, cb, queries, k=5, nprobe=3, shortlist=20
+        ).collect()
+    }
+    want = {}
+    for i, qv in qdata:
+        rows = ivf_pq_topk_from_store(
+            spark, store, emb, cb, qv, k=5, nprobe=3, shortlist=20
+        ).collect()
+        for rank, r in enumerate(rows, 1):
+            want[(i, rank)] = (r.vec_id, r.cosine)
+    assert got == want
