@@ -263,3 +263,101 @@ def test_shard_verify_flags_file_only_shard(spark, sf_dir):
     assert bad[0].n_tokens is None  # no manifest row for it
     good = [r for r in rows if r.files_match]
     assert len(good) == len(rows) - 1 and good  # the rest still verify
+
+
+def test_shard_capacity_sizes_manifest_not_corpus(spark, sf_dir):
+    """r12 (VERDICT r11 wrong #2): shard capacity is a sized parameter —
+    manifest cardinality is decided by seqs_per_shard policy, NOT by
+    corpus size.  4× the capacity over the same corpus must shrink the
+    per-source shard count ~4× (ceil'd), and the derivation helper
+    floors at the production bound so the test-scaled constant can't
+    leak into a corpus-scale export."""
+    import math
+
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _SHARD_SEQS,
+        SHARD_SEQS_PROD_FLOOR,
+        _tokenized_shard_frames,
+        shard_seqs_for,
+    )
+
+    def shards_per_source(seqs_per_shard):
+        _, sharded = _tokenized_shard_frames(
+            spark, sf_dir, seqs_per_shard=seqs_per_shard
+        )
+        return {
+            r.source: (r.n_shards, r.n_bins)
+            for r in sharded.groupBy("source")
+            .agg(
+                F.countDistinct("shard_id").alias("n_shards"),
+                F.countDistinct("bin_id").alias("n_bins"),
+            )
+            .collect()
+        }
+
+    small = shards_per_source(_SHARD_SEQS)
+    big = shards_per_source(4 * _SHARD_SEQS)
+    assert small.keys() == big.keys()
+    for src in small:
+        n_small, n_bins = small[src]
+        n_big, _ = big[src]
+        # exact: shard_id = bin_id // seqs_per_shard over dense bin ids
+        assert n_small == math.ceil(n_bins / _SHARD_SEQS)
+        assert n_big == math.ceil(n_bins / (4 * _SHARD_SEQS))
+    # the sizing helper: GB-scale target dominates, floor guards small
+    assert shard_seqs_for(1 << 30, tokens_per_seq=8192) == (1 << 30) // (8192 * 4)
+    assert shard_seqs_for(1 << 20, tokens_per_seq=8192) == SHARD_SEQS_PROD_FLOOR
+    assert SHARD_SEQS_PROD_FLOOR > 100 * _SHARD_SEQS  # test constant can't leak
+
+
+def test_shard_manifest_spill_roundtrip(spark, sf_dir):
+    """r12: above the spill bound the manifest rows are written by Spark
+    (never collected) and the committed JSON is a pointer record.  The
+    spilled form must verify green, stay a no-op on re-run, present the
+    same rows through read_export_manifest_df as the inline form, and
+    keep the JSON replace as the one commit point."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.operators.shards import (
+        export_token_shards,
+        read_export_manifest,
+        read_export_manifest_df,
+        verify_token_shards,
+    )
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _tokenized_shard_frames,
+    )
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="shard_spill_t_", dir=TMP_ROOT)
+    inline_out = os.path.join(base, "inline")
+    spill_out = os.path.join(base, "spill")
+    stream, sharded = _tokenized_shard_frames(spark, sf_dir)
+    res_i = export_token_shards(spark, stream, sharded, inline_out)
+    # force the spill path: every real export exceeds bound 0
+    res_s = export_token_shards(
+        spark, stream, sharded, spill_out, manifest_spill_rows=0
+    )
+    assert res_s == res_i and res_s["n_shards"] > 0
+    man = read_export_manifest(spill_out)
+    assert isinstance(man, dict) and man["format"] == "parquet"
+    assert man["n_shards"] == res_s["n_shards"]
+    assert os.path.isdir(os.path.join(spill_out, man["rows_dir"]))
+    assert isinstance(read_export_manifest(inline_out), list)
+    # both forms agree row-for-row through the DataFrame reader
+    cols = ["source", "shard_id", "n_seqs", "n_docs", "n_tokens", "digest"]
+    df_i = read_export_manifest_df(spark, inline_out).orderBy(*cols[:2])
+    df_s = read_export_manifest_df(spark, spill_out).orderBy(*cols[:2])
+    assert [tuple(r) for r in df_i.select(cols).collect()] == [
+        tuple(r) for r in df_s.select(cols).collect()
+    ]
+    # reader-side integrity green on the spilled form (also proves the
+    # _-prefixed rows dir is invisible to the data scan)
+    ver = verify_token_shards(spark, spill_out).collect()
+    assert len(ver) == res_s["n_shards"] and all(r.files_match for r in ver)
+    # pointer manifest still gates re-runs
+    assert export_token_shards(
+        spark, stream, sharded, spill_out, manifest_spill_rows=0
+    ) == {"written": False, "n_shards": 0}
