@@ -66,6 +66,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "corpus_extract_then_quality",
     # batched multi-query ANN serving
     "ann_batch_serve",
+    # streaming shard delivery (per-epoch sealed-shard export)
+    "streaming_shard_export",
 )
 
 

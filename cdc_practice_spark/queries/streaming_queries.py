@@ -868,6 +868,106 @@ def streaming_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shard_export_oracle() -> str:
+    """Batch identity for the STREAMING shard export: recompute the
+    whole curated corpus (the incremental chain through ``packed``),
+    shard it, tokenize kept docs under the hash60 cold-start id scheme,
+    and emit the same (source, shard_id, n_seqs, n_docs, n_tokens,
+    digest) rows the per-epoch delivery loop accreted."""
+    from cdc_practice_spark.queries.dedup_queries import _HASH
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _SHARD_MOD,
+        _e2e_incr_chain,
+    )
+    from cdc_practice_spark.streaming.shard_export import _SHARD_SEQS_STREAM
+
+    return (
+        _e2e_incr_chain()
+        + f""",
+sx_kept AS MATERIALIZED (
+  SELECT source, doc_id, n_tokens, bin_id,
+         CAST(bin_id // {_SHARD_SEQS_STREAM} AS BIGINT) AS shard_id
+  FROM packed
+),
+sx_words AS MATERIALIZED (
+  SELECT k.source, k.shard_id, k.doc_id, CAST(i AS BIGINT) AS wp,
+         k.lst[i] AS w
+  FROM (SELECT s.*, string_split_regex(lower(trim(d.text)), '\\s+') AS lst
+        FROM sx_kept s JOIN documents d USING (doc_id)) k,
+       unnest(range(1, len(k.lst) + 1)) AS g(i)
+  WHERE k.lst[i] <> ''
+),
+sx_stream AS (
+  SELECT source, shard_id, {_HASH.format(x='w')} AS tok_id,
+         row_number() OVER (PARTITION BY source, shard_id
+                            ORDER BY doc_id, wp) AS pos
+  FROM sx_words
+),
+sx_digests AS (
+  SELECT source, shard_id,
+         CAST(sum((tok_id * pos) % {_SHARD_MOD}) AS BIGINT)
+           % {_SHARD_MOD} AS digest
+  FROM sx_stream GROUP BY source, shard_id
+)
+SELECT k.source, k.shard_id,
+       CAST(count(DISTINCT k.bin_id) AS BIGINT) AS n_seqs,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k.n_tokens) AS BIGINT) AS n_tokens,
+       coalesce(any_value(d.digest), 0) AS digest
+FROM sx_kept k LEFT JOIN sx_digests d
+  ON k.source = d.source AND k.shard_id = d.shard_id
+GROUP BY k.source, k.shard_id
+ORDER BY k.source, k.shard_id
+"""
+    )
+
+
+@register("streaming_shard_export", oracle=_shard_export_oracle())
+def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous training-data delivery (r12 — VERDICT r11 missing
+    #5): replay the finished ingest store's commit history epoch by
+    epoch through ``export_ingest_shards`` — each call ships exactly
+    the shards that epoch SEALED (append-only by the greedy-packing
+    seal argument, streaming/shard_export.py) — then ``finalize`` the
+    per-source tails at end-of-feed.  The accreted ledger must be
+    row-identical to a one-shot batch export of the same curated
+    corpus, which is what the DuckDB oracle recomputes from scratch:
+    per-epoch chunking must change no shard boundary, no token
+    position, no digest.  Kill-resume and the committed-shard
+    byte-immutability are pinned in tests/test_streaming_corpus.py."""
+    from cdc_practice_spark.operators.shards import read_export_manifest_df
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.queries.pipeline_queries import _INCR_BATCH_MOD
+    from cdc_practice_spark.streaming.corpus import _read_manifest
+    from cdc_practice_spark.streaming.shard_export import (
+        _SHARD_SEQS_STREAM,
+        export_ingest_shards,
+    )
+
+    key = ("streaming_shard_export", sf_dir)
+    if key not in _STATS_CACHE:
+        store = _corpus_ingest_store(spark, sf_dir)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="shard_stream_", dir=TMP_ROOT), "shards"
+        )
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _INCR_BATCH_MOD == 3
+        )
+        for e in _read_manifest(store):  # the per-epoch delivery loop
+            export_ingest_shards(
+                spark, store, docs, out,
+                seqs_per_shard=_SHARD_SEQS_STREAM, at_epoch=e,
+            )
+        export_ingest_shards(
+            spark, store, docs, out,
+            seqs_per_shard=_SHARD_SEQS_STREAM, finalize=True,
+        )
+        _STATS_CACHE[key] = out
+    return read_export_manifest_df(spark, _STATS_CACHE[key]).orderBy(
+        "source", "shard_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Retroactive decontamination over the INGEST STORE (r9 — VERDICT r8 asks
 # #1 and #4): a new eval suite ships AFTER the stream admitted documents.

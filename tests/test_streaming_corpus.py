@@ -964,3 +964,145 @@ def test_abandoned_checkpoint_cannot_overwrite_later_runs(spark):
         )
         == after_b
     )
+
+
+def _shard_mtimes(out):
+    import glob
+
+    return {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "source=*", "shard_id=*", "*.parquet"))
+    }
+
+
+def test_shard_export_incremental_append_only(spark):
+    """r12 streaming shard delivery: the per-epoch loop ships only
+    newly SEALED shards; committed shard files are byte-untouched by
+    every later export (the append-only seal argument); replays are
+    no-ops; the finalized per-epoch ledger is row-identical to a
+    one-shot export of the finished store; the written files verify.
+    Uses the purge-harness corpus (capacity 40, 2 chunks) so shards
+    SEAL mid-feed — the real fixture's per-source bins stay open until
+    end-of-feed at sf0.001."""
+    from cdc_practice_spark.operators.shards import verify_token_shards
+    from cdc_practice_spark.streaming.corpus import _read_manifest
+    from cdc_practice_spark.streaming.shard_export import (
+        export_ingest_shards,
+        read_export_ledger,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="shard_sx_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    docs = _purge_harness_docs(spark).filter("doc_id >= 100")
+    out = os.path.join(work, "shards")
+    epochs = _read_manifest(store)
+    assert len(epochs) >= 2
+    seen = 0
+    frozen: dict[str, float] = {}
+    for e in epochs:
+        res = export_ingest_shards(
+            spark, store, docs, out, seqs_per_shard=1, at_epoch=e
+        )
+        # files committed by EARLIER epochs were not rewritten
+        cur = _shard_mtimes(out)
+        assert all(cur[p] == t for p, t in frozen.items())
+        frozen = cur
+        seen += res["written"]
+        assert len(read_export_ledger(out)["shards"]) == seen
+        # same-epoch replay (kill-resume of the delivery loop): no-op
+        assert export_ingest_shards(
+            spark, store, docs, out, seqs_per_shard=1, at_epoch=e
+        ) == {"written": 0, "finalized": False}
+    assert seen > 0, "no shard sealed mid-feed — fixture too small"
+    res = export_ingest_shards(
+        spark, store, docs, out, seqs_per_shard=1, finalize=True
+    )
+    assert res["finalized"] and res["written"] > 0  # the tail flush
+    ver = verify_token_shards(spark, out).collect()
+    assert ver and all(r.files_match for r in ver)
+    # batch identity: one-shot export of the finished store, fresh dir
+    out1 = os.path.join(work, "shards_oneshot")
+    export_ingest_shards(
+        spark, store, docs, out1, seqs_per_shard=1, finalize=True
+    )
+    assert (
+        read_export_ledger(out)["shards"] == read_export_ledger(out1)["shards"]
+    )
+    # post-finalize: re-finalize and plain export are both no-ops
+    assert export_ingest_shards(
+        spark, store, docs, out, seqs_per_shard=1, finalize=True
+    ) == {"written": 0, "finalized": True}
+
+
+def test_shard_export_kill_resume_and_guards(spark):
+    """Crash between the data write and the ledger commit: the replay
+    rewrites the same partitions and commits — final state identical to
+    the no-crash run.  Guards: a finalized export refuses a store that
+    advanced; a purge that rewrites admission history trips the drift
+    guard instead of serving a stale ledger."""
+    import shutil
+
+    import pytest
+
+    from cdc_practice_spark.streaming.corpus import _read_manifest
+    from cdc_practice_spark.streaming.shard_export import (
+        export_ingest_shards,
+        read_export_ledger,
+    )
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="shard_sxk_", dir=TMP_ROOT)
+    store = _run_purge_ingest(spark, work)
+    docs = _purge_harness_docs(spark).filter("doc_id >= 100")
+    epochs = _read_manifest(store)
+    out = os.path.join(work, "shards")
+    # crash at the last epoch (shards have sealed by then): data dirs
+    # land, ledger does not
+    with pytest.raises(RuntimeError, match="injected crash"):
+        export_ingest_shards(
+            spark, store, docs, out, seqs_per_shard=1, at_epoch=epochs[-1],
+            _fail_before_commit=True,
+        )
+    assert read_export_ledger(out)["shards"] == []  # nothing committed
+    assert _shard_mtimes(out)  # ...but orphan shard dirs exist
+    # resume: same call, no injection — rewrites the orphans and commits
+    export_ingest_shards(
+        spark, store, docs, out, seqs_per_shard=1, at_epoch=epochs[-1]
+    )
+    assert read_export_ledger(out)["shards"]
+    export_ingest_shards(spark, store, docs, out, seqs_per_shard=1,
+                         finalize=True)
+    out2 = os.path.join(work, "shards_clean")
+    export_ingest_shards(spark, store, docs, out2, seqs_per_shard=1,
+                         finalize=True)
+    assert (
+        read_export_ledger(out)["shards"] == read_export_ledger(out2)["shards"]
+    )
+    # finalize guard: finalized at a PREFIX of the store history, then
+    # the store "advances" (full frontier) -> refuse
+    out3 = os.path.join(work, "shards_prefix")
+    export_ingest_shards(
+        spark, store, docs, out3, seqs_per_shard=1, at_epoch=epochs[0],
+        finalize=True,
+    )
+    with pytest.raises(RuntimeError, match="finalized"):
+        export_ingest_shards(spark, store, docs, out3, seqs_per_shard=1)
+    # drift guard: purge an exported doc from a COPY of the store
+    from cdc_practice_spark.streaming.corpus import (
+        load_ingest_dispositions,
+        purge_ingest_docs,
+    )
+
+    store2 = os.path.join(work, "store_purged")
+    shutil.copytree(store, store2)
+    victim = (
+        load_ingest_dispositions(spark, store2)
+        .filter(F.col("disposition") == "kept")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    purge_ingest_docs(spark, store2, victim)
+    with pytest.raises(RuntimeError, match="purge"):
+        export_ingest_shards(spark, store2, docs, out2, seqs_per_shard=1)
