@@ -327,6 +327,56 @@ def ivf_centroid_rows(
     )
 
 
+def _batch_probe_expr(centroids, qv, nprobe):
+    """The per-query-row probe decision as ONE expression: cosine
+    against the literal centroid table, array_sort by (round-6 sim
+    DESC, cell ASC) — the _ranked_cells/probe_cells rule — sliced to
+    nprobe.  Shared by ivf_pq_topk_batch and ivf_batch_probe so the
+    sublinearity witnesses count exactly the cells the serving path
+    scores."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
+            )
+            for c, v in centroids
+        ]
+    )
+    sims = F.transform(
+        cents,
+        lambda s: F.struct(
+            F.round(cosine(qv, s["cv"]), 6).alias("sim"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    probe_cmp = lambda l, r: (  # noqa: E731 — sim DESC, cell ASC
+        F.when(l["sim"] > r["sim"], -1)
+        .when(l["sim"] < r["sim"], 1)
+        .when(l["cell"] < r["cell"], -1)
+        .when(l["cell"] > r["cell"], 1)
+        .otherwise(0)
+    )
+    return F.slice(F.array_sort(sims, probe_cmp), 1, nprobe)
+
+
+def ivf_batch_probe(
+    queries: DataFrame,
+    centroids: list,
+    nprobe: int = 3,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """(qid, cell) pairs a batch of queries probes — the partition-
+    pruning decision AS DATA; joined against per-cell sizes it is the
+    exact row count the ADC stage scores (the graph/serve decision
+    oracles' sublinearity witness)."""
+    probe = _batch_probe_expr(centroids, to_double(F.col(qvec_col)), nprobe)
+    return queries.select(
+        F.col(qid_col), F.explode(probe["cell"]).alias("cell")
+    )
+
+
 def ivf_pq_topk_batch(
     embeddings: DataFrame,
     codebook: Codebook,
@@ -374,31 +424,8 @@ def ivf_pq_topk_batch(
 
     m, dsub = len(codebook), len(codebook[0][0])
     cb = _codebook_lit(codebook)
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(c)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
-            )
-            for c, v in centroids
-        ]
-    )
     qv = to_double(F.col(qvec_col))
-    sims = F.transform(
-        cents,
-        lambda s: F.struct(
-            F.round(cosine(qv, s["cv"]), 6).alias("sim"),
-            s["cell"].alias("cell"),
-        ),
-    )
-    probe_cmp = lambda l, r: (  # noqa: E731 — sim DESC, cell ASC
-        F.when(l["sim"] > r["sim"], -1)
-        .when(l["sim"] < r["sim"], 1)
-        .when(l["cell"] < r["cell"], -1)
-        .when(l["cell"] > r["cell"], 1)
-        .otherwise(0)
-    )
-    probe = F.slice(F.array_sort(sims, probe_cmp), 1, nprobe)
+    probe = _batch_probe_expr(centroids, qv, nprobe)
     lut = F.transform(
         cb,
         lambda cents_j, j: F.transform(
@@ -475,4 +502,63 @@ def ivf_pq_topk_batch(
         rer.withColumn("rank", F.row_number().over(w_k).cast("long"))
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def knn_graph_ivf_pq(
+    embeddings: DataFrame,
+    codebook: Codebook,
+    centroids: list,
+    k: int = 5,
+    nprobe: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """kNN GRAPH over the corpus via the IVF-PQ serving index — the
+    SUBLINEAR twin of ``similarity.knn_graph_exact``: every vector plays
+    a query in ONE ``ivf_pq_topk_batch`` call (one scan of the codes
+    store for all n queries; per-node work bounded by probed cells, not
+    the corpus), fetched at k+1 so dropping the self edge still leaves
+    k neighbors, then re-ranked densely.  Returns (qid, nbr_id, cosine,
+    rank) with ≤ k rows per node (k exactly whenever the probed cells
+    held k non-self candidates — the decision oracle's degree check).
+
+    This is the corpus-wide shape hard-negative mining and kNN-graph
+    based dedup/diversity need at 100 TB: the exact tier's O(n²) compute
+    becomes O(n · probed-fraction) ADC over ~21×-compressed codes, and
+    the batch path keeps it one job, not n driver round-trips (see
+    ivf_pq_topk_batch's chunking note for million-node graphs)."""
+    from pyspark.sql import Window
+
+    queries = embeddings.select(
+        F.col(id_col).alias("_gq"), to_double(F.col(vec_col)).alias("_gv")
+    )
+    hits = ivf_pq_topk_batch(
+        embeddings,
+        codebook,
+        queries,
+        centroids,
+        k=k + 1,  # self is almost always rank 1; keep k after dropping it
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        codes=codes,
+        qid_col="_gq",
+        qvec_col="_gv",
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        hits.filter(F.col("_gq") != F.col(id_col))
+        .select(
+            F.col("_gq").alias("qid"),
+            F.col(id_col).alias("nbr_id"),
+            "cosine",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )

@@ -1106,6 +1106,73 @@ def topk_similar_pairs_expr(
     )
 
 
+def knn_graph_exact(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 200_000,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """EXACT kNN graph over the whole corpus — every vector's top-k
+    neighbors by round-6 cosine (id tiebreak), self excluded: the
+    ground-truth graph behind semantic-dedup connected components,
+    retrieval eval, and curriculum/diversity sampling.  Returns
+    (qid, nbr_id, cosine, rank), exactly k rows per node.
+
+    Shape — block matrix multiply, declared relationally: the QUERY side
+    streams in driver-bounded hash blocks (qid % nblocks, no stats
+    needed), each block broadcasts against ONE scan of the corpus, the
+    cosine is the codegen zip_with fold (per-row norms precomputed once,
+    not per pair), and the per-query top-k is a rank-filtered window
+    whose limit Spark pushes to a partial WindowGroupLimit below the qid
+    exchange — each map partition ships k rows per query, never n² rows
+    through a sort.  Exactness is inherently O(n·n) compute; what the
+    blocking buys is that no single stage ever holds more than
+    |block|·corpus-partition rows and the broadcast stays bounded.  The
+    SUBLINEAR path for the same graph is ``knn_graph_ivf_pq``
+    (quantization.py) over the compressed codes store.
+
+    ``n_rows`` lets callers that already know the corpus count skip the
+    sizing count."""
+    from pyspark.sql import Window
+
+    from cdc_practice_spark.functions.vectors import dot, norm
+
+    base = tracked_persist(
+        embeddings.select(
+            F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
+        ).withColumn("_nrm", norm(F.col("_v")))
+    )
+    n = int(n_rows if n_rows is not None else base.count())
+    nblocks = max(1, -(-n // block_rows))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    out = None
+    for b in range(nblocks):  # driver loop is BLOCK-count-sized, not data-sized
+        qs = base.filter(F.pmod(F.col("_id"), F.lit(nblocks)) == b).select(
+            F.col("_id").alias("qid"),
+            F.col("_v").alias("_qv"),
+            F.col("_nrm").alias("_qn"),
+        )
+        part = (
+            base.crossJoin(F.broadcast(qs))
+            .filter(F.col("qid") != F.col("_id"))
+            .select(
+                "qid",
+                F.col("_id").alias("nbr_id"),
+                F.round(
+                    dot(F.col("_v"), F.col("_qv"))
+                    / (F.col("_nrm") * F.col("_qn")),
+                    6,
+                ).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def pandas_batch_scorer(query_matrix):
     """Arrow-vectorized batch scorer: returns a mapInPandas function that
     appends, per input row batch, the max cosine against ``query_matrix``

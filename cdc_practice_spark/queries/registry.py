@@ -68,6 +68,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ann_batch_serve",
     # streaming shard delivery (per-epoch sealed-shard export)
     "streaming_shard_export",
+    # corpus-wide kNN graph (exact + IVF-PQ sublinear tier)
+    "ann_knn_graph",
+    "ann_knn_graph_ivf",
 )
 
 

@@ -1757,3 +1757,126 @@ def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@register(
+    "ann_knn_graph",
+    oracle=f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, e.vec_id AS nbr_id,
+         round({_COS_RAW.format(a='e.embedding', b='q.embedding')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT qid, nbr_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide kNN graph (r12): every vector's top-5
+    neighbors by round-6 cosine, self excluded — the ground-truth graph
+    behind semantic-dedup components, retrieval eval, and diversity
+    sampling, and the recall reference for the sublinear
+    ``ann_knn_graph_ivf`` tier.  Full-hash oracle: DuckDB recomputes
+    the whole n² ranking, so one wrong cosine, dropped edge, or
+    tiebreak anywhere flips the hash.
+
+    Shape (operators/similarity.py::knn_graph_exact): block matrix
+    multiply declared relationally — driver-bounded query blocks
+    broadcast against ONE corpus scan each, per-row norms precomputed
+    once (not per pair), per-query top-k as a rank-filtered window
+    whose limit pushes to a partial WindowGroupLimit below the qid
+    exchange (k rows per query per map partition, never an n² sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph_exact(emb, k=5).orderBy("qid", "rank")
+
+
+@register(
+    "ann_knn_graph_ivf",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_nodes,
+       CAST(5 AS BIGINT) AS k,
+       TRUE AS degree_ok,
+       TRUE AS no_self_edges,
+       TRUE AS recall_ok,
+       TRUE AS sublinear_ok
+""",
+)
+def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph built SUBLINEARLY off the IVF-PQ serving index
+    (r12; operators/quantization.py::knn_graph_ivf_pq): all n vectors
+    play queries in ONE ivf_pq_topk_batch call — one scan of the
+    ~21×-compressed codes for the whole graph — fetched at k+1 so the
+    self edge drops without losing degree.  This is the 100 TB shape:
+    the exact tier's O(n²) compute becomes O(n · probed-fraction) ADC.
+
+    Decision booleans (k-means/PQ aren't SQL-replicable — the
+    ann_ivf_pq_recall convention):
+      - degree_ok: EVERY node has exactly k=5 neighbors (min==max==5
+        over per-node counts — probed cells held enough candidates);
+      - no_self_edges: zero (qid == nbr_id) rows survive;
+      - recall_ok: edge recall vs the exact graph (ann_knn_graph's
+        result) ≥ 0.5 averaged over all nodes;
+      - sublinear_ok: rows the ADC stage scores (probed cells' sizes
+        summed over queries, via the SHARED probe expression
+        ivf_batch_probe) < n² — the graph never degenerated to
+        all-pairs."""
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
+    k = 5
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
+    cents = Q.ivf_centroid_rows(emb, dim=64)
+    g = tracked_persist(
+        Q.knn_graph_ivf_pq(emb, cb, cents, k=k, nprobe=5, shortlist=200)
+    )
+    exact = S.knn_graph_exact(emb, k=k).select("qid", "nbr_id")
+    deg = g.groupBy("qid").agg(F.count(F.lit(1)).alias("deg")).agg(
+        F.min("deg").alias("dmin"),
+        F.max("deg").alias("dmax"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    selfs = g.filter(F.col("qid") == F.col("nbr_id")).agg(
+        F.count(F.lit(1)).alias("n_self")
+    )
+    hits = g.join(exact, ["qid", "nbr_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    qs = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    sizes = emb.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("csz")
+    )
+    scored = (
+        Q.ivf_batch_probe(qs, cents, nprobe=5, qid_col="qid", qvec_col="qv")
+        .join(F.broadcast(sizes), "cell")
+        .agg(F.sum("csz").alias("n_scored"))
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        n.crossJoin(deg)
+        .crossJoin(selfs)
+        .crossJoin(hits)
+        .crossJoin(scored)
+        .select(
+            "n_nodes",
+            F.lit(k).cast("long").alias("k"),
+            ((F.col("dmin") == k) & (F.col("dmax") == k)
+             & (F.col("n_q") == F.col("n_nodes"))).alias("degree_ok"),
+            (F.col("n_self") == 0).alias("no_self_edges"),
+            (
+                F.col("n_hit").cast("double")
+                / (F.col("n_nodes") * k).cast("double")
+                >= 0.5
+            ).alias("recall_ok"),
+            (
+                F.col("n_scored")
+                < F.col("n_nodes").cast("long") * F.col("n_nodes").cast("long")
+            ).alias("sublinear_ok"),
+        )
+    )

@@ -1495,3 +1495,65 @@ def test_ivf_pq_batch_one_codes_scan_and_store_twin(spark, sf_dir):
         for rank, r in enumerate(rows, 1):
             want[(i, rank)] = (r.vec_id, r.cosine)
     assert got == want
+
+
+def test_knn_graph_exact_block_invariant(spark, sf_dir):
+    """r12 kNN graph: the block decomposition is an implementation
+    detail — 1-block and 4-block runs must produce the identical edge
+    set (same cosines, same ranks), every node has exactly k edges,
+    and no self edge survives."""
+    from cdc_practice_spark.operators.similarity import knn_graph_exact
+    from cdc_practice_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    one = knn_graph_exact(emb, k=3).collect()
+    four = knn_graph_exact(
+        emb, k=3, block_rows=max(1, n // 4), n_rows=n
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    per = {}
+    for r in one:
+        assert r.qid != r.nbr_id
+        per[r.qid] = per.get(r.qid, 0) + 1
+    assert len(per) == n and set(per.values()) == {3}
+
+
+def test_knn_graph_ivf_matches_single_query_path(spark, sf_dir):
+    """The IVF-PQ graph tier must agree with the single-query serving
+    path: for sampled nodes, the graph's edges equal ivf_pq_topk(k+1)
+    minus the self hit (same ids, cosines, dense ranks)."""
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=2)
+    cents = Q.ivf_centroid_rows(emb, dim=64)
+    g = {
+        r.qid: r
+        for r in Q.knn_graph_ivf_pq(
+            emb, cb, cents, k=4, nprobe=5, shortlist=200
+        )
+        .groupBy("qid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rank", "nbr_id", "cosine"))
+            ).alias("edges")
+        )
+        .collect()
+    }
+    for qid in (1, 29):
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head().embedding
+        ]
+        single = [
+            (r.vec_id, r.cosine)
+            for r in Q.ivf_pq_topk(
+                emb, cb, qv, k=5, nprobe=5, shortlist=200
+            ).collect()
+            if r.vec_id != qid
+        ][:4]
+        got = [(e.nbr_id, e.cosine) for e in g[qid].edges]
+        assert got == single, (qid, got, single)
+        assert [e.rank for e in g[qid].edges] == list(range(1, len(got) + 1))
