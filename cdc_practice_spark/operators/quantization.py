@@ -551,11 +551,23 @@ def knn_graph_ivf_pq(
         qid_col="_gq",
         qvec_col="_gv",
     )
+    return graph_edges_from_hits(hits, k, qid_col="_gq", id_col=id_col)
+
+
+def graph_edges_from_hits(
+    hits: DataFrame, k: int, qid_col: str = "_gq", id_col: str = "vec_id"
+) -> DataFrame:
+    """(qid, nbr_id, cosine, rank) graph edges from a k+1 batch-serving
+    result: drop the self hit, re-rank densely, trim to k — shared by
+    the direct and store-served graph tiers so both drop/rank edges
+    under the identical rule."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
-        hits.filter(F.col("_gq") != F.col(id_col))
+        hits.filter(F.col(qid_col) != F.col(id_col))
         .select(
-            F.col("_gq").alias("qid"),
+            F.col(qid_col).alias("qid"),
             F.col(id_col).alias("nbr_id"),
             "cosine",
         )

@@ -71,6 +71,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # corpus-wide kNN graph (exact + IVF-PQ sublinear tier)
     "ann_knn_graph",
     "ann_knn_graph_ivf",
+    # graph served off the maintained store (batch-from-store serving)
+    "ann_knn_graph_from_store",
 )
 
 

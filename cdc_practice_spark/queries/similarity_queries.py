@@ -1880,3 +1880,133 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sublinear_ok"),
         )
     )
+
+
+@register(
+    "ann_knn_graph_from_store",
+    oracle="""
+SELECT CAST(count(*) FILTER (vec_id % 5 <> 4) AS BIGINT) AS n_corpus,
+       CAST(count(*) FILTER (vec_id % 5 = 4) AS BIGINT) AS n_batch,
+       CAST(4 AS BIGINT) AS k,
+       TRUE AS store_graph_identical,
+       TRUE AS all_nodes_present,
+       TRUE AS degree_ok,
+       TRUE AS no_self_edges
+FROM embeddings
+""",
+)
+def ann_knn_graph_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph served off the INCREMENTALLY MAINTAINED IVF-PQ store
+    (r12 — composes the r11 streaming store with the r12 batch graph):
+    seed the store on the standing corpus with both tiers, append an
+    arriving batch at O(batch), then build the WHOLE graph from store
+    artifacts (``knn_graph_from_store``) — frozen persisted centroids
+    as plan literals, one scan of the accreted codes for all n queries,
+    full vectors touched only by shortlist reranks.  The store keeps
+    the graph current: the appended epoch's vectors are nodes AND
+    candidates with no index reconstruction.
+
+    Decision booleans (the streaming_ivf_pq_serve convention):
+      - store_graph_identical: the store-served graph equals
+        ``knn_graph_ivf_pq`` run directly under the SAME frozen
+        parameters (centroids from the store, codes encoded fresh from
+        the store's cell assignments) — incremental maintenance changed
+        no edge, cosine, or rank;
+      - all_nodes_present: every assigned id (corpus AND appended
+        batch) appears as a graph node;
+      - degree_ok: every node has exactly k neighbors;
+      - no_self_edges: zero (qid == nbr_id) rows."""
+    import os
+    import tempfile
+
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.streaming.ann_ingest import (
+        append_ivf_ingest_batch,
+        knn_graph_from_store,
+        load_centroids,
+        load_ivf_ingest_assignments,
+        seed_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select("vec_id", "embedding")
+    k = 4
+    cents = S.kmeans_centroids(corpus, k=8, n_iter=2)
+    codebook = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="ivf_graph_store_", dir=TMP_ROOT), "store"
+    )
+    seed_ivf_ingest(spark, corpus, cents, store, codebook=codebook)
+    append_ivf_ingest_batch(
+        spark, store, batch, cents, epoch=0, codebook=codebook
+    )
+    merged = tracked_persist(corpus.unionByName(batch))
+    served = tracked_persist(
+        knn_graph_from_store(
+            spark, store, merged, codebook, k=k, nprobe=5, shortlist=50
+        )
+    )
+    # direct arm under the SAME frozen parameters: centroids from the
+    # store, codes encoded fresh from the store's accreted cell
+    # assignments (like-for-like — a data-mean centroid or re-assigned
+    # cell would test the wrong identity)
+    frozen = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(load_centroids(store))
+    ]
+    assigned = merged.join(
+        load_ivf_ingest_assignments(spark, store).select("vec_id", "cell"),
+        "vec_id",
+    )
+    direct = Q.knn_graph_ivf_pq(
+        assigned,
+        codebook,
+        frozen,
+        k=k,
+        nprobe=5,
+        shortlist=50,
+        cell_col="cell",
+        codes=Q.pq_encode(assigned, codebook, keep_cols=("cell",)),
+    )
+    same = (
+        served.exceptAll(direct)
+        .unionByName(direct.exceptAll(served))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    deg = served.groupBy("qid").agg(F.count(F.lit(1)).alias("deg")).agg(
+        F.min("deg").alias("dmin"),
+        F.max("deg").alias("dmax"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    selfs = served.filter(F.col("qid") == F.col("nbr_id")).agg(
+        F.count(F.lit(1)).alias("n_self")
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    return (
+        counts.crossJoin(same)
+        .crossJoin(deg)
+        .crossJoin(selfs)
+        .select(
+            "n_corpus",
+            "n_batch",
+            F.lit(k).cast("long").alias("k"),
+            (F.col("n_diff") == 0).alias("store_graph_identical"),
+            (F.col("n_q") == F.col("n_corpus") + F.col("n_batch")).alias(
+                "all_nodes_present"
+            ),
+            ((F.col("dmin") == k) & (F.col("dmax") == k)).alias("degree_ok"),
+            (F.col("n_self") == 0).alias("no_self_edges"),
+        )
+    )

@@ -861,3 +861,103 @@ def ivf_pq_topk_batch_from_store(
         qid_col=qid_col,
         qvec_col=qvec_col,
     )
+
+
+def ivf_pq_topk_batch_from_store(
+    spark: SparkSession,
+    store_root: str,
+    embeddings: DataFrame,
+    codebook,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched multi-query IVF-PQ serving off the MAINTAINED store
+    (r12) — the batch twin of ``ivf_pq_topk_from_store``: queries come
+    as a DataFrame, the FROZEN persisted centroids enter the plan as
+    literals (the same round-6/cell-tiebreak ranking rule
+    ``probe_cells`` applies driver-side, so batch probe order ==
+    single-query probe order), and ADC ranks all queries off ONE scan
+    of the accreted codes deltas; only per-query shortlists touch the
+    full vectors, which the store deliberately does not hold.  This is
+    what store-backed kNN-graph builds, hard-negative mining, and
+    retrieval eval run — N queries, one codes scan, no driver loop."""
+    from cdc_practice_spark.operators.quantization import ivf_pq_topk_batch
+
+    epochs = _sig_epochs(store_root)
+    if not _store_has_codes(store_root, epochs):
+        raise ValueError(
+            f"ivf_pq_topk_batch_from_store: store {store_root!r} has no "
+            f"codes tier (seeded without a codebook) — batch ADC serving "
+            f"needs the compressed codes; re-seed with the codebook"
+        )
+    cents = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(load_centroids(store_root))
+    ]
+    return ivf_pq_topk_batch(
+        embeddings,
+        codebook,
+        queries,
+        cents,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col="cell",
+        codes=load_ivf_ingest_codes(spark, store_root),
+        qid_col=qid_col,
+        qvec_col=qvec_col,
+    )
+
+
+def knn_graph_from_store(
+    spark: SparkSession,
+    store_root: str,
+    embeddings: DataFrame,
+    codebook,
+    k: int = 5,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide kNN graph SERVED OFF THE MAINTAINED STORE (r12):
+    every id the store has assigned plays a query (vectors joined from
+    the corpus table — the store holds index artifacts, not data),
+    fetched at k+1 through the batch serving path and trimmed by the
+    shared edge rule, so the whole graph costs one scan of the accreted
+    codes plus the shortlist reranks.  The store keeps the graph
+    CURRENT for free: each ingest epoch's vectors appear as both nodes
+    and candidates on the next build, with no index reconstruction."""
+    from cdc_practice_spark.functions.vectors import to_double
+    from cdc_practice_spark.operators.quantization import (
+        graph_edges_from_hits,
+    )
+
+    ids = load_ivf_ingest_assignments(spark, store_root).select(id_col)
+    queries = embeddings.join(ids, id_col, "left_semi").select(
+        F.col(id_col).alias("_gq"),
+        to_double(F.col(vec_col)).alias("_gv"),
+    )
+    hits = ivf_pq_topk_batch_from_store(
+        spark,
+        store_root,
+        embeddings,
+        codebook,
+        queries,
+        k=k + 1,  # self drops without losing degree
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        qid_col="_gq",
+        qvec_col="_gv",
+    )
+    return graph_edges_from_hits(hits, k, qid_col="_gq", id_col=id_col)

@@ -1557,3 +1557,50 @@ def test_knn_graph_ivf_matches_single_query_path(spark, sf_dir):
         got = [(e.nbr_id, e.cosine) for e in g[qid].edges]
         assert got == single, (qid, got, single)
         assert [e.rank for e in g[qid].edges] == list(range(1, len(got) + 1))
+
+
+def test_knn_graph_from_store_nodes_and_codes_contract(spark, sf_dir):
+    """r12 store-served graph: the graph's node set is exactly the
+    store's assigned ids (corpus + appended batch — the maintenance
+    currency claim), and batch serving off a codes-less store raises
+    the store-level contract error instead of silently serving an
+    empty ADC tier."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from cdc_practice_spark.operators import quantization as Q
+    from cdc_practice_spark.operators.similarity import kmeans_centroids
+    from cdc_practice_spark.queries.streaming_queries import TMP_ROOT
+    from cdc_practice_spark.session import load_table
+    from cdc_practice_spark.streaming.ann_ingest import (
+        append_ivf_ingest_batch,
+        ivf_pq_topk_batch_from_store,
+        knn_graph_from_store,
+        seed_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4).select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 5 == 4).select("vec_id", "embedding")
+    cents = kmeans_centroids(corpus, k=8, n_iter=1)
+    cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="kgs_t_", dir=TMP_ROOT)
+
+    store = os.path.join(work, "with_codes")
+    seed_ivf_ingest(spark, corpus, cents, store, codebook=cb)
+    append_ivf_ingest_batch(spark, store, batch, cents, epoch=0, codebook=cb)
+    g = knn_graph_from_store(spark, store, emb, cb, k=3, nprobe=5, shortlist=50)
+    nodes = {r.qid for r in g.select("qid").distinct().collect()}
+    want = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert nodes == want  # every assigned id, batch epoch included
+
+    bare = os.path.join(work, "no_codes")
+    seed_ivf_ingest(spark, corpus, cents, bare)  # no codebook -> no codes tier
+    qs = emb.limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="codes tier"):
+        ivf_pq_topk_batch_from_store(spark, bare, emb, cb, qs)
