@@ -401,8 +401,10 @@ def _g8_sql() -> str:
     )
 
 
-def _e2e_oracle_chain() -> str:
+def _e2e_oracle_chain(docs_rel: str = "documents", prefix_cte: str = "") -> str:
     """The DuckDB CTE chain recomputing the ENTIRE composed pipeline.
+    ``docs_rel``/``prefix_cte`` swap the corpus relation for composed
+    oracles (see _e2e_incr_chain).
 
     Heavy multi-referenced CTEs are AS MATERIALIZED: DuckDB inlines CTE
     references, and this chain references the feature/survivor CTEs down
@@ -421,8 +423,8 @@ def _e2e_oracle_chain() -> str:
     )
 
     return f"""
-WITH RECURSIVE hits AS MATERIALIZED (
-  SELECT doc_id, {_lang_hits_sql()} FROM documents
+WITH RECURSIVE {prefix_cte}hits AS MATERIALIZED (
+  SELECT doc_id, {_lang_hits_sql()} FROM {docs_rel}
 ),
 langp AS MATERIALIZED (
   SELECT doc_id,
@@ -434,7 +436,7 @@ feat AS MATERIALIZED (
   SELECT doc_id, source, {_quality_sql()} AS quality_score,
          CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS n_tokens,
          md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
-  FROM documents
+  FROM {docs_rel}
 ),
 s1 AS MATERIALIZED (
   SELECT feat.* FROM feat JOIN langp USING (doc_id)
@@ -453,7 +455,7 @@ hs0 AS MATERIALIZED (
              generate_series(1, greatest(len({_TOKS}) - 2, 1)),
              i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))),
            s -> {_HASH.format(x='s')}) AS hs
-  FROM documents
+  FROM {docs_rel}
 ),
 hs AS MATERIALIZED (
   SELECT hs0.doc_id, hs0.hs FROM hs0 JOIN s2 USING (doc_id)
@@ -504,7 +506,7 @@ s3 AS MATERIALIZED (
 ),
 g8 AS MATERIALIZED (
   SELECT doc_id, {_g8_sql()} AS gs
-  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM {docs_rel})
 ),
 bench AS MATERIALIZED (
   SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 0
@@ -860,9 +862,13 @@ def corpus_decontaminate_retroactive(
 _INCR_BATCH_MOD = 7  # doc_id % 7 == 3 plays the arriving batch
 
 
-def _e2e_incr_chain() -> str:
+def _e2e_incr_chain(docs_rel: str = "documents", prefix_cte: str = "") -> str:
     """The incremental pipeline's CTE chain (through ``packed``), no
-    final SELECT — the retro-audit / purge oracles extend it."""
+    final SELECT — the retro-audit / purge oracles extend it.
+    ``docs_rel`` swaps the corpus relation (the streaming-extraction
+    oracle points it at an extracted-pages CTE supplied via
+    ``prefix_cte``); note the MIXTURE stays sourced from the original
+    fixture columns, so only text-derived stages see the swap."""
     from cdc_practice_spark.queries.dedup_queries import (
         _HASH,
         _band_list_sql,
@@ -876,8 +882,8 @@ def _e2e_incr_chain() -> str:
     )
 
     return f"""
-WITH RECURSIVE hits AS MATERIALIZED (
-  SELECT doc_id, {_lang_hits_sql()} FROM documents
+WITH RECURSIVE {prefix_cte}hits AS MATERIALIZED (
+  SELECT doc_id, {_lang_hits_sql()} FROM {docs_rel}
 ),
 langp AS MATERIALIZED (
   SELECT doc_id, CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
@@ -889,7 +895,7 @@ feat AS MATERIALIZED (
          {_quality_sql()} AS quality_score,
          CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS n_tokens,
          md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
-  FROM documents
+  FROM {docs_rel}
 ),
 c1 AS MATERIALIZED (
   SELECT feat.* FROM feat JOIN langp USING (doc_id)
@@ -911,7 +917,7 @@ hs0 AS MATERIALIZED (
              generate_series(1, greatest(len({_TOKS}) - 2, 1)),
              i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))),
            s -> {_HASH.format(x='s')}) AS hs
-  FROM documents
+  FROM {docs_rel}
 ),
 idx_hs AS MATERIALIZED (SELECT hs0.* FROM hs0 JOIN c2 USING (doc_id)),
 new_hs AS MATERIALIZED (SELECT hs0.* FROM hs0 JOIN b2 USING (doc_id)),
@@ -947,7 +953,7 @@ b3 AS MATERIALIZED (
 ),
 g8 AS MATERIALIZED (
   SELECT doc_id, {_g8_sql()} AS gs
-  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM {docs_rel})
 ),
 bench AS MATERIALIZED (
   SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 0
@@ -998,9 +1004,9 @@ packed AS (
 """
 
 
-def _e2e_incr_oracle() -> str:
+def _e2e_incr_oracle(docs_rel: str = "documents", prefix_cte: str = "") -> str:
     return (
-        _e2e_incr_chain()
+        _e2e_incr_chain(docs_rel, prefix_cte)
         + """
 SELECT f.doc_id, f.source, f.n_tokens,
        CASE WHEN b1.doc_id IS NULL THEN 'dropped_lang'

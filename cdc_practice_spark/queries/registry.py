@@ -73,6 +73,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ann_knn_graph_ivf",
     # graph served off the maintained store (batch-from-store serving)
     "ann_knn_graph_from_store",
+    # extraction composed with the streaming curation sink
+    "streaming_extract_ingest",
 )
 
 

@@ -2600,3 +2600,119 @@ def streaming_txn_gated_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["streaming_txn_gated_evolving"] = _EVOLVE_ORACLE
+
+
+def _extract_ingest_oracle() -> str:
+    """The incremental curation chain computed over EXTRACTED text: the
+    exdocs CTE applies the field-derived extraction expectation
+    (pipeline_queries._EXTRACT_BODY_SQL) to every document, and the
+    whole disposition recomputation — lang, quality quantile, near-dup
+    index, 8-gram blocklist, mixture, packing — runs against it."""
+    from cdc_practice_spark.queries.pipeline_queries import (
+        _EXTRACT_BODY_SQL,
+        _e2e_incr_oracle,
+    )
+
+    prefix = (
+        "exdocs AS MATERIALIZED (\n"
+        f"  SELECT doc_id, source, {_EXTRACT_BODY_SQL} AS text\n"
+        "  FROM documents\n"
+        "),\n"
+    )
+    return _e2e_incr_oracle(docs_rel="exdocs", prefix_cte=prefix)
+
+
+@register("streaming_extract_ingest", oracle=_extract_ingest_oracle())
+def streaming_extract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's FIRST stage composed with the streaming sink
+    (r12): raw crawled pages — the deterministic synthetic HTML fixture
+    — arrive as the stream, structural extraction
+    (operators/extraction.py::html_to_text) runs as a codegen
+    projection ON THE STREAM before the curation sink, and the
+    maintained store's dispositions must match the batch chain computed
+    over extracted text from scratch (full-hash oracle).  The standing
+    corpus' frozen stats (quality quantile, mixture rates, blocklist
+    grams) are likewise calibrated on EXTRACTED text, as a production
+    ingest would be: extraction changes quality scores (the markup h1
+    payload carries real punctuation), token counts, shingles, and
+    8-grams, so this is a genuinely different curation trajectory from
+    streaming_corpus_ingest — not the same rows re-keyed.
+
+    At 100 TB: extraction adds zero shuffles and zero Python — the
+    strip chain fuses into the stream's existing per-batch feature
+    projection (one pass over arriving pages)."""
+    from cdc_practice_spark.functions import text as T
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.operators.corpus import (
+        DECON_GRAM_K,
+        corpus_features,
+        freeze_corpus_stats,
+    )
+    from cdc_practice_spark.operators.extraction import (
+        html_to_text,
+        synth_html_expr,
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.queries.pipeline_queries import _INCR_BATCH_MOD
+    from cdc_practice_spark.streaming.corpus import (
+        load_ingest_dispositions,
+        seed_ingest_index,
+        stream_corpus_ingest,
+    )
+
+    key = ("extract_ingest_store", sf_dir)
+    if key not in _STATS_CACHE:
+        os.makedirs(TMP_ROOT, exist_ok=True)
+        work = tempfile.mkdtemp(prefix="extract_ingest_", dir=TMP_ROOT)
+        docs = load_table(spark, sf_dir, "documents")
+        is_batch = F.col("doc_id") % _INCR_BATCH_MOD == 3
+        # extracted view of the WHOLE corpus — what every calibration
+        # and the blocklist see (the production posture: no stage ever
+        # reads raw markup except the extractor itself)
+        extracted = docs.withColumn(
+            "text",
+            html_to_text(
+                synth_html_expr(F.col("doc_id"), F.col("source"), F.col("text"))
+            ),
+        )
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        # the stream ships RAW PAGES; extraction happens in-stream
+        pages = docs.filter(is_batch).withColumn(
+            "text",
+            synth_html_expr(F.col("doc_id"), F.col("source"), F.col("text")),
+        )
+        _split_docs_batch_into_files(spark, pages, src)
+
+        feats_c = tracked_persist(
+            corpus_features(extracted.filter(~is_batch))
+        )
+        blocklist = [
+            int(r["g"])
+            for r in extracted.filter(F.col("doc_id") % 97 == 0)
+            .select(T.tokens(F.col("text")).alias("_toks"))
+            .select(
+                F.explode(
+                    D.shingles_from_tokens(F.col("_toks"), k=DECON_GRAM_K)
+                ).alias("s")
+            )
+            .select(D.token_hash60(F.col("s")).alias("g"))
+            .distinct()
+            .collect()
+        ]
+        stats = freeze_corpus_stats(feats_c, blocklist)
+        store = os.path.join(work, "store")
+        seed_ingest_index(spark, feats_c, store, stats.q25)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("text", html_to_text(F.col("text")))
+        )
+        q = stream_corpus_ingest(
+            spark, stream, stats, store, os.path.join(work, "ckpt")
+        )
+        q.awaitTermination()
+        _STATS_CACHE[key] = store
+    return load_ingest_dispositions(spark, _STATS_CACHE[key]).orderBy("doc_id")
