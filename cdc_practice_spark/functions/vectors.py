@@ -37,3 +37,18 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double-array columns."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` with the fold UNROLLED over a known dimensionality: the
+    higher-order ``aggregate`` evaluates its lambda per element through
+    the expression interpreter (~100 ns/element — measured 234 s for a
+    400M-pair exact kNN build), while an unrolled a[0]*b[0]+…+a[d-1]*
+    b[d-1] chain compiles into whole-stage codegen as straight-line
+    arithmetic.  The ADDITION ORDER is the same left fold, so results
+    are bit-identical to ``dot`` — callers may switch tiers on size
+    without an oracle divergence."""
+    s = a[0] * b[0]
+    for i in range(1, dim):
+        s = s + a[i] * b[i]
+    return s

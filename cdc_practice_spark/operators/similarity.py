@@ -1111,8 +1111,10 @@ def knn_graph_exact(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_rows: int = 200_000,
+    block_rows: int = 16_384,
     n_rows: int | None = None,
+    dim: int | None = None,
+    gemm_from: int = 1024,
 ) -> DataFrame:
     """EXACT kNN graph over the whole corpus — every vector's top-k
     neighbors by round-6 cosine (id tiebreak), self excluded: the
@@ -1120,57 +1122,190 @@ def knn_graph_exact(
     retrieval eval, and curriculum/diversity sampling.  Returns
     (qid, nbr_id, cosine, rank), exactly k rows per node.
 
-    Shape — block matrix multiply, declared relationally: the QUERY side
-    streams in driver-bounded hash blocks (qid % nblocks, no stats
-    needed), each block broadcasts against ONE scan of the corpus, the
-    cosine is the codegen zip_with fold (per-row norms precomputed once,
-    not per pair), and the per-query top-k is a rank-filtered window
-    whose limit Spark pushes to a partial WindowGroupLimit below the qid
-    exchange — each map partition ships k rows per query, never n² rows
-    through a sort.  Exactness is inherently O(n·n) compute; what the
-    blocking buys is that no single stage ever holds more than
-    |block|·corpus-partition rows and the broadcast stays bounded.  The
-    SUBLINEAR path for the same graph is ``knn_graph_ivf_pq``
-    (quantization.py) over the compressed codes store.
+    Two tiers behind one contract (identical edges — the size gate is
+    pinned by a tier-equality test and the full-hash oracle exercises
+    BOTH across the SFs):
 
-    ``n_rows`` lets callers that already know the corpus count skip the
-    sizing count."""
+      - ``n ≤ gemm_from``: relational block GEMM — the query block
+        broadcasts against one corpus scan, unrolled codegen cosine,
+        per-query top-k via a rank-filtered window.  Fine for small
+        corpora, but the BroadcastNestedLoopJoin this compiles to does
+        NOT participate in whole-stage codegen, so every pair pays an
+        interpreted projection + row materialization — measured
+        DNF-class at sf1 (234 s for 20k×20k even with the dot
+        unrolled).
+      - ``n > gemm_from``: Arrow GEMM (the pandas_batch_scorer
+        discipline) — query blocks of ``block_rows`` vectors are
+        collected driver-side (block-bounded, ~8 MB at 16k×64) and
+        each mapInPandas partition runs ONE numpy matmul per Arrow
+        batch against the whole block.  Per (batch, query) only rows
+        whose ROUNDED cosine ties-or-beats the batch's k-th best
+        (self masked first) are emitted — keep-with-ties makes the
+        partial exact: any dropped row is strictly beaten by ≥ k rows
+        on the rounded value alone, so it cannot enter the global
+        top-k under (cosine DESC, id ASC).  The final window re-ranks
+        the bounded candidate stream.
+
+    Exactness is inherently O(n²) compute; the blocking bounds memory
+    and the GEMM tier puts the n² inner loop into BLAS instead of the
+    expression interpreter.  The SUBLINEAR path for the same graph is
+    ``knn_graph_ivf_pq`` (quantization.py) over the compressed codes
+    store.
+
+    ``n_rows``/``dim`` let callers that already know the corpus shape
+    skip the sizing lookups."""
+    n = int(n_rows if n_rows is not None else embeddings.count())
+    if n > gemm_from:
+        return _knn_graph_gemm(
+            embeddings, k, id_col, vec_col, block_rows, n
+        )
+    return _knn_graph_expr(embeddings, k, id_col, vec_col, dim)
+
+
+def _knn_graph_expr(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """The relational tier (see knn_graph_exact): one broadcast block,
+    unrolled-dot projection, rank-filtered window (partial
+    WindowGroupLimit below the qid exchange)."""
     from pyspark.sql import Window
 
-    from cdc_practice_spark.functions.vectors import dot, norm
+    from cdc_practice_spark.functions.vectors import dot, dot_unrolled, norm
 
+    if dim is None:
+        head = embeddings.select(vec_col).head()
+        dim = len(head[0]) if head else 0
+    pair_dot = (lambda a, b: dot_unrolled(a, b, dim)) if dim else dot
     base = tracked_persist(
         embeddings.select(
             F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
         ).withColumn("_nrm", norm(F.col("_v")))
     )
-    n = int(n_rows if n_rows is not None else base.count())
+    qs = base.select(
+        F.col("_id").alias("qid"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col("qid") != F.col("_id"))
+        .select(
+            "qid",
+            F.col("_id").alias("nbr_id"),
+            F.round(
+                pair_dot(F.col("_v"), F.col("_qv"))
+                / (F.col("_nrm") * F.col("_qn")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _round6_half_up(S):
+    """numpy twin of Spark's F.round(_, 6) (HALF_UP, away from zero) —
+    np.round would round half-to-even and could diverge on exact
+    .xxxxxx5 boundaries."""
+    import numpy as np
+
+    return np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+
+
+def _knn_graph_gemm(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    block_rows: int,
+    n: int,
+) -> DataFrame:
+    """The Arrow GEMM tier (see knn_graph_exact).  The driver loop is
+    n/block_rows iterations — block-count-sized, holding ONE block's
+    matrix at a time; the corpus is repartitioned by COMPUTE (input
+    files are tiny relative to the n² work, so file-driven splits
+    under-parallelize — measured 2 tasks for a 20k-vector corpus)."""
+    from pyspark.sql import Window
+
+    base = tracked_persist(
+        embeddings.select(
+            F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
+        )
+    )
+    sc = embeddings.sparkSession.sparkContext
+    parts = max(
+        base.rdd.getNumPartitions(), min(n, sc.defaultParallelism * 2)
+    )
+    corpus = base.repartition(parts)
     nblocks = max(1, -(-n // block_rows))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     out = None
-    for b in range(nblocks):  # driver loop is BLOCK-count-sized, not data-sized
-        qs = base.filter(F.pmod(F.col("_id"), F.lit(nblocks)) == b).select(
-            F.col("_id").alias("qid"),
-            F.col("_v").alias("_qv"),
-            F.col("_nrm").alias("_qn"),
-        )
-        part = (
-            base.crossJoin(F.broadcast(qs))
-            .filter(F.col("qid") != F.col("_id"))
-            .select(
-                "qid",
-                F.col("_id").alias("nbr_id"),
-                F.round(
-                    dot(F.col("_v"), F.col("_qv"))
-                    / (F.col("_nrm") * F.col("_qn")),
-                    6,
-                ).alias("cosine"),
-            )
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
+    for b in range(nblocks):
+        rows = (
+            base.filter(F.pmod(F.col("_id"), F.lit(nblocks)) == b)
+            .orderBy("_id")
+            .collect()
+        )  # ONE block: ≤ block_rows × dim floats at the driver
+        part = corpus.mapInPandas(
+            _gemm_topk_partials(
+                [int(r["_id"]) for r in rows],
+                [list(r["_v"]) for r in rows],
+                k,
+            ),
+            schema="qid long, nbr_id long, cosine double",
         )
         out = part if out is None else out.unionByName(part)
-    return out
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _gemm_topk_partials(qids, qvecs, k):
+    """mapInPandas partial for the GEMM tier: per Arrow batch, one
+    matmul against the query block, self masked, then per query keep
+    every row whose ROUNDED cosine ties-or-beats the batch's k-th best
+    (keep-with-ties ⇒ the partial is exact under (cosine DESC, id ASC);
+    see knn_graph_exact)."""
+    import numpy as np
+    import pandas as pd
+
+    qm = np.asarray(qvecs, dtype=np.float64)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["_v"].map(np.asarray)).astype(np.float64)
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            # single division by the norm PRODUCT — the expr tier
+            # computes dot/(na*nb); (d/a)/b differs in the last ulp
+            S = _round6_half_up((M @ qm.T) / (mn[:, None] * qnorm[None, :]))
+            S[ids[:, None] == qid_arr[None, :]] = -np.inf  # mask self
+            kk = min(k, S.shape[0])
+            thr = np.partition(S, -kk, axis=0)[-kk, :]  # per-query k-th best
+            keep = S >= thr[None, :]
+            keep &= np.isfinite(S)  # masked self rows never emit
+            r, q = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "qid": qid_arr[q],
+                    "nbr_id": ids[r],
+                    "cosine": S[r, q],
+                }
+            )
+
+    return gen
 
 
 def pandas_batch_scorer(query_matrix):

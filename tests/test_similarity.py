@@ -1497,23 +1497,26 @@ def test_ivf_pq_batch_one_codes_scan_and_store_twin(spark, sf_dir):
     assert got == want
 
 
-def test_knn_graph_exact_block_invariant(spark, sf_dir):
-    """r12 kNN graph: the block decomposition is an implementation
-    detail — 1-block and 4-block runs must produce the identical edge
-    set (same cosines, same ranks), every node has exactly k edges,
-    and no self edge survives."""
+def test_knn_graph_exact_tiers_identical(spark, sf_dir):
+    """r12 kNN graph: the expr tier, the Arrow GEMM tier (forced), and
+    a multi-block GEMM run must produce the IDENTICAL edge set — same
+    cosines, same ranks (the size gate is an implementation detail;
+    the full-hash oracle exercises whichever tier the SF lands on).
+    Every node has exactly k edges and no self edge survives."""
     from cdc_practice_spark.operators.similarity import knn_graph_exact
     from cdc_practice_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    one = knn_graph_exact(emb, k=3).collect()
-    four = knn_graph_exact(
-        emb, k=3, block_rows=max(1, n // 4), n_rows=n
+    expr = knn_graph_exact(emb, k=3, gemm_from=10**9).collect()
+    gemm = knn_graph_exact(emb, k=3, gemm_from=0).collect()
+    blocked = knn_graph_exact(
+        emb, k=3, gemm_from=0, block_rows=max(1, n // 4), n_rows=n
     ).collect()
-    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    assert sorted(map(tuple, expr)) == sorted(map(tuple, gemm))
+    assert sorted(map(tuple, expr)) == sorted(map(tuple, blocked))
     per = {}
-    for r in one:
+    for r in expr:
         assert r.qid != r.nbr_id
         per[r.qid] = per.get(r.qid, 0) + 1
     assert len(per) == n and set(per.values()) == {3}
