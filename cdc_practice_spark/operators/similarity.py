@@ -1115,6 +1115,7 @@ def knn_graph_exact(
     n_rows: int | None = None,
     dim: int | None = None,
     gemm_from: int = 1024,
+    exclude_col: str | None = None,
 ) -> DataFrame:
     """EXACT kNN graph over the whole corpus — every vector's top-k
     neighbors by round-6 cosine (id tiebreak), self excluded: the
@@ -1153,13 +1154,20 @@ def knn_graph_exact(
     store.
 
     ``n_rows``/``dim`` let callers that already know the corpus shape
-    skip the sizing lookups."""
+    skip the sizing lookups.
+
+    ``exclude_col`` generalizes the self-mask: pairs whose query and
+    candidate share that column's value are excluded BEFORE the top-k
+    cut — with the IVF cell / class label it turns the graph into
+    corpus-wide HARD-NEGATIVE mining (top-k nearest with a DIFFERENT
+    label, the contrastive-training mining step), with the same
+    exactness argument."""
     n = int(n_rows if n_rows is not None else embeddings.count())
     if n > gemm_from:
         return _knn_graph_gemm(
-            embeddings, k, id_col, vec_col, block_rows, n
+            embeddings, k, id_col, vec_col, block_rows, n, exclude_col
         )
-    return _knn_graph_expr(embeddings, k, id_col, vec_col, dim)
+    return _knn_graph_expr(embeddings, k, id_col, vec_col, dim, exclude_col)
 
 
 def _knn_graph_expr(
@@ -1168,6 +1176,7 @@ def _knn_graph_expr(
     id_col: str,
     vec_col: str,
     dim: int | None,
+    exclude_col: str | None = None,
 ) -> DataFrame:
     """The relational tier (see knn_graph_exact): one broadcast block,
     unrolled-dot projection, rank-filtered window (partial
@@ -1180,20 +1189,26 @@ def _knn_graph_expr(
         head = embeddings.select(vec_col).head()
         dim = len(head[0]) if head else 0
     pair_dot = (lambda a, b: dot_unrolled(a, b, dim)) if dim else dot
+    exc = ([F.col(exclude_col).alias("_x")] if exclude_col else [])
     base = tracked_persist(
         embeddings.select(
-            F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
+            F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v"),
+            *exc,
         ).withColumn("_nrm", norm(F.col("_v")))
     )
     qs = base.select(
         F.col("_id").alias("qid"),
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
+        *([F.col("_x").alias("_qx")] if exclude_col else []),
     )
+    pair_ok = F.col("qid") != F.col("_id")
+    if exclude_col:
+        pair_ok = pair_ok & (F.col("_qx") != F.col("_x"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
         base.crossJoin(F.broadcast(qs))
-        .filter(F.col("qid") != F.col("_id"))
+        .filter(pair_ok)
         .select(
             "qid",
             F.col("_id").alias("nbr_id"),
@@ -1224,6 +1239,7 @@ def _knn_graph_gemm(
     vec_col: str,
     block_rows: int,
     n: int,
+    exclude_col: str | None = None,
 ) -> DataFrame:
     """The Arrow GEMM tier (see knn_graph_exact).  The driver loop is
     n/block_rows iterations — block-count-sized, holding ONE block's
@@ -1232,9 +1248,11 @@ def _knn_graph_gemm(
     under-parallelize — measured 2 tasks for a 20k-vector corpus)."""
     from pyspark.sql import Window
 
+    exc = ([F.col(exclude_col).alias("_x")] if exclude_col else [])
     base = tracked_persist(
         embeddings.select(
-            F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v")
+            F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_v"),
+            *exc,
         )
     )
     sc = embeddings.sparkSession.sparkContext
@@ -1256,6 +1274,7 @@ def _knn_graph_gemm(
                 [int(r["_id"]) for r in rows],
                 [list(r["_v"]) for r in rows],
                 k,
+                [r["_x"] for r in rows] if exclude_col else None,
             ),
             schema="qid long, nbr_id long, cosine double",
         )
@@ -1266,17 +1285,18 @@ def _knn_graph_gemm(
     )
 
 
-def _gemm_topk_partials(qids, qvecs, k):
+def _gemm_topk_partials(qids, qvecs, k, qexcl=None):
     """mapInPandas partial for the GEMM tier: per Arrow batch, one
-    matmul against the query block, self masked, then per query keep
-    every row whose ROUNDED cosine ties-or-beats the batch's k-th best
-    (keep-with-ties ⇒ the partial is exact under (cosine DESC, id ASC);
-    see knn_graph_exact)."""
+    matmul against the query block, self (and same-``qexcl`` pairs)
+    masked, then per query keep every row whose ROUNDED cosine
+    ties-or-beats the batch's k-th best (keep-with-ties ⇒ the partial
+    is exact under (cosine DESC, id ASC); see knn_graph_exact)."""
     import numpy as np
     import pandas as pd
 
     qm = np.asarray(qvecs, dtype=np.float64)
     qid_arr = np.asarray(qids, dtype=np.int64)
+    qex_arr = None if qexcl is None else np.asarray(qexcl)
     qnorm = np.linalg.norm(qm, axis=1)
     qnorm[qnorm == 0.0] = 1.0
 
@@ -1292,6 +1312,9 @@ def _gemm_topk_partials(qids, qvecs, k):
             # computes dot/(na*nb); (d/a)/b differs in the last ulp
             S = _round6_half_up((M @ qm.T) / (mn[:, None] * qnorm[None, :]))
             S[ids[:, None] == qid_arr[None, :]] = -np.inf  # mask self
+            if qex_arr is not None:
+                ex = pdf["_x"].to_numpy()
+                S[ex[:, None] == qex_arr[None, :]] = -np.inf
             kk = min(k, S.shape[0])
             thr = np.partition(S, -kk, axis=0)[-kk, :]  # per-query k-th best
             keep = S >= thr[None, :]

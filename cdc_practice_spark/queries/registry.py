@@ -75,6 +75,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ann_knn_graph_from_store",
     # extraction composed with the streaming curation sink
     "streaming_extract_ingest",
+    # corpus-wide hard-negative mining (label-excluded graph)
+    "ann_hard_negatives_graph",
 )
 
 

@@ -2010,3 +2010,41 @@ def ann_knn_graph_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_self") == 0).alias("no_self_edges"),
         )
     )
+
+
+@register(
+    "ann_hard_negatives_graph",
+    oracle=f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, e.vec_id AS negative_id,
+         round({_COS_RAW.format(a='e.embedding', b='q.embedding')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings e
+    ON e.vec_id <> q.vec_id AND e.label <> q.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT qid, negative_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def ann_hard_negatives_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE hard-negative mining (r12): for EVERY vector, the 5
+    most-cosine-similar vectors with a DIFFERENT label — the full-scale
+    version of ``embedding_hard_negatives``' 4-anchor shape, and the
+    mining pass a contrastive/retrieval training run executes over its
+    whole corpus per epoch.  Same two-tier engine as the kNN graph
+    (knn_graph_exact with ``exclude_col``): the same-label mask behaves
+    exactly like the self-mask — applied BEFORE the per-batch top-k
+    cut in the GEMM tier, so keep-with-ties exactness carries over
+    unchanged.  Full-hash oracle: DuckDB recomputes the whole
+    label-excluded n² ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.knn_graph_exact(emb, k=5, exclude_col="label")
+        .withColumnRenamed("nbr_id", "negative_id")
+        .orderBy("qid", "rank")
+    )

@@ -1607,3 +1607,22 @@ def test_knn_graph_from_store_nodes_and_codes_contract(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="codes tier"):
         ivf_pq_topk_batch_from_store(spark, bare, emb, cb, qs)
+
+
+def test_hard_negatives_graph_tiers_and_mask(spark, sf_dir):
+    """exclude_col generalizes the self-mask: both tiers produce the
+    identical label-excluded edge set, and no edge ever joins two
+    same-label vectors."""
+    from cdc_practice_spark.operators.similarity import knn_graph_exact
+    from cdc_practice_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr = knn_graph_exact(
+        emb, k=3, exclude_col="label", gemm_from=10**9
+    ).collect()
+    gemm = knn_graph_exact(emb, k=3, exclude_col="label", gemm_from=0).collect()
+    assert sorted(map(tuple, expr)) == sorted(map(tuple, gemm))
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in expr:
+        assert r.qid != r.nbr_id
+        assert labels[r.qid] != labels[r.nbr_id]
