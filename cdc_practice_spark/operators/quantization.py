@@ -98,6 +98,13 @@ def pq_train(
     iteration.  Returns the codebook; raises if ids 0..ksub-1 are
     missing (they seed the deterministic init)."""
     emb = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("v"))
+    # the per-row assignment projection is the HOF codes expression
+    # (deliberately NOT unrolled — see _codes_expr) — interpreted, so
+    # parallelism must be compute-sized, not file-sized: a corpus
+    # arriving as one tiny parquet otherwise trains on 1-2 tasks
+    sc = embeddings.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
     first = emb.filter(F.col(id_col) < ksub).orderBy(id_col).limit(ksub).collect()
     if len(first) != ksub:
         raise ValueError(f"need vec ids 0..{ksub - 1} for deterministic init")
@@ -425,6 +432,12 @@ def ivf_pq_topk_batch(
     m, dsub = len(codebook), len(codebook[0][0])
     cb = _codebook_lit(codebook)
     qv = to_double(F.col(qvec_col))
+    # per-query probe/LUT projections are HOF-heavy (interpreted) —
+    # harmless per row, but a query side arriving as one tiny file
+    # runs them on 1-2 tasks; spread by compute (cf. the codes rule)
+    sc_q = queries.sparkSession.sparkContext
+    if queries.rdd.getNumPartitions() < sc_q.defaultParallelism:
+        queries = queries.repartition(sc_q.defaultParallelism)
     probe = _batch_probe_expr(centroids, qv, nprobe)
     lut = F.transform(
         cb,
@@ -452,24 +465,41 @@ def ivf_pq_topk_batch(
         qnorm.alias("_qn"),
         F.explode(probe["cell"]).alias(cell_col),
     )
+    sc_e = embeddings.sparkSession.sparkContext
     if codes is None:
+        # spread BEFORE the encode: the codes expression is the
+        # interpreted HOF projection — repartitioning its OUTPUT would
+        # leave the encode itself on the file-sized 1-2 tasks
+        emb_src = embeddings
+        if emb_src.rdd.getNumPartitions() < sc_e.defaultParallelism:
+            emb_src = emb_src.repartition(sc_e.defaultParallelism)
         codes = pq_encode(
-            embeddings, codebook, id_col=id_col, vec_col=vec_col,
+            emb_src, codebook, id_col=id_col, vec_col=vec_col,
             keep_cols=(cell_col,),
         )
-    adc = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("_lut"),
-                F.col("codes"),
-                lambda l, c: F.element_at(l, c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("norm") * F.col("_qn")),
-        6,
+    # the scored stream is the hot loop (Σ over queries of probed-cell
+    # sizes): keep its projection inside whole-stage codegen and its
+    # parallelism compute-sized —
+    #   1. the ADC sum is UNROLLED over the m subspaces (same left-fold
+    #      order as the aggregate() form, bit-identical): higher-order
+    #      functions are CodegenFallback, which both interprets the
+    #      lambda per row AND forces the join output row — including
+    #      the per-query m×ksub LUT — to materialize per scored pair
+    #      (measured 1248 s for a 20k-node graph at sf1; 80 s after);
+    #   2. a codes side arriving as one tiny parquet (12 B/vector)
+    #      under-splits by file size, so spread it when it is narrower
+    #      than the cluster (same rule as knn_graph_exact's corpus).
+    sc = codes.sparkSession.sparkContext
+    if codes.rdd.getNumPartitions() < sc.defaultParallelism:
+        codes = codes.repartition(sc.defaultParallelism * 2)
+    adc_dot = F.element_at(
+        F.element_at("_lut", 1), F.element_at("codes", 1) + 1
     )
+    for j in range(1, m):
+        adc_dot = adc_dot + F.element_at(
+            F.element_at("_lut", j + 1), F.element_at("codes", j + 1) + 1
+        )
+    adc = F.round(adc_dot / (F.col("norm") * F.col("_qn")), 6)
     scored = codes.join(F.broadcast(probed), cell_col).select(
         F.col(qid_col), F.col(id_col), adc.alias("adc_cosine")
     )
@@ -481,6 +511,16 @@ def ivf_pq_topk_batch(
         .filter(F.col("_rn") <= shortlist)
         .select(qid_col, id_col)
     )
+    # rerank cosine UNROLLED over the known dim (= m·dsub): the HOF
+    # fold is CodegenFallback — n·shortlist rows × dim interpreted
+    # lambda evals was a second hot loop at graph scale.  Same left
+    # fold order as `cosine`, bit-identical.
+    from cdc_practice_spark.functions.vectors import dot_unrolled
+
+    dim = m * dsub
+    rv = to_double(F.col(vec_col))
+    rnorm = F.sqrt(dot_unrolled(rv, rv, dim))
+    qn2 = F.sqrt(dot_unrolled(F.col("_qv"), F.col("_qv"), dim))
     rer = (
         embeddings.join(F.broadcast(short), id_col)
         .join(
@@ -490,9 +530,9 @@ def ivf_pq_topk_batch(
         .select(
             F.col(qid_col),
             F.col(id_col),
-            F.round(cosine(to_double(F.col(vec_col)), F.col("_qv")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot_unrolled(rv, F.col("_qv"), dim) / (rnorm * qn2), 6
+            ).alias("cosine"),
         )
     )
     w_k = Window.partitionBy(qid_col).orderBy(
