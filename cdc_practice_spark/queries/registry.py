@@ -77,6 +77,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_extract_ingest",
     # corpus-wide hard-negative mining (label-excluded graph)
     "ann_hard_negatives_graph",
+    # capstone: raw pages in, training shards out
+    "streaming_extract_to_shards",
 )
 
 

@@ -868,12 +868,16 @@ def streaming_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shard_export_oracle() -> str:
+def _shard_export_oracle(docs_rel: str = "documents",
+                         prefix_cte: str = "") -> str:
     """Batch identity for the STREAMING shard export: recompute the
     whole curated corpus (the incremental chain through ``packed``),
     shard it, tokenize kept docs under the hash60 cold-start id scheme,
     and emit the same (source, shard_id, n_seqs, n_docs, n_tokens,
-    digest) rows the per-epoch delivery loop accreted."""
+    digest) rows the per-epoch delivery loop accreted.
+    ``docs_rel``/``prefix_cte`` swap the corpus relation — the
+    extract-to-shards oracle points BOTH the curation chain and the
+    token stream at the extracted-pages CTE."""
     from cdc_practice_spark.queries.dedup_queries import _HASH
     from cdc_practice_spark.queries.pipeline_queries import (
         _SHARD_MOD,
@@ -882,7 +886,7 @@ def _shard_export_oracle() -> str:
     from cdc_practice_spark.streaming.shard_export import _SHARD_SEQS_STREAM
 
     return (
-        _e2e_incr_chain()
+        _e2e_incr_chain(docs_rel, prefix_cte)
         + f""",
 sx_kept AS MATERIALIZED (
   SELECT source, doc_id, n_tokens, bin_id,
@@ -893,7 +897,7 @@ sx_words AS MATERIALIZED (
   SELECT k.source, k.shard_id, k.doc_id, CAST(i AS BIGINT) AS wp,
          k.lst[i] AS w
   FROM (SELECT s.*, string_split_regex(lower(trim(d.text)), '\\s+') AS lst
-        FROM sx_kept s JOIN documents d USING (doc_id)) k,
+        FROM sx_kept s JOIN {docs_rel} d USING (doc_id)) k,
        unnest(range(1, len(k.lst) + 1)) AS g(i)
   WHERE k.lst[i] <> ''
 ),
@@ -2622,6 +2626,98 @@ def _extract_ingest_oracle() -> str:
     return _e2e_incr_oracle(docs_rel="exdocs", prefix_cte=prefix)
 
 
+def _extracted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents fixture as EXTRACTED text — what every stage of
+    the extract-composed pipeline (calibration, blocklist, ingest,
+    shard tokenization) sees."""
+    from cdc_practice_spark.operators.extraction import (
+        html_to_text,
+        synth_html_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        html_to_text(
+            synth_html_expr(F.col("doc_id"), F.col("source"), F.col("text"))
+        ),
+    )
+
+
+def _extract_ingest_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the streaming ingest store whose feed is
+    RAW synthesized pages with extraction running in-stream — shared by
+    the disposition query and the extract-to-shards delivery query."""
+    from cdc_practice_spark.functions import text as T
+    from cdc_practice_spark.operators import dedup as D
+    from cdc_practice_spark.operators.corpus import (
+        DECON_GRAM_K,
+        corpus_features,
+        freeze_corpus_stats,
+    )
+    from cdc_practice_spark.operators.extraction import (
+        html_to_text,
+        synth_html_expr,
+    )
+    from cdc_practice_spark.plans.cache import tracked_persist
+    from cdc_practice_spark.plans.hints import _STATS_CACHE
+    from cdc_practice_spark.queries.pipeline_queries import _INCR_BATCH_MOD
+    from cdc_practice_spark.streaming.corpus import (
+        seed_ingest_index,
+        stream_corpus_ingest,
+    )
+
+    key = ("extract_ingest_store", sf_dir)
+    if key in _STATS_CACHE:
+        return _STATS_CACHE[key]
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="extract_ingest_", dir=TMP_ROOT)
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _INCR_BATCH_MOD == 3
+    # extracted view of the WHOLE corpus — what every calibration
+    # and the blocklist see (the production posture: no stage ever
+    # reads raw markup except the extractor itself)
+    extracted = _extracted_docs(spark, sf_dir)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    # the stream ships RAW PAGES; extraction happens in-stream
+    pages = docs.filter(is_batch).withColumn(
+        "text",
+        synth_html_expr(F.col("doc_id"), F.col("source"), F.col("text")),
+    )
+    _split_docs_batch_into_files(spark, pages, src)
+
+    feats_c = tracked_persist(corpus_features(extracted.filter(~is_batch)))
+    blocklist = [
+        int(r["g"])
+        for r in extracted.filter(F.col("doc_id") % 97 == 0)
+        .select(T.tokens(F.col("text")).alias("_toks"))
+        .select(
+            F.explode(
+                D.shingles_from_tokens(F.col("_toks"), k=DECON_GRAM_K)
+            ).alias("s")
+        )
+        .select(D.token_hash60(F.col("s")).alias("g"))
+        .distinct()
+        .collect()
+    ]
+    stats = freeze_corpus_stats(feats_c, blocklist)
+    store = os.path.join(work, "store")
+    seed_ingest_index(spark, feats_c, store, stats.q25)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("text", html_to_text(F.col("text")))
+    )
+    q = stream_corpus_ingest(
+        spark, stream, stats, store, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    _STATS_CACHE[key] = store
+    return store
+
+
 @register("streaming_extract_ingest", oracle=_extract_ingest_oracle())
 def streaming_extract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's FIRST stage composed with the streaming sink
@@ -2641,78 +2737,74 @@ def streaming_extract_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: extraction adds zero shuffles and zero Python — the
     strip chain fuses into the stream's existing per-batch feature
     projection (one pass over arriving pages)."""
-    from cdc_practice_spark.functions import text as T
-    from cdc_practice_spark.operators import dedup as D
-    from cdc_practice_spark.operators.corpus import (
-        DECON_GRAM_K,
-        corpus_features,
-        freeze_corpus_stats,
+    from cdc_practice_spark.streaming.corpus import load_ingest_dispositions
+
+    store = _extract_ingest_store(spark, sf_dir)
+    return load_ingest_dispositions(spark, store).orderBy("doc_id")
+
+
+def _extract_shards_oracle() -> str:
+    from cdc_practice_spark.queries.pipeline_queries import _EXTRACT_BODY_SQL
+
+    prefix = (
+        "exdocs AS MATERIALIZED (\n"
+        f"  SELECT doc_id, source, {_EXTRACT_BODY_SQL} AS text\n"
+        "  FROM documents\n"
+        "),\n"
     )
-    from cdc_practice_spark.operators.extraction import (
-        html_to_text,
-        synth_html_expr,
-    )
-    from cdc_practice_spark.plans.cache import tracked_persist
+    return _shard_export_oracle(docs_rel="exdocs", prefix_cte=prefix)
+
+
+@register("streaming_extract_to_shards", oracle=_extract_shards_oracle())
+def streaming_extract_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one continuous flow (r12
+    capstone): raw crawled pages stream IN, training shards stream OUT.
+    Composes the round's three new streaming pieces end-to-end — raw
+    pages → in-stream extraction → curation sink (maintained store) →
+    per-epoch sealed-shard delivery (streaming/shard_export.py, one
+    export call per committed epoch + the finalize flush), over the
+    extract-calibrated frozen stats.  The DuckDB oracle recomputes
+    EVERYTHING from scratch — extraction, lang/quality/near-dup/
+    decontamination/mixture, greedy packing, shard assignment, and the
+    order-sensitive position-weighted token digests — so one wrong
+    strip rule, curation decision, bin boundary, or token position
+    anywhere in the composed flow flips a shard digest.
+
+    Scale posture: each stage has already argued its 100 TB shape
+    individually (SCALE.md); the composition adds NO new shuffle —
+    extraction fuses into the sink's feature pass, and delivery is
+    epoch-sized by the sealing argument."""
+    from cdc_practice_spark.operators.shards import read_export_manifest_df
     from cdc_practice_spark.plans.hints import _STATS_CACHE
     from cdc_practice_spark.queries.pipeline_queries import _INCR_BATCH_MOD
-    from cdc_practice_spark.streaming.corpus import (
-        load_ingest_dispositions,
-        seed_ingest_index,
-        stream_corpus_ingest,
+    from cdc_practice_spark.streaming.corpus import _read_manifest
+    from cdc_practice_spark.streaming.shard_export import (
+        _SHARD_SEQS_STREAM,
+        export_ingest_shards,
     )
 
-    key = ("extract_ingest_store", sf_dir)
+    key = ("extract_shards_out", sf_dir)
     if key not in _STATS_CACHE:
-        os.makedirs(TMP_ROOT, exist_ok=True)
-        work = tempfile.mkdtemp(prefix="extract_ingest_", dir=TMP_ROOT)
-        docs = load_table(spark, sf_dir, "documents")
-        is_batch = F.col("doc_id") % _INCR_BATCH_MOD == 3
-        # extracted view of the WHOLE corpus — what every calibration
-        # and the blocklist see (the production posture: no stage ever
-        # reads raw markup except the extractor itself)
-        extracted = docs.withColumn(
-            "text",
-            html_to_text(
-                synth_html_expr(F.col("doc_id"), F.col("source"), F.col("text"))
-            ),
+        store = _extract_ingest_store(spark, sf_dir)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="extract_shards_", dir=TMP_ROOT), "shards"
         )
-        src = os.path.join(work, "src")
-        os.makedirs(src)
-        # the stream ships RAW PAGES; extraction happens in-stream
-        pages = docs.filter(is_batch).withColumn(
-            "text",
-            synth_html_expr(F.col("doc_id"), F.col("source"), F.col("text")),
+        # delivery tokenizes the EXTRACTED text — the same text the
+        # store's n_tokens were computed over (raw markup never reaches
+        # a shard)
+        docs = _extracted_docs(spark, sf_dir).filter(
+            F.col("doc_id") % _INCR_BATCH_MOD == 3
         )
-        _split_docs_batch_into_files(spark, pages, src)
-
-        feats_c = tracked_persist(
-            corpus_features(extracted.filter(~is_batch))
-        )
-        blocklist = [
-            int(r["g"])
-            for r in extracted.filter(F.col("doc_id") % 97 == 0)
-            .select(T.tokens(F.col("text")).alias("_toks"))
-            .select(
-                F.explode(
-                    D.shingles_from_tokens(F.col("_toks"), k=DECON_GRAM_K)
-                ).alias("s")
+        for epoch in _read_manifest(store):
+            export_ingest_shards(
+                spark, store, docs, out,
+                seqs_per_shard=_SHARD_SEQS_STREAM, at_epoch=epoch,
             )
-            .select(D.token_hash60(F.col("s")).alias("g"))
-            .distinct()
-            .collect()
-        ]
-        stats = freeze_corpus_stats(feats_c, blocklist)
-        store = os.path.join(work, "store")
-        seed_ingest_index(spark, feats_c, store, stats.q25)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .withColumn("text", html_to_text(F.col("text")))
+        export_ingest_shards(
+            spark, store, docs, out,
+            seqs_per_shard=_SHARD_SEQS_STREAM, finalize=True,
         )
-        q = stream_corpus_ingest(
-            spark, stream, stats, store, os.path.join(work, "ckpt")
-        )
-        q.awaitTermination()
-        _STATS_CACHE[key] = store
-    return load_ingest_dispositions(spark, _STATS_CACHE[key]).orderBy("doc_id")
+        _STATS_CACHE[key] = out
+    return read_export_manifest_df(spark, _STATS_CACHE[key]).orderBy(
+        "source", "shard_id"
+    )
