@@ -147,17 +147,21 @@ def connected_components(
     pairs = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
-    # an over-gate hint also spares the LOOP path its gate count (the
-    # two-phase quotient recursion passes the n_super it just measured)
-    n_edges = (
-        n_edges_hint
-        if n_edges_hint is not None and n_edges_hint > local_threshold
-        else pairs.count()
-    )
+    # Gate-and-fetch in ONE action (r12, same trick as the two-phase
+    # quotient gate): ``limit(threshold+1).collect()`` returns ALL rows
+    # when fewer exist, so an under-gate edge list is already in hand —
+    # the old count-then-collect shape paid two jobs over the persisted
+    # pairs (each a full scheduling round on the floor-bound dedup
+    # paths).  Over the gate we know only "too big", which is all the
+    # distributed tiers need; the loop tier re-counts the persisted
+    # pairs below for its partition sizing.
+    if n_edges_hint is not None and n_edges_hint > local_threshold:
+        n_edges = n_edges_hint
+    else:
+        head = pairs.limit(local_threshold + 1).collect()
+        n_edges = len(head)
     if n_edges <= local_threshold:
-        comp = _local_union_find(
-            [(r.src, r.dst) for r in pairs.collect()]
-        )
+        comp = _local_union_find([(r.src, r.dst) for r in head])
         spark = pairs.sparkSession
         pairs.unpersist()
         return spark.createDataFrame(sorted(comp.items()), out_schema)
@@ -173,6 +177,11 @@ def connected_components(
             jumps_per_round=jumps_per_round,
             loop_aqe=loop_aqe,
         )
+    if n_edges_hint is None or n_edges_hint <= local_threshold:
+        # the gate fetch is TRUNCATED at threshold+1 — the loop tier's
+        # partition sizing needs the real edge count (one cheap job over
+        # the persisted pairs; only reachable with two_phase=False)
+        n_edges = pairs.count()
     # Per-round cost is the whole game here (each round is floor-bound,
     # not data-bound), so the loop body is stripped to TWO key-partitioned
     # operators plus the optional shortcut joins:

@@ -646,7 +646,15 @@ def corpus_e2e_stages(
     w = Window.partitionBy("cluster_rep").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )
-    s3 = (
+    # persisted (r12 optimization): s3 is referenced twice by s4 alone
+    # (anti-join left side + the contaminated-gram explode side — join
+    # branches don't CSE) and s4 in turn is referenced three times
+    # (mix-stats broadcast chain ×2 + the s5 main pass), so without
+    # these two boundaries the window-dedup subtree re-executed ~6× per
+    # s6 materialization (the before-plan shows 156 Exchange references;
+    # measured 9.8→3.4 s single-shot).  Both frames are strict subsets
+    # of the already-persisted s2, so the cache ceiling is unchanged.
+    s3 = tracked_persist(
         clustered.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -665,7 +673,7 @@ def corpus_e2e_stages(
         .select(F.explode("g8").alias("g"))
         .distinct()
     )
-    s4 = decontaminate(s3, bench)
+    s4 = tracked_persist(decontaminate(s3, bench))
 
     # stage 5 — temperature mixing (T=2, target half the survivors):
     # per-source √n acceptance thresholds, hash-deterministic membership
