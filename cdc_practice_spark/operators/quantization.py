@@ -40,7 +40,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_practice_spark.functions.vectors import cosine, to_double
+from cdc_practice_spark.functions.vectors import (
+    cosine,
+    lit_double_array,
+    to_double,
+)
 
 Codebook = list[list[list[float]]]  # [subspace][cell][dim]
 
@@ -49,13 +53,26 @@ def _codebook_lit(codebook: Codebook) -> Column:
     """The m×ksub×dsub codebook as ONE nested literal array — a compact
     expression tree (the naive alternative, m·ksub unrolled distance
     expressions, makes Janino compile ~1k expressions and costs tens of
-    seconds per job in codegen alone)."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents_j])
-            for cents_j in codebook
-        ]
+    seconds per job in codegen alone).
+
+    Built by PARSING one SQL string instead of nesting per-scalar
+    ``F.lit`` calls (r12 optimization): each ``F.lit`` is a py4j round
+    trip, so the ~1k-scalar codebook cost ~12 s of pure driver-side
+    expression construction PER CALL — and pq_train rebuilds this
+    expression every iteration, pq_encode/ivf_pq_topk once per call
+    (measured: pq_train 63.7 → ~2 s at sf0.1).  ``repr``-formatted
+    ``D``-suffixed literals round-trip bit-exactly through the SQL
+    parser (verified for subnormals, ±0.0, max-double, exponent forms),
+    so the resulting Literal tree is IDENTICAL to the old one."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in cents_j
+        )
+        + ")"
+        for cents_j in codebook
     )
+    return F.expr(f"array({body})")
 
 
 def _codes_expr(v: Column, codebook: Codebook) -> Column:
@@ -80,6 +97,77 @@ def _codes_expr(v: Column, codebook: Codebook) -> Column:
         )
         cells.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
     return F.array(*cells)
+
+
+def _round6_exact_np(a):
+    """numpy twin of Spark's F.round(_, 6) that is BIT-EXACT to the JVM
+    (BigDecimal HALF_UP over the double's shortest-decimal repr), not
+    just almost-always-equal like the fast floor form: the fast path
+    ``floor(|x|·1e6 + 0.5)`` is provably correct whenever ``|x|·1e6``
+    lands more than 1e-6 away from an integer boundary (float error of
+    the ×1e6 scaling is ~1e-8 relative); the rare boundary cases fall
+    back to ``Decimal(repr(x)).quantize(1e-6, HALF_UP)`` — the exact
+    semantics of BigDecimal.valueOf(double).setScale(6, HALF_UP),
+    because Java's Double.toString and Python's repr both emit the
+    shortest round-tripping decimal of the same double.  Inputs here
+    are non-negative (squared distances, norms)."""
+    import numpy as np
+
+    x = np.abs(a) * 1e6 + 0.5
+    fast = np.floor(x)
+    frac = x - fast
+    out = np.sign(a) * (fast / 1e6)
+    suspicious = (frac < 1e-6) | (frac > 1 - 1e-6)
+    if suspicious.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        idx = np.nonzero(suspicious)
+        sign = np.sign(a[idx])
+        out[idx] = sign * np.array(
+            [
+                float(
+                    Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+                )
+                for v in np.abs(a[idx])
+            ],
+            dtype=np.float64,
+        )
+    return out
+
+
+def _pq_codes_np(V, C):
+    """Per-row subspace argmin cells, numpy-vectorized with the EXACT
+    float semantics of ``_codes_expr``: per (row, cell) lane the squared
+    differences accumulate in ascending-t order starting from 0.0 (the
+    HOF left fold — elementwise IEEE ops are order-identical), distances
+    round via ``_round6_exact_np``, and ``argmin`` takes the FIRST
+    minimum (``array_position(d, array_min(d))``'s tie rule).  Parity is
+    pinned by tests/test_quantization.py against the expression twin."""
+    import numpy as np
+
+    n = V.shape[0]
+    m, ksub, dsub = C.shape
+    codes = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        sub = V[:, j * dsub : (j + 1) * dsub]
+        acc = np.zeros((n, ksub), dtype=np.float64)
+        for t in range(dsub):
+            d = sub[:, t : t + 1] - C[j, :, t][None, :]
+            acc += d * d
+        codes[:, j] = np.argmin(_round6_exact_np(acc), axis=1)
+    return codes
+
+
+def _norm6_np(V):
+    """round6(sqrt(left-fold Σ x²)) — the exact float semantics of
+    pq_encode's JVM norm expression."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for t in range(V.shape[1]):
+        acc += V[:, t] * V[:, t]
+    return _round6_exact_np(np.sqrt(acc))
 
 
 def pq_train(
@@ -116,15 +204,47 @@ def pq_train(
         [[float(x) for x in r.v[j * dsub : (j + 1) * dsub]] for r in first]
         for j in range(m)
     ]
+    # Assignment runs in the Arrow/numpy kernel (r12 — the
+    # pandas_batch_scorer discipline): the HOF expression twin
+    # (_codes_expr) is CodegenFallback, so each of the m·ksub·dsub
+    # interpreted lambda steps per row re-ran per iteration — and the
+    # expression itself cost ~12 s/iteration of py4j construction before
+    # the literal fix.  The kernel reproduces the expression's float
+    # semantics bit-for-bit (_pq_codes_np; parity-pinned in tests), and
+    # the centroid update stays the same JVM map-side-combined aggregate
+    # over identical (j, cell, sub) rows.  Measured: pq_train 63.7 s →
+    # ~3 s at sf0.1 (2000×64d, m=8, ksub=16, 2 iterations).
+    import numpy as np
+    import pandas as pd
+
     for _ in range(n_iter):
-        sub_cells = (
-            emb.select("v", _codes_expr(F.col("v"), cents).alias("codes"))
-            .select("v", F.posexplode("codes").alias("j", "cell"))
-            .select(
-                "j",
-                "cell",
-                F.slice("v", F.col("j") * dsub + 1, dsub).alias("sub"),
-            )
+        C = np.asarray(cents, dtype=np.float64)
+
+        def gen(batches, C=C):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                codes = _pq_codes_np(V, C)
+                n = len(pdf)
+                m_, dsub_ = C.shape[0], C.shape[2]
+                # row-major (row i: j=0..m-1) — the exact row sequence
+                # select+posexplode produced, so the downstream partial
+                # aggregation folds partial sums in the same order
+                yield pd.DataFrame(
+                    {
+                        "j": np.tile(np.arange(m_, dtype=np.int32), n),
+                        "cell": codes.reshape(-1),
+                        "sub": [
+                            V[i, j * dsub_ : (j + 1) * dsub_]
+                            for i in range(n)
+                            for j in range(m_)
+                        ],
+                    }
+                )
+
+        sub_cells = emb.select("v").mapInPandas(
+            gen, "j int, cell int, sub array<double>"
         )
         rows = (
             sub_cells.groupBy("j", "cell")
@@ -152,17 +272,59 @@ def pq_encode(
     The stored norm is what makes cosine ADC exact-denominator (FAISS
     stores it next to the codes for inner-product/cosine indexes).
     ``keep_cols`` carries index metadata (the IVF cell id) into the
-    codes table, so an IVF-PQ codes store stays cell-partitionable."""
-    v = to_double(F.col(vec_col))
-    norm = F.round(
-        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6
+    codes table, so an IVF-PQ codes store stays cell-partitionable.
+
+    Runs in the Arrow/numpy kernel (r12): the encode pass is the
+    production full-corpus scan, and the HOF expression twin ran every
+    one of its m·ksub·dsub lambda steps interpreted (CodegenFallback)
+    plus ~12 s of py4j expression construction per call.  The kernel's
+    codes and norm reproduce the JVM expressions' float semantics
+    bit-for-bit (_pq_codes_np/_norm6_np; parity-pinned in
+    tests/test_quantization.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    C = np.asarray(codebook, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            codes = _pq_codes_np(V, C)
+            out = {id_col: pdf[id_col].values}
+            for c in keep_cols:
+                out[c] = pdf[c].values
+            out["codes"] = list(codes)
+            out["norm"] = _norm6_np(V)
+            yield pd.DataFrame(out)
+
+    by_name = {f.name: f for f in embeddings.schema.fields}
+    schema = StructType(
+        [by_name[id_col]]
+        + [by_name[c] for c in keep_cols]
+        + [
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("norm", DoubleType()),
+        ]
+    )
+    # No spread_for_python (r12 lesson): its df.rdd partition probe
+    # executes the upstream AQE stages, and encode is called on complex
+    # frames (store unions, probed-cell filters) — the probe re-ran the
+    # whole upstream per call.  The kernel is numpy-vectorized, so it
+    # doesn't need local widening.
     return embeddings.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        _codes_expr(v, codebook).alias("codes"),
-        norm.alias("norm"),
-    )
+        to_double(F.col(vec_col)).alias("_v"),
+    ).mapInPandas(gen, schema)
 
 
 def adc_shortlist(
@@ -196,9 +358,7 @@ def adc_shortlist(
     ]
     adc_dot = None
     for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut[j]]), F.col("codes")[j] + 1
-        )
+        term = F.element_at(lit_double_array(lut[j]), F.col("codes")[j] + 1)
         adc_dot = term if adc_dot is None else adc_dot + term
     return (
         codes.select(
@@ -220,7 +380,7 @@ def _exact_rerank(
 ) -> DataFrame:
     """Exact-cosine rerank of a BROADCAST shortlist against the full
     vectors — the only stage that touches uncompressed embeddings."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         vectors.join(F.broadcast(short.select(id_col)), id_col)
         .select(
@@ -345,7 +505,7 @@ def _batch_probe_expr(centroids, qv, nprobe):
         *[
             F.struct(
                 F.lit(int(c)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
+                lit_double_array(v).alias("cv"),
             )
             for c, v in centroids
         ]

@@ -23,7 +23,11 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_practice_spark.functions.vectors import cosine, to_double
+from cdc_practice_spark.functions.vectors import (
+    cosine,
+    lit_double_array,
+    to_double,
+)
 from cdc_practice_spark.plans.cache import tracked_persist
 
 
@@ -37,7 +41,7 @@ def brute_force_topk(
     """Exact cosine top-k against one query vector.  The query vector is
     a literal array (broadcast into codegen); result is (vec_id, cosine)
     with deterministic id tiebreak."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(to_double(F.col(vec_col)), q), 6).alias("cosine"),
@@ -69,7 +73,7 @@ def _ranked_cells(
             ).alias("centroid"),
         )
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     ranked = centroids.select(
         "cell", F.round(cosine(F.col("centroid"), q), 6).alias("sim")
     ).orderBy(F.col("sim").desc(), F.col("cell"))
@@ -708,7 +712,7 @@ def kmeans_fit_assign(
 def _ivf_dists_col(centroids):
     ds = []
     for c in centroids:
-        lit_c = F.array(*[F.lit(x) for x in c])
+        lit_c = lit_double_array(c)
         d = F.aggregate(
             F.zip_with(F.col("v"), lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -716,6 +720,29 @@ def _ivf_dists_col(centroids):
         )
         ds.append(F.round(d, 6))
     return F.array(*ds)
+
+
+def _ivf_assign_np(V, C):
+    """numpy twin of ``_ivf_dists_col`` + argmin/array_min (r12): per
+    (row, cell) lane the squared differences accumulate in ascending-
+    dimension order from 0.0 (the HOF left fold — elementwise IEEE ops
+    are order-identical), distances round through the exact JVM HALF_UP
+    twin, argmin takes the first minimum (array_position's tie rule).
+    Returns (cell int32 array, dist2 float64 array).  Parity pinned in
+    tests/test_similarity.py::test_ivf_assign_matches_expression_twin."""
+    import numpy as np
+
+    from cdc_practice_spark.operators.quantization import _round6_exact_np
+
+    n = V.shape[0]
+    k = C.shape[0]
+    acc = np.zeros((n, k), dtype=np.float64)
+    for t in range(V.shape[1]):
+        d = V[:, t : t + 1] - C[:, t][None, :]
+        acc += d * d
+    r = _round6_exact_np(acc)
+    cell = np.argmin(r, axis=1)
+    return cell.astype(np.int32), r[np.arange(n), cell]
 
 
 def kmeans_centroids(
@@ -738,10 +765,27 @@ def kmeans_centroids(
     ]
     if len(cents) != k:
         raise ValueError(f"need at least {k} vectors for deterministic init")
+    # Assignment runs in the Arrow/numpy kernel (r12, same reasoning as
+    # pq_train): the k×dim literal-distance expression is CodegenFallback
+    # (interpreted per element per row per iteration); the kernel is the
+    # bit-exact twin (_ivf_assign_np) and the centroid update stays the
+    # same JVM aggregate over identical (cell, v) rows in the same order.
+    import numpy as np
+    import pandas as pd
+
     for _ in range(n_iter):
-        assigned = emb.withColumn("_d", _ivf_dists_col(cents)).withColumn(
-            "cell",
-            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
+        C = np.asarray(cents, dtype=np.float64)
+
+        def gen(batches, C=C):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                cell, _ = _ivf_assign_np(V, C)
+                yield pd.DataFrame({"cell": cell, "v": list(V)})
+
+        assigned = emb.select("v").mapInPandas(
+            gen, "cell int, v array<double>"
         )
         new_cents = (
             assigned.groupBy("cell")
@@ -776,15 +820,51 @@ def ivf_assign(
     same centroids (the invariant ``ann_ivf_ingest`` oracles).
     Re-clustering (centroid drift) is the separate, rarer re-build job
     — exactly the frozen-stats discipline the corpus pipeline uses.
-    Output: (id, cell, dist2), ties to the lower cell id."""
-    emb = embeddings.select(F.col(id_col), to_double(F.col(vec_col)).alias("v"))
-    return emb.withColumn("_d", _ivf_dists_col(centroids)).select(
-        F.col(id_col),
-        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
-        .cast("int")
-        .alias("cell"),
-        F.array_min(F.col("_d")).alias("dist2"),
+    Output: (id, cell, dist2), ties to the lower cell id.
+
+    Runs in the Arrow/numpy kernel (r12 — the bit-exact twin of the
+    k×dim literal-distance expression, which was CodegenFallback and
+    therefore interpreted per element per row; parity pinned in
+    tests/test_similarity.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            cell, dist2 = _ivf_assign_np(V, C)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "cell": cell, "dist2": dist2}
+            )
+
+    id_field = next(f for f in embeddings.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            id_field,
+            StructField("cell", IntegerType()),
+            StructField("dist2", DoubleType()),
+        ]
+    )
+    # No spread_for_python here (r12 lesson): its partition probe
+    # (df.rdd) EXECUTES the upstream AQE query stages, and ivf_assign's
+    # callers pass complex frames (store unions, arriving batches) —
+    # the probe re-ran the whole upstream once per call.  The kernel is
+    # numpy-vectorized (~µs/row), so narrow local inputs don't need the
+    # widening the interpreted paths did; at scale inputs arrive with
+    # real partition counts.
+    return embeddings.select(
+        F.col(id_col), to_double(F.col(vec_col)).alias("_v")
+    ).mapInPandas(gen, schema)
 
 
 def ivf_cell_stats(assignments: DataFrame) -> DataFrame:

@@ -772,7 +772,9 @@ def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("vec_id")
         .collect()
     )
-    bench_ids = F.array(*[F.lit(int(r.vec_id)) for r in bench])
+    from cdc_practice_spark.functions.vectors import lit_long_array
+
+    bench_ids = lit_long_array(r.vec_id for r in bench)
     scored = S.batch_topk_mapinpandas(
         emb.filter(F.col("vec_id") % 97 != 0),
         [list(r.embedding) for r in bench],

@@ -75,6 +75,35 @@ def test_batch_scorer_matches_exact(emb, spark):
             assert abs(exact0[vid] - r.best_cosine) < 1e-5
 
 
+def test_ivf_assign_matches_expression_twin(emb):
+    """The r12 Arrow assignment kernel must reproduce the JVM
+    literal-distance expression BIT-FOR-BIT (cells partition persisted
+    stores; dist2 feeds decimal-summed drift stats)."""
+    from cdc_practice_spark.operators import similarity as Si
+    from cdc_practice_spark.functions.vectors import to_double
+
+    cents = Si.kmeans_centroids(emb, k=8, n_iter=1)
+    got = {
+        r.vec_id: (r.cell, r.dist2)
+        for r in Si.ivf_assign(emb, cents).collect()
+    }
+    v = to_double(F.col("embedding"))
+    emb_v = emb.select("vec_id", v.alias("v"))
+    want = {
+        r.vec_id: (r.cell, r.dist2)
+        for r in emb_v.withColumn("_d", Si._ivf_dists_col(cents))
+        .select(
+            "vec_id",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.array_min(F.col("_d")).alias("dist2"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_kmeans_assignment_properties(emb):
     """k-means index build: every vector gets exactly one cell in
     [0, k); the init vectors 0..k-1 end up in the cell whose centroid
@@ -138,7 +167,11 @@ def test_pq_encode_shape_and_code_range(emb):
     cb = Q.pq_train(emb, m=8, ksub=16, n_iter=1)
     assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
     rows = Q.pq_encode(emb, cb).limit(50).collect()
-    raw = {r.vec_id: list(r.embedding) for r in emb.limit(50).collect()}
+    want_ids = [r.vec_id for r in rows]
+    raw = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id").isin(want_ids)).collect()
+    }
     for r in rows:
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
