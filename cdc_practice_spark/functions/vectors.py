@@ -31,11 +31,26 @@ def lit_double_array(xs) -> Column:
     codebook ≈ 12 s — rebuilt per k-means iteration).  ``repr``-
     formatted ``D``-suffixed literals round-trip bit-exactly through
     the SQL parser (verified incl. subnormals, ±0.0, max double), so
-    the Literal tree is identical to the per-scalar build."""
+    the Literal tree is identical to the per-scalar build.  Non-finite
+    values need the cast form (r12 ADVICE): ``repr`` emits ``nan``/
+    ``inf``, which suffixed with D parse as identifiers, not literals —
+    the old per-scalar ``F.lit`` built valid NaN/Infinity literals and
+    callers (brute_force_topk, _exact_rerank) accept arbitrary user
+    query vectors."""
+    import math
+
+    def one(x) -> str:
+        x = float(x)
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(x):
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+        return f"{x!r}D"
+
     xs = list(xs)
     if not xs:
         return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")")
+    return F.expr("array(" + ",".join(one(x) for x in xs) + ")")
 
 
 def lit_long_array(xs) -> Column:
