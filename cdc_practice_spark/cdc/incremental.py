@@ -352,21 +352,30 @@ def topk_mv(
 ) -> DataFrame:
     """The maintained view: per group, the top-k (value desc, key asc)
     rows as a sorted array of struct(nc, id), plus the group's live row
-    count.  Built with a rank-filtered window (Spark pushes a partial
-    WindowGroupLimit below the exchange — a billion-row group ships k
-    rows per map partition) + one count aggregate."""
+    count.  ONE pass (r13): the rank window ships k rows per map
+    partition (partial WindowGroupLimit below the exchange), and the
+    following groupBy rides the window's partitioning — collect_list
+    over ``when(_rn <= k, el)`` skips the nulls of non-prefix rows while
+    ``count(1)`` still counts every row, so the old separate count
+    aggregate (a second full scan of ``current`` + a join, i.e. 2 extra
+    exchanges and ~4 extra stages per endangered-group rescan) is fused
+    away.  Row-for-row identical output: collect_list ignores nulls, so
+    the sorted prefix is unchanged, and every group with rows gets
+    exactly one row here just as the old inner join did."""
     el = F.struct((-M.fixed(value_col)).alias("nc"), F.col(key).alias("id"))
     w = Window.partitionBy(group_col).orderBy(
         (-M.fixed(value_col)).asc(), F.col(key).asc()
     )
-    top = (
+    return (
         current.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
         .groupBy(group_col)
-        .agg(F.sort_array(F.collect_list(el)).alias("topk"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= k, el))
+            ).alias("topk"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
-    cnt = current.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    return top.join(cnt, on=group_col)
 
 
 def delta_apply_topk_mv(
@@ -610,6 +619,101 @@ def delta_apply_distinct_mv(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def delta_apply_distinct_support_pair(
+    base_current: DataFrame,
+    base_support: DataFrame,
+    base_mv: DataFrame,
+    delta_feed: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    key: str = "original_id",
+    order: str = "kafka_offset",
+) -> tuple[DataFrame, DataFrame]:
+    """The fused (new_mv, new_support) maintenance step — what
+    :func:`delta_apply_distinct_mv`'s docstring promised a streaming
+    sink would do (r13): both outputs share ONE persisted window/
+    semi-join/signed-pair subtree instead of each delta function
+    rebuilding it (the distinct replay sink paid the whole latest →
+    touched → contrib → pair chain twice per epoch, once per write
+    job).  Output rows are identical to calling the two standalone
+    functions — same expressions, shared plan."""
+    w = Window.partitionBy(key)
+    latest = (
+        delta_feed.withColumn("_mx", F.max(order).over(w))
+        .filter(F.col(order) == F.col("_mx"))
+        .select(
+            F.col(key),
+            F.col(group_col),
+            F.col(distinct_col),
+            (F.col("__deleted") == "false").alias("_live"),
+        )
+    )
+    latest = tracked_persist(latest)
+    touched = latest.select(key).distinct()
+    old = base_current.join(touched, on=key, how="left_semi").select(
+        F.col(group_col).alias("g"),
+        F.col(distinct_col).alias("v"),
+        F.lit(-1).alias("w"),
+    )
+    new = latest.filter(F.col("_live")).select(
+        F.col(group_col).alias("g"),
+        F.col(distinct_col).alias("v"),
+        F.lit(1).alias("w"),
+    )
+    contrib = tracked_persist(old.unionByName(new))
+    ndelta = contrib.groupBy("g").agg(F.sum("w").alias("dn"))
+    # shared by the MV's born/died fold AND the support merge
+    pair = tracked_persist(
+        contrib.filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("dw"))
+        .filter(F.col("dw") != 0)
+    )
+    sup = base_support.select(
+        F.col(group_col).alias("g"), F.col(distinct_col).alias("v"), "cnt"
+    )
+    pairs = pair.join(sup, on=["g", "v"], how="left").select(
+        "g",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c0"),
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("dw")).alias("c1"),
+    )
+    born = (F.col("c0") == 0) & (F.col("c1") > 0)
+    died = (F.col("c0") > 0) & (F.col("c1") <= 0)
+    ddelta = pairs.groupBy("g").agg(
+        F.sum(F.when(born, 1).when(died, -1).otherwise(0)).alias("dd")
+    )
+    gdelta = ndelta.join(ddelta, on="g", how="left").select(
+        "g", "dn", F.coalesce(F.col("dd"), F.lit(0)).alias("dd")
+    )
+    mv = base_mv.select(F.col(group_col).alias("mg"), "n_rows", "n_distinct")
+    new_mv = (
+        mv.join(gdelta, mv["mg"] == gdelta["g"], "full_outer")
+        .select(
+            F.coalesce(F.col("mg"), F.col("g")).alias(group_col),
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("n_distinct"), F.lit(0))
+                + F.coalesce(F.col("dd"), F.lit(0))
+            ).alias("n_distinct"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    merged = sup.join(pair, on=["g", "v"], how="full_outer").select(
+        "g",
+        "v",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("dw"), F.lit(0))
+        ).alias("cnt"),
+    )
+    new_support = merged.filter(F.col("cnt") > 0).select(
+        F.col("g").alias(group_col), F.col("v").alias(distinct_col), "cnt"
+    )
+    return new_mv, new_support
 
 
 def delta_apply_support_mv(

@@ -23,8 +23,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from cdc_practice_spark.cdc.feed import KAFKA_COORDS, change_feed_from_events
-from cdc_practice_spark.plans.cache import tracked_scope
+from cdc_practice_spark.plans.cache import tracked_persist, tracked_scope
 from cdc_practice_spark.streaming.upsert import empty_state, merge_batch
+
+
+def _parallel_writes(*thunks) -> None:
+    """Run independent per-epoch write jobs concurrently (guide §2.6:
+    actions are only sequential because the driver calls them
+    sequentially — overlapping lets the next job's tasks back-fill the
+    tail of the previous one, which at replay batch sizes means the
+    per-job scheduling floors overlap instead of adding).  Commit-
+    protocol-safe by construction: every thunk writes into its own
+    v{epoch} directory and ALL pointer/manifest swaps happen after this
+    returns, so the crash-visible states are identical to the
+    sequential order.  Shared cached inputs are fine — Spark's cache
+    manager computes a racing partition once and blocks the other job."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()  # re-raise the first failure
 
 
 def _scoped(fn):
@@ -247,14 +269,29 @@ def apply_bucketed_merge(
     the state payload to the batch's (possibly DDL-evolved) columns:
     the touched buckets are then read through the widened schema the
     batch implies, so state evolves in place between epochs."""
-    touched = sorted(
-        r.b
-        for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
-        .distinct()
+    # One epoch = many driver actions over the SAME micro-batch plan
+    # (touched probe, merge write, tombstone write) — and inside
+    # foreachBatch every action re-executes the feed parse AND its
+    # stateful dedup (state-store open/commit per partition).  Persist
+    # the batch once (guide §5: reuse beats recompute; released by the
+    # sink's tracked scope at epoch end).  The touched-buckets and
+    # has-deletes probes then fuse into ONE index-sized aggregate
+    # instead of a collect plus a separate isEmpty job (guide §1.2:
+    # per-epoch cost here is job-count × scheduling floor, not data).
+    batch_df = tracked_persist(batch_df)
+    probe = (
+        batch_df.groupBy(_bucket_col(n_buckets).alias("b"))
+        .agg(
+            F.max(F.when(F.col("__deleted") == "true", 1).otherwise(0)).alias(
+                "has_del"
+            )
+        )
         .collect()
     )  # ≤ n_buckets rows — index-sized, not data-sized
+    touched = sorted(r.b for r in probe)
     if not touched:
         return
+    batch_has_deletes = any(r.has_del for r in probe)
     if payload_cols is None:
         existing = load_bucketed_state(spark, state_root, touched)
     else:
@@ -277,9 +314,6 @@ def apply_bucketed_merge(
     # actually advances it (contains deletes).
     pre_manifest = _read_manifest(state_root)
     has_standing_tombs = any(f"t{b}" in pre_manifest for b in touched)
-    batch_has_deletes = not batch_df.filter(
-        F.col("__deleted") == "true"
-    ).isEmpty()
     tombs = (
         load_bucketed_tombstones(spark, state_root, touched)
         if (has_standing_tombs or batch_has_deletes)
@@ -316,18 +350,27 @@ def apply_bucketed_merge(
     new_state = merge_batch(
         existing, batch_df, payload_cols, carry_cols, tombstones=tombs
     ).withColumn("_bucket", _bucket_col(n_buckets))
-    new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+    writes = [
+        lambda: new_state.write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(out)
+    ]
     if batch_has_deletes:
         # rewritten whole per touched bucket like state — one row per
         # ever-deleted key, so the sidecar is deleted-keys-sized
         new_tombs = updated_tombstones(tombs, batch_df).withColumn(
             "_bucket", _bucket_col(n_buckets)
         )
-        new_tombs.write.mode("overwrite").partitionBy("_bucket").parquet(
-            tomb_out
+        writes.append(
+            lambda: new_tombs.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tomb_out)
         )
     else:
         tomb_out = None
+    # both land in this epoch's dirs before the manifest swap below, so
+    # overlapping them is commit-order-invisible (guide §2.6)
+    _parallel_writes(*writes)
     # single-writer lease ⇒ nothing changed the manifest since the
     # pre-merge read — reuse it instead of a second parse
     manifest = dict(pre_manifest)
@@ -599,9 +642,14 @@ def _gate_epoch(
         frontier = int(meta["frontier"])
     else:
         pending, frontier = batch_df.limit(0), 0
-    observed = batch_df.unionByName(
-        pending.select(*batch_df.columns)
-    ).dropDuplicates(list(dedup_cols))
+    # persisted: the union+dedup plan (which embeds the batch's stream
+    # parse) is consumed by the frontier aggregate, the released merge
+    # (several actions) and the remainder write — one execution, not 3+
+    observed = tracked_persist(
+        batch_df.unionByName(
+            pending.select(*batch_df.columns)
+        ).dropDuplicates(list(dedup_cols))
+    )
     obs_c = observed.groupBy(txn.alias("txn")).agg(
         F.count(F.lit(1)).alias("observed_c")
     )
@@ -1046,6 +1094,10 @@ def stream_maintained_mv(
     feed = change_feed_from_events(events_stream)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # one stream-parse execution per epoch, not one per action
+        # (touched probe + MV delta + state merge) — released by the
+        # sink's tracked scope
+        batch_df = tracked_persist(batch_df)
         touched = sorted(
             r.b
             for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
@@ -1084,13 +1136,19 @@ def stream_maintained_mv(
         #    reads exactly the buckets the merge will rewrite anyway
         new_mv = delta_apply_mv(base_current, base_mv, batch_df, group_col)
         mv_out = os.path.join(mv_root, f"v{epoch_id}")
-        new_mv.write.mode("overwrite").parquet(mv_out)
-        # 2. snapshot bucket merge (same contract as the bucketed tier)
+        # 2. snapshot bucket merge (same contract as the bucketed tier);
+        #    both outputs land in v{epoch} dirs before any swap, so the
+        #    two writes overlap their scheduling floors (guide §2.6)
         new_state = merge_batch(base_current, batch_df).withColumn(
             "_bucket", _bucket_col(n_buckets)
         )
         out = os.path.join(state_root, f"v{epoch_id}")
-        new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        _parallel_writes(
+            lambda: new_mv.write.mode("overwrite").parquet(mv_out),
+            lambda: new_state.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out),
+        )
         manifest = _read_manifest(state_root)
         for b in touched:
             bucket_dir = os.path.join(out, f"_bucket={b}")
@@ -1160,6 +1218,9 @@ def stream_maintained_topk_mv(
     feed = change_feed_from_events(events_stream)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # one stream-parse execution per epoch (probe + top-k delta +
+        # state merge all reuse it) — released by the tracked scope
+        batch_df = tracked_persist(batch_df)
         touched = sorted(
             r.b
             for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
@@ -1206,12 +1267,17 @@ def stream_maintained_topk_mv(
             base_full, base_mv, batch_df, group_col, k
         )
         mv_out = os.path.join(mv_root, f"v{epoch_id}")
-        new_mv.write.mode("overwrite").parquet(mv_out)
         new_state = merge_batch(base_touched, batch_df).withColumn(
             "_bucket", _bucket_col(n_buckets)
         )
         out = os.path.join(state_root, f"v{epoch_id}")
-        new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        # both land in v{epoch} dirs before any swap — overlap them
+        _parallel_writes(
+            lambda: new_mv.write.mode("overwrite").parquet(mv_out),
+            lambda: new_state.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out),
+        )
         manifest = _read_manifest(state_root)
         for b in touched:
             bucket_dir = os.path.join(out, f"_bucket={b}")
@@ -1271,8 +1337,7 @@ def stream_maintained_distinct_mv(
     would ride the same bucketed MERGE as the snapshot — the delta
     functions only ever read the touched pairs from it."""
     from cdc_practice_spark.cdc.incremental import (
-        delta_apply_distinct_mv,
-        delta_apply_support_mv,
+        delta_apply_distinct_support_pair,
     )
 
     os.makedirs(state_root, exist_ok=True)
@@ -1281,6 +1346,9 @@ def stream_maintained_distinct_mv(
     feed = change_feed_from_events(events_stream)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # one stream-parse execution per epoch (probe + both deltas +
+        # state merge all reuse it) — released by the tracked scope
+        batch_df = tracked_persist(batch_df)
         touched = sorted(
             r.b
             for r in batch_df.select(_bucket_col(n_buckets).alias("b"))
@@ -1317,21 +1385,26 @@ def stream_maintained_distinct_mv(
                 [], f"{group_col} {gt}, n_rows long, n_distinct long"
             )
         )
-        new_mv = delta_apply_distinct_mv(
+        # fused maintenance (r13): one shared window/semi-join/pair
+        # subtree feeds both outputs instead of two standalone delta
+        # functions each rebuilding it per write job
+        new_mv, new_support = delta_apply_distinct_support_pair(
             base_current, base_support, base_mv, batch_df, group_col, distinct_col
         )
         mv_out = os.path.join(mv_root, f"v{epoch_id}")
-        new_mv.write.mode("overwrite").parquet(mv_out)
-        new_support = delta_apply_support_mv(
-            base_current, base_support, batch_df, group_col, distinct_col
-        )
         sup_out = os.path.join(sup_root, f"v{epoch_id}")
-        new_support.write.mode("overwrite").parquet(sup_out)
         new_state = merge_batch(base_current, batch_df).withColumn(
             "_bucket", _bucket_col(n_buckets)
         )
         out = os.path.join(state_root, f"v{epoch_id}")
-        new_state.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        # all three land in v{epoch} dirs before any swap — overlap them
+        _parallel_writes(
+            lambda: new_mv.write.mode("overwrite").parquet(mv_out),
+            lambda: new_support.write.mode("overwrite").parquet(sup_out),
+            lambda: new_state.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out),
+        )
         manifest = _read_manifest(state_root)
         for b in touched:
             bucket_dir = os.path.join(out, f"_bucket={b}")

@@ -210,6 +210,12 @@ def merge_batch(
             .cast(batch_feed.schema[c].dataType),
         )
 
+    # b's join+window chain is consumed TWICE below (batch_state and the
+    # untouched anti-join's key set) — persist so one epoch executes it
+    # once (released by the sink's tracked scope / the materializer)
+    from cdc_practice_spark.plans.cache import tracked_persist
+
+    b = tracked_persist(b)
     rn = F.row_number().over(
         Window.partitionBy("original_id").orderBy(F.col("kafka_offset").desc())
     )

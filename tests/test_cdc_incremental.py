@@ -455,6 +455,37 @@ def test_distinct_delta_apply_equals_scratch_at_any_split(feed):
         assert _dc_rows(maintained) == scratch, f"split {t} diverged"
 
 
+def test_fused_distinct_support_pair_equals_standalone(feed):
+    """The r13 fused (mv, support) maintenance step the streaming sink
+    runs must emit row-identical outputs to the two standalone delta
+    functions it replaced."""
+    from cdc_practice_spark.cdc.incremental import (
+        delta_apply_distinct_support_pair,
+        delta_apply_support_mv,
+    )
+
+    max_off = feed.agg(F.max("kafka_offset")).collect()[0][0]
+    for t in (-1, max_off // 3, max_off // 2, max_off):
+        base_feed = feed.filter(F.col("kafka_offset") <= t)
+        delta_feed = feed.filter(F.col("kafka_offset") > t)
+        base_current = build_current(base_feed)
+        base_sup = support_mv(base_current, "event_type", "props_k")
+        base_mv = distinct_mv(base_current, "event_type", "props_k")
+        fused_mv, fused_sup = delta_apply_distinct_support_pair(
+            base_current, base_sup, base_mv, delta_feed, "event_type", "props_k"
+        )
+        want_mv = delta_apply_distinct_mv(
+            base_current, base_sup, base_mv, delta_feed, "event_type", "props_k"
+        )
+        want_sup = delta_apply_support_mv(
+            base_current, base_sup, delta_feed, "event_type", "props_k"
+        )
+        assert _dc_rows(fused_mv) == _dc_rows(want_mv), f"split {t} mv diverged"
+        assert sorted(map(tuple, fused_sup.collect())) == sorted(
+            map(tuple, want_sup.collect())
+        ), f"split {t} support diverged"
+
+
 def test_distinct_zero_crossings_and_nulls(spark):
     """The value-level cases signed MV arithmetic cannot express:
     retracting the LAST copy of a value kills it (died), re-inserting a
