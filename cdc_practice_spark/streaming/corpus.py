@@ -477,6 +477,26 @@ def _heal_purge_asides(root: str) -> None:
             shutil.rmtree(os.path.join(root, name))
 
 
+def _parallel_jobs(thunks) -> None:
+    """Run independent driver actions concurrently (guide §2.6) — the
+    store-maintenance sibling of pipeline._parallel_writes: each thunk
+    targets its own directory, and callers keep their phase barriers, so
+    crash-visible states stay within the phase the journal replay
+    already handles (phases are idempotent over ANY subset of committed
+    dirs, not just prefixes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    thunks = list(thunks)
+    if not thunks:
+        return
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def _swap_store_dir(root: str, name: str, df: DataFrame) -> None:
     """Replace store dir ``name`` with ``df``'s rows via stage-rename-
     swap: write aside, move the live dir out, move the staged dir in,
@@ -627,24 +647,25 @@ def purge_ingest_docs(
             F.col("disposition").isin("kept", PURGED_DISPOSITION)
         ).join(F.broadcast(pids), "doc_id", "left_semi")
     )
-    n_purged = (
-        touched.filter(F.col("disposition") == "kept")
-        .select("doc_id")
-        .distinct()
-        .count()
-    )
-    affected_sources = [
-        r["source"] for r in touched.select("source").distinct().collect()
-    ]
+    # ONE index-sized aggregate answers both driver questions (r13 —
+    # was a distinct-count job plus a distinct-collect job)
+    _t = touched.agg(
+        F.count_distinct(
+            F.when(F.col("disposition") == "kept", F.col("doc_id"))
+        ).alias("np"),
+        F.collect_set("source").alias("srcs"),
+    ).head()
+    n_purged = int(_t["np"])
+    affected_sources = sorted(_t["srcs"])
 
     # purge sets are typically driver-small (an audit's output); as an
     # IN-list the membership probe pushes into the parquet scans, so
     # row-group doc_id min/max stats skip untouched files at the IO
-    # layer (a join-side probe can't push down)
+    # layer (a join-side probe can't push down).  Gate-and-fetch in one
+    # job: limit(10001) returns the whole set when it is small.
+    _head = pids.limit(10001).collect()
     small_ids = (
-        [int(r["doc_id"]) for r in pids.collect()]
-        if pids.limit(10001).count() <= 10000
-        else None
+        [int(r["doc_id"]) for r in _head] if len(_head) <= 10000 else None
     )
 
     def _drop_from_index_dirs() -> None:
@@ -678,8 +699,9 @@ def purge_ingest_docs(
                 if small_ids is not None
                 else u.join(F.broadcast(pids), "doc_id", "left_semi")
             )
-            for r in hits.select("_dir").distinct().collect():
-                name = f"{prefix}_v{int(r['_dir'])}"
+
+            def _rewrite(dir_epoch: int, prefix=prefix, schema=schema) -> None:
+                name = f"{prefix}_v{dir_epoch}"
                 cur = spark.read.schema(schema).parquet(
                     os.path.join(store_root, name)
                 )
@@ -688,6 +710,15 @@ def purge_ingest_docs(
                     name,
                     cur.join(F.broadcast(pids), "doc_id", "left_anti"),
                 )
+
+            # dirty dirs are independent — overlap their rewrite jobs
+            # (guide §2.6); the phase barrier below is unchanged
+            _parallel_jobs(
+                [
+                    (lambda e=int(r["_dir"]): _rewrite(e))
+                    for r in hits.select("_dir").distinct().collect()
+                ]
+            )
 
     if not affected_sources:
         _drop_from_index_dirs()
@@ -728,18 +759,19 @@ def purge_ingest_docs(
             | (F.col("bin_fill") != F.col("_nf"))
         )
     )
-    concerned = touched.select("_dir", "_epoch").union(
-        moved.select("_dir", "_epoch")
+    # one distinct collect yields BOTH dirty sets (was two jobs)
+    _pairs = (
+        touched.select("_dir", "_epoch")
+        .union(moved.select("_dir", "_epoch"))
+        .distinct()
+        .collect()
     )
-    dirty_dirs = sorted(
-        r["_dir"] for r in concerned.select("_dir").distinct().collect()
-    )
-    dirty_epochs = sorted(
-        r["_epoch"] for r in concerned.select("_epoch").distinct().collect()
-    )
+    dirty_dirs = sorted({r["_dir"] for r in _pairs})
+    dirty_epochs = sorted({r["_epoch"] for r in _pairs})
 
     is_purged = F.col("_p").isNotNull() & (F.col("disposition") == "kept")
-    for e in dirty_dirs:
+
+    def _rewrite_disp(e: int) -> None:
         name = f"disp_delta_v{e}"
         old = spark.read.schema(_DISP_SCHEMA + ", epoch long").parquet(
             os.path.join(store_root, name)
@@ -767,29 +799,52 @@ def purge_ingest_docs(
         )
         _swap_store_dir(store_root, name, new)
 
+    # dirty dirs are independent — overlap their rewrites; the funnel
+    # phase below still starts only after ALL disp dirs are swapped
+    _parallel_jobs([(lambda e=e: _rewrite_disp(e)) for e in dirty_dirs])
+
     # funnel histograms follow the rewritten dispositions, PER TRUE
     # EPOCH (rows re-read post-rewrite, so a resumed purge recomputes
-    # the same values)
+    # the same values).  ONE aggregation over the re-read store computes
+    # every dirty epoch's histogram (was one scan+agg job per epoch);
+    # the per-dir swap then writes driver-sized frames, overlapped.
     fresh = _tagged_disp(spark, store_root, epochs)
-    for e in dirty_epochs:
-        fname = f"funnel_delta_v{e}"
-        if os.path.isdir(os.path.join(store_root, fname)):
-            fn = (
-                fresh.filter(F.col("_epoch") == e)
-                .groupBy("disposition")
-                .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                .select(
-                    F.lit(e).cast("long").alias("epoch"),
-                    F.col("disposition").alias("stage"),
-                    "n",
-                )
+    fn_targets = [
+        e
+        for e in dirty_epochs
+        if os.path.isdir(os.path.join(store_root, f"funnel_delta_v{e}"))
+    ]
+    if fn_targets:
+        hist_rows = (
+            fresh.filter(F.col("_epoch").isin([int(e) for e in fn_targets]))
+            .groupBy("_epoch", "disposition")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        by_epoch: dict[int, list] = {}
+        for r in hist_rows:
+            by_epoch.setdefault(int(r["_epoch"]), []).append(
+                (int(r["_epoch"]), r["disposition"], int(r["n"]))
             )
-            _swap_store_dir(store_root, fname, fn)
+
+        def _rewrite_funnel(e: int) -> None:
+            _swap_store_dir(
+                store_root,
+                f"funnel_delta_v{e}",
+                spark.createDataFrame(
+                    sorted(by_epoch.get(e, [])), "epoch long, stage string, n long"
+                ),
+            )
+
+        _parallel_jobs([(lambda e=e: _rewrite_funnel(e)) for e in fn_targets])
 
     _drop_from_index_dirs()
 
     # carried pack states: re-derive cumulatively from the first dirty
-    # epoch on, so a resumed stream continues from the post-purge fill
+    # epoch on, so a resumed stream continues from the post-purge fill.
+    # ONE tagged scan computes every epoch's per-source end rows (was a
+    # read+agg+collect job PER epoch); the cumulative fold and the tiny
+    # per-dir writes run driver-side, writes overlapped.
     if dirty_dirs:
         first_pos = min(
             i for i, e in enumerate(epochs) if e in set(dirty_dirs)
@@ -803,32 +858,51 @@ def purge_ingest_docs(
                     for r in spark.read.schema(_PACK_SCHEMA).parquet(p).collect()
                 }
                 break
+        disp_epochs = [
+            e
+            for e in epochs[first_pos:]
+            if os.path.isdir(os.path.join(store_root, f"disp_delta_v{e}"))
+        ]
+        ends: dict[int, dict[str, tuple[int, int]]] = {e: {} for e in disp_epochs}
+        if disp_epochs:
+            parts = []
+            for e in disp_epochs:
+                parts.append(
+                    spark.read.schema(_DISP_SCHEMA)
+                    .parquet(os.path.join(store_root, f"disp_delta_v{e}"))
+                    .withColumn("_de", F.lit(int(e)).cast("long"))
+                )
+            u = parts[0]
+            for q in parts[1:]:
+                u = u.unionByName(q)
+            for r in (
+                u.filter(F.col("disposition") == "kept")
+                .groupBy("_de", "source")
+                .agg(
+                    F.expr("max_by(bin_id, doc_id)").alias("bin_id"),
+                    F.expr("max_by(bin_fill, doc_id)").alias("bin_fill"),
+                )
+                .collect()
+            ):
+                ends[int(r["_de"])][r["source"]] = (
+                    int(r["bin_id"]),
+                    int(r["bin_fill"]),
+                )
+        swaps = []
         for e in epochs[first_pos:]:
-            dp = os.path.join(store_root, f"disp_delta_v{e}")
-            if os.path.isdir(dp):
-                end = {
-                    r["source"]: (int(r["bin_id"]), int(r["bin_fill"]))
-                    for r in spark.read.schema(_DISP_SCHEMA)
-                    .parquet(dp)
-                    .filter(F.col("disposition") == "kept")
-                    .groupBy("source")
-                    .agg(
-                        F.expr("max_by(bin_id, doc_id)").alias("bin_id"),
-                        F.expr("max_by(bin_fill, doc_id)").alias("bin_fill"),
-                    )
-                    .collect()
-                }
-                state = {**state, **end}
+            if e in ends:
+                state = {**state, **ends[e]}
             name = f"pack_state_v{e}"
             if os.path.isdir(os.path.join(store_root, name)):
-                _swap_store_dir(
-                    store_root,
-                    name,
-                    spark.createDataFrame(
-                        sorted((s, b, f) for s, (b, f) in state.items()),
-                        _PACK_SCHEMA,
-                    ),
+                rows = sorted((s, b, f) for s, (b, f) in state.items())
+                swaps.append(
+                    lambda name=name, rows=rows: _swap_store_dir(
+                        store_root,
+                        name,
+                        spark.createDataFrame(rows, _PACK_SCHEMA),
+                    )
                 )
+        _parallel_jobs(swaps)
     import shutil
 
     shutil.rmtree(jdir, ignore_errors=True)  # last: the purge is complete
@@ -1025,39 +1099,55 @@ def stream_corpus_ingest(
             )
         )
 
-        # per-epoch overwrite-idempotent deltas, then the atomic commit
-        new_rows.write.mode("overwrite").parquet(
-            os.path.join(store_root, f"idx_delta_v{store_epoch}")
-        )
-        # the epoch's ADMITTED docs' 8-gram hashes (r9): the rows a
-        # retroactive audit semi-joins a future benchmark against —
-        # rides the already-persisted feature frame, admitted-sized
-        feats.join(packed.select("doc_id"), "doc_id", "left_semi").select(
-            "doc_id", "g8"
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_root, f"g8_delta_v{store_epoch}")
-        )
+        # per-epoch overwrite-idempotent deltas, then the atomic commit.
+        # disp is persisted so the funnel histogram aggregates the exact
+        # rows the disp write lands (same no-recompute guarantee the old
+        # written-parquet read-back gave, minus the extra read job), and
+        # all five delta writes run CONCURRENTLY (guide §2.6): each
+        # targets its own v{store_epoch} dir and the manifest swap below
+        # happens only after every write returns, so crash-visible
+        # states are identical to the sequential order.
+        disp = tracked_persist(disp)
         disp_path = os.path.join(store_root, f"disp_delta_v{store_epoch}")
-        disp.write.mode("overwrite").parquet(disp_path)
-        # per-epoch curation funnel (r8 — VERDICT r7 ask #8): the
-        # six-way disposition histogram of THIS epoch, the observability
-        # row an ingest operator watches for quality drift without
-        # replaying dispositions.  Aggregated from the just-written disp
-        # parquet (exact, no recompute of the join tree); summed across
-        # epochs it reproduces the batch funnel (tested).
-        spark.read.schema(_DISP_SCHEMA).parquet(disp_path).groupBy(
-            "disposition"
-        ).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
-            F.lit(store_epoch).cast("long").alias("epoch"),
-            F.col("disposition").alias("stage"),
-            "n",
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_root, f"funnel_delta_v{store_epoch}")
+        g8_rows = feats.join(
+            packed.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", "g8")
+        funnel = (
+            disp.groupBy("disposition")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.lit(store_epoch).cast("long").alias("epoch"),
+                F.col("disposition").alias("stage"),
+                "n",
+            )
         )
-        spark.createDataFrame(
+        pack_rows = spark.createDataFrame(
             sorted((s, b, f) for s, (b, f) in new_state.items()), _PACK_SCHEMA
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_root, f"pack_state_v{store_epoch}")
+        )
+        from cdc_practice_spark.streaming.pipeline import _parallel_writes
+
+        _parallel_writes(
+            lambda: new_rows.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"idx_delta_v{store_epoch}")
+            ),
+            # the epoch's ADMITTED docs' 8-gram hashes (r9): the rows a
+            # retroactive audit semi-joins a future benchmark against —
+            # rides the already-persisted feature frame, admitted-sized
+            lambda: g8_rows.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"g8_delta_v{store_epoch}")
+            ),
+            lambda: disp.write.mode("overwrite").parquet(disp_path),
+            # per-epoch curation funnel (r8 — VERDICT r7 ask #8): the
+            # six-way disposition histogram of THIS epoch, the
+            # observability row an ingest operator watches for quality
+            # drift without replaying dispositions; summed across epochs
+            # it reproduces the batch funnel (tested).
+            lambda: funnel.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"funnel_delta_v{store_epoch}")
+            ),
+            lambda: pack_rows.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"pack_state_v{store_epoch}")
+            ),
         )
         if store_epoch not in pre_epochs:
             cur = _read_manifest_full(store_root)
