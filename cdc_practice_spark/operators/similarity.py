@@ -49,22 +49,19 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def _ranked_cells(
+def ivf_centroid_df(
     embeddings: DataFrame,
-    query_vec: list[float],
-    cell_col: str,
+    dim: int,
+    cell_col: str = "label",
     vec_col: str = "embedding",
-    limit: "int | None" = None,
-) -> list:
-    """Cells in centroid-cosine order vs the query — THE deterministic
-    probe ranking both IVF entry points share: centroids are a groupBy
-    average, ranked on ROUND-6 cosine with a cell-id tiebreak (centroid
-    averages are float-order-sensitive across engines/partitionings; at
-    1e-6 granularity the order is engine-deterministic and therefore
-    oracle-able).  ncells rows — index metadata, driver-sized."""
+) -> DataFrame:
+    """The (cell, centroid array<double>) frame ``_ranked_cells`` ranks
+    against — factored out (r13) so a caller serving MANY point queries
+    against one index can compute (and persist) the groupBy average
+    once instead of once per query; the ranking expression over it is
+    unchanged, so probe order is bit-identical."""
     dvec = to_double(F.col(vec_col))
-    dim = len(query_vec)
-    centroids = (
+    return (
         embeddings.select(F.col(cell_col).alias("cell"), dvec.alias("v"))
         .groupBy("cell")
         .agg(
@@ -72,6 +69,31 @@ def _ranked_cells(
                 *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
             ).alias("centroid"),
         )
+    )
+
+
+def _ranked_cells(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    cell_col: str,
+    vec_col: str = "embedding",
+    limit: "int | None" = None,
+    centroids_df: "DataFrame | None" = None,
+) -> list:
+    """Cells in centroid-cosine order vs the query — THE deterministic
+    probe ranking both IVF entry points share: centroids are a groupBy
+    average, ranked on ROUND-6 cosine with a cell-id tiebreak (centroid
+    averages are float-order-sensitive across engines/partitionings; at
+    1e-6 granularity the order is engine-deterministic and therefore
+    oracle-able).  ncells rows — index metadata, driver-sized.  Pass
+    ``centroids_df`` (an ``ivf_centroid_df`` frame, ideally persisted)
+    to skip re-aggregating the centroids per query — same expression,
+    same rows, one aggregation instead of N."""
+    dim = len(query_vec)
+    centroids = (
+        ivf_centroid_df(embeddings, dim, cell_col, vec_col)
+        if centroids_df is None
+        else centroids_df
     )
     q = lit_double_array(query_vec)
     ranked = centroids.select(

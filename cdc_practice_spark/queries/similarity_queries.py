@@ -1727,9 +1727,22 @@ def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, cb, queries, cents, k=10, nprobe=5, shortlist=50
         )
     )
+    # The 8 identity arms share the index-build work (r13): ONE corpus
+    # encode (pq_encode keep_cols — the precomputed-codes serving shape
+    # ann_ivf_pq_recall already pins as identical) and ONE persisted
+    # centroid aggregation ranked per arm, instead of each arm paying
+    # its own groupBy-average job and full-corpus encode.  Arm OUTPUTS
+    # are unchanged — same probe ranking expression, same codes rows.
+    from cdc_practice_spark.operators.similarity import ivf_centroid_df
+
+    codes_all = tracked_persist(Q.pq_encode(emb, cb, keep_cols=("label",)))
+    cent_df = tracked_persist(ivf_centroid_df(emb, dim=len(qdata[0][1])))
     singles = None
     for i, qv in qdata:
-        s = Q.ivf_pq_topk(emb, cb, qv, k=10, nprobe=5, shortlist=50).select(
+        s = Q.ivf_pq_topk(
+            emb, cb, qv, k=10, nprobe=5, shortlist=50,
+            codes=codes_all, centroids_df=cent_df,
+        ).select(
             F.lit(i).cast("long").alias("qid"), "vec_id", "cosine"
         )
         singles = s if singles is None else singles.unionByName(s)
