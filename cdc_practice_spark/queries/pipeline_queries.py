@@ -682,22 +682,34 @@ def corpus_e2e_stages(
         F.count(F.lit(1)).cast("double").alias("n_s")
     )
     tot = stats.agg(F.sum(F.sqrt("n_s")).alias("sw"), F.sum("n_s").alias("n"))
-    rates = stats.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.sqrt("n_s")
-                / F.col("sw")
-                * F.floor(F.col("n") * 0.5)
-                / F.col("n_s"),
+    # computed-once rates literal (r13 — VERDICT r12 ask #9): the rates
+    # are a handful of (source, long-threshold) scalars computed over the
+    # persisted s4; collecting them here removes the stats/tot broadcast
+    # chain (2 more s4 consumer subtrees) from the s5/s6 plan, leaving
+    # ONE s4 consumer chain.  Exact: accept_thr is already a rounded
+    # LONG, so driver round-trip cannot perturb it.
+    rates_rows = sorted(
+        (r["source"], int(r["accept_thr"]))
+        for r in stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt("n_s")
+                    / F.col("sw")
+                    * F.floor(F.col("n") * 0.5)
+                    / F.col("n_s"),
+                )
+                * 1000000,
+                0,
             )
-            * 1000000,
-            0,
+            .cast("long")
+            .alias("accept_thr"),
         )
-        .cast("long")
-        .alias("accept_thr"),
+        .collect()
     )
+    rates = spark.createDataFrame(rates_rows, "source string, accept_thr long")
     bucket = (
         F.conv(
             F.substring(
