@@ -91,9 +91,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup at the smallest sf: JVM + codegen + parquet footer caches
-    materialize(registry.QUERIES["cdc_current_snapshot"](spark, "/root/testdata/sf0.001"))
-    materialize(registry.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    # Warmup at the smallest sf: JVM + whole-stage-codegen + parquet
+    # footer caches.  Generalized r13 (VERDICT r12 ask #4): codegen is
+    # keyed on PLAN SHAPE, not data volume, and the graph queries'
+    # first-execution JIT alone is ~7 s — running every headline shape
+    # once at sf0.001 (untimed, like the two-query warmup before it)
+    # makes each min-of-N repeat a steady-state measurement, which is
+    # what a warm cluster executes.  Data caches are released after, so
+    # the timed repeats still compute everything from parquet.
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is not None:
+            materialize(fn(spark, "/root/testdata/sf0.001"))
+            release_tracked()
     # Python-worker pre-warm (r13 — VERDICT r12 ask #8): the first
     # mapInPandas stage of a session pays one python daemon fork +
     # pandas/numpy import PER CORE (~5-15 s across 32 workers), which is

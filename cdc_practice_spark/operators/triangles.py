@@ -188,7 +188,26 @@ def _numpy_triangle_counts(u, v):
     import numpy as np
 
     both = np.concatenate([u, v])
-    nodes, inv = np.unique(both, return_inverse=True)
+    # Node compaction: np.unique(return_inverse=True) argsorts the full
+    # 2·m array (~60% of the whole kernel's time at the 1.2M-edge bench
+    # graph).  Integer ids with a moderate value range — every graph this
+    # engine builds keys on dense surrogate ids — compact in O(range)
+    # with one presence mask instead: same sorted `nodes`, same inverse,
+    # measured 0.96 s → ~10 ms.  Anything else falls back to np.unique.
+    if np.issubdtype(both.dtype, np.integer) and len(both):
+        mn = int(both.min())
+        span = int(both.max()) - mn + 1
+        if span <= max(8 * len(both), 1 << 22):
+            present = np.zeros(span, np.bool_)
+            present[both - mn] = True
+            nodes = np.nonzero(present)[0].astype(both.dtype) + both.dtype.type(mn)
+            remap = np.empty(span, np.int64)
+            remap[nodes - mn] = np.arange(len(nodes))
+            inv = remap[both - mn]
+        else:
+            nodes, inv = np.unique(both, return_inverse=True)
+    else:
+        nodes, inv = np.unique(both, return_inverse=True)
     n = len(nodes)
     cu, cv = inv[: len(u)], inv[len(u):]
     lo, hi = np.minimum(cu, cv), np.maximum(cu, cv)

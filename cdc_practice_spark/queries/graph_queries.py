@@ -238,12 +238,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_practice_spark.session import load_table
 
     # sf0.1 lineitem is a 3-row-group file → the self-join would run
-    # 3-wide; one narrow repartition unlocks full parallelism (no-op at
-    # scale — see spread_for_python)
-    li = spread_for_python(load_table(spark, sf_dir, "lineitem"))
+    # 3-wide; one narrow repartition of the PROBE side unlocks full
+    # parallelism (no-op at scale — see spread_for_python).  The build
+    # side stays unspread (r13): it feeds a BroadcastExchange, so
+    # repartitioning it first was one pure-overhead exchange in the plan.
+    li_raw = load_table(spark, sf_dir, "lineitem")
+    li = spread_for_python(li_raw)
     pairs = (
         li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
-        .join(li.select("l_orderkey", F.col("l_partkey").alias("doc_b")), "l_orderkey")
+        .join(
+            li_raw.select("l_orderkey", F.col("l_partkey").alias("doc_b")),
+            "l_orderkey",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     per_node = triangle_counts(pairs, stats_key=sf_dir)

@@ -1,5 +1,5 @@
 """Dump .explain('formatted') for named queries (default: every bench.py
-headline) into plans/r12/<query>_<tag>.txt — the before/after evidence
+headline) into plans/r13/<query>_<tag>.txt — the before/after evidence
 files the optimization round commits.
 
 Usage: python tools/dump_plan_files.py <tag> [sf_dir] [query ...]
@@ -32,7 +32,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        "r13",
     )
     os.makedirs(out_dir, exist_ok=True)
 
