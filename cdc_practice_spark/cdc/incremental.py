@@ -387,6 +387,8 @@ def delta_apply_topk_mv(
     value_col: str = "value",
     key: str = "original_id",
     order: str = "kafka_offset",
+    full_current=None,
+    eager_endangered_gate: bool = False,
 ) -> DataFrame:
     """Maintain ``base_mv`` (= topk_mv of the state at T) through a batch
     of post-T change events; returns the same rows as recomputing
@@ -396,7 +398,20 @@ def delta_apply_topk_mv(
     hidden rows exist below the prefix) merge inserts into the stored
     array with O(k + delta) array math; endangered groups re-derive via
     a group-key semi join — the same two-tier shape as
-    :func:`delta_apply_minmax_mv`."""
+    :func:`delta_apply_minmax_mv`.
+
+    Rescan scoping (r13 — VERDICT r12 scale-killer watch): a group's
+    surviving rows span ALL buckets of a key-hashed state layout, so the
+    rescan reads the whole snapshot while retractions only need the
+    TOUCHED buckets.  Callers with a bucketed store therefore pass the
+    touched-bucket frame as ``base_current`` (retraction legs) and a
+    LAZY ``full_current`` thunk for the rescan, with
+    ``eager_endangered_gate=True``: the endangered groups are collected
+    first (group-cardinality rows off the already-persisted ``merged``),
+    an empty set SKIPS the full-state read entirely, and a non-empty set
+    prunes it with a group IN-list — at warehouse scale that is the
+    difference between O(state) and O(endangered groups) per epoch.
+    Output rows are identical: the IN-list is exactly the semi-join set."""
     key_t = base_current.schema[key].dataType.simpleString()
     empty = F.expr(f"CAST(array() AS ARRAY<STRUCT<nc: BIGINT, id: {key_t}>>)")
     w = Window.partitionBy(key)
@@ -463,10 +478,34 @@ def delta_apply_topk_mv(
         ).alias("topk"),
         (F.col("n_rows") + F.col("dn")).alias("n_rows"),
     )
+    if eager_endangered_gate:
+        egs = [
+            r[0]
+            for r in merged.filter(endangered_cond)
+            .select(group_col)
+            .collect()
+        ]  # group-cardinality rows, read off the persisted merged frame
+        if not egs:
+            return safe.filter(F.col("n_rows") > 0)
+        rescan_base = (
+            full_current() if full_current is not None else base_current
+        ).filter(F.col(group_col).isin(egs))
+        post = (
+            rescan_base.join(touched, on=key, how="left_anti")
+            .select(F.col(group_col), F.col(value_col), F.col(key))
+            .unionByName(
+                latest.filter(
+                    F.col("_live") & F.col(group_col).isin(egs)
+                ).select(F.col(group_col), F.col(value_col), F.col(key))
+            )
+        )
+        rederived = topk_mv(post, group_col, k, value_col=value_col, key=key)
+        return safe.unionByName(rederived).filter(F.col("n_rows") > 0)
     egroups = merged.filter(endangered_cond).select(F.col(group_col).alias("eg"))
+    rescan_src = full_current() if full_current is not None else base_current
     post = (
-        base_current.join(
-            egroups, base_current[group_col] == egroups["eg"], "left_semi"
+        rescan_src.join(
+            egroups, rescan_src[group_col] == egroups["eg"], "left_semi"
         )
         .join(touched, on=key, how="left_anti")
         .select(F.col(group_col), F.col(value_col), F.col(key))

@@ -236,6 +236,19 @@ def test_topk_delta_apply_equals_scratch_at_any_split(feed):
             k,
         )
         assert _tk_rows(maintained) == scratch, f"split {t} diverged"
+        # the r13 gated form the streaming sink runs: endangered groups
+        # collected eagerly, the rescan source passed as a lazy thunk and
+        # pruned to the endangered IN-list — rows must be identical
+        gated = delta_apply_topk_mv(
+            base_current,
+            topk_mv(base_current, "event_type", k),
+            delta_feed,
+            "event_type",
+            k,
+            full_current=lambda: base_current,
+            eager_endangered_gate=True,
+        )
+        assert _tk_rows(gated) == scratch, f"split {t} gated form diverged"
 
 
 def test_topk_retracting_a_prefix_member_rederives(spark):
